@@ -1,0 +1,77 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The canonical tables (TESTDATA.md) live at ``{sf_dir}/{name}.parquet``. Every
+query builder goes through :func:`load` so that
+
+- runtime confs required for deterministic semantics are pinned on whatever
+  session is in use (:func:`session.apply_runtime_confs`),
+- reads are plain ``spark.read.parquet`` scans — Catalyst gets full predicate
+  pushdown / column pruning / partition pruning on them, and
+- at cluster scale the same entry point can grow bucketing / partition
+  discovery without touching call sites.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as TIMESTAMP(NANOS) parquet, which Spark reads as int64
+# (nanosAsLong) — converted to TIMESTAMP_NTZ at µs precision on load.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer DIV keeps full precision (double division would not
+            # past 2^53 ns); session tz is pinned UTC so the LTZ→NTZ cast
+            # is the identity on the wall-clock value.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} DIV 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    apply_runtime_confs(spark)
+    return _normalize(name, spark.read.parquet(table_path(sf_dir, name)))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL entry points)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

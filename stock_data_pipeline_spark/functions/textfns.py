@@ -1,0 +1,63 @@
+"""Text-processing column expressions shared by text analysis and dedup.
+
+All pure built-in compositions (split/transform/filter/aggregate) so they
+run JVM-side; the same token definition is mirrored in every DuckDB oracle
+(``string_split_regex(lower(trim(text)), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency English function-word list for the lang-id heuristic
+# and quality scoring. Public knowledge (classic stopword lists).
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+TOKEN_PATTERN = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), TOKEN_PATTERN)
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB spelling of :func:`tokens`."""
+    return f"string_split_regex(lower(trim({expr})), '\\s+')"
+
+
+def n_tokens(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(tok: Column) -> Column:
+    """Number of tokens that are in the EN stopword list."""
+    return F.size(F.filter(tok, lambda t: t.isin(*EN_STOPWORDS)))
+
+
+def sql_stopword_count(tokens_expr: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"len(list_filter({tokens_expr}, t -> t IN ({inlist})))"
+
+
+def word_shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (for Jaccard / MinHash).
+
+    Built with sequence+transform+slice — no explode until the caller
+    chooses to, so shingling itself adds no rows.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tok, i, k), " "))
+    )
+
+
+def sql_word_shingles(tokens_expr: str, k: int = 3) -> str:
+    """DuckDB spelling of :func:`word_shingles` (1-based list slicing)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({tokens_expr}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string({tokens_expr}[i:i+{k - 1}], ' ')))"
+    )

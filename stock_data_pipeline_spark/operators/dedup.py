@@ -1,0 +1,348 @@
+"""Tier C deduplication (SURVEY.md §2 C1/C2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Motivated twice over: the reference's WRITE_APPEND + retry semantics can
+double-load batches (/root/reference/dags/stock_data_to_gcp.py:82,134 — exact
+dedup is the repair), and the north-star training-data pipeline needs
+near-duplicate removal over a document corpus.
+
+Scale design (the whole point of these implementations):
+- never all-pairs over the corpus — candidates come from equi-joins on
+  shingle / band / chunk keys, which shuffle-partition by key;
+- hot keys (stop-shingles shared by half the corpus) are the skew hazard:
+  the exact-Jaccard operator takes a ``max_shingle_df`` frequency cutoff,
+  the standard document-frequency prune;
+- MinHash signatures are fixed-width (k columns) per doc — state is O(docs),
+  band buckets are O(docs × bands).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.textfns import sql_tokens, sql_word_shingles, tokens, word_shingles
+from ..registry import query
+
+# Mersenne prime modulus and 31-bit hash domain for the MinHash permutation
+# family h_i(x) = (a_i * x + b_i) mod P — universal hashing, overflow-free
+# in 64-bit arithmetic because a_i, x < 2^31.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(k)
+    ]
+
+
+# --------------------------------------------------------------------------
+# C1 — exact dedup via content fingerprint
+# --------------------------------------------------------------------------
+@query(
+    "c01_exact_dedup",
+    oracle="""
+    SELECT
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+      MIN(doc_id) AS keeper_doc_id,
+      COUNT(*) AS n_copies,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    """,
+)
+def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup — group by content hash, keep the smallest doc_id.
+
+    Group-by-hash + min(key) (not ``dropDuplicates``) so the surviving row
+    is *deterministic* — dropDuplicates keeps whichever row a task sees
+    first, which is partitioning-dependent and unreproducible at scale.
+    Scale: the shuffle key is a 128-bit hash, uniformly distributed — no
+    skew; the shuffle carries (hash, id, n_chars), not the document text.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C2a — exact n-gram Jaccard similarity (the ground truth for near-dup)
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.1
+_SHINGLE_K = 3
+
+
+@query(
+    "c02_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def c02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2a: exact pairwise n-gram Jaccard over shingle inverted index.
+
+    Pairs come from the equi-join on shingle (inverted-index join), never
+    from a cross join: cost is Σ_shingle df² — bounded in practice by
+    pruning stop-shingles (see :func:`ngram_jaccard_pairs`'s
+    ``max_shingle_df``; the registered query keeps exact semantics to
+    match the oracle). Serves as ground truth for the MinHash recall test.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.1,
+    k: int = _SHINGLE_K,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs ≥ threshold. ``max_shingle_df`` drops shingles
+    appearing in more than that many docs (document-frequency prune — the
+    standard way to bound the inverted-index join at corpus scale; ~exact
+    for high thresholds because stop-shingles contribute little)."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), k)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C2b — MinHash + LSH banding (approximate near-dup at scale)
+# --------------------------------------------------------------------------
+@query("c02_minhash_lsh")
+def c02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2b: MinHash(k=32) + LSH(8 bands × 4 rows) candidate generation,
+    then exact Jaccard verification on candidates only.
+
+    No SQL oracle (the permutation family isn't reasonably expressible in
+    DuckDB); correctness = recall vs the exact C2a pairs, asserted in
+    tests/test_dedup.py. Scale: signatures are 32 ints per doc computed in
+    ONE groupBy pass (32 min-aggregates over the shingle explode); band
+    buckets equi-join — only docs sharing a band collide, so the join is
+    O(bucket²) per bucket instead of O(corpus²).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+def minhash_signatures(
+    docs: DataFrame, *, k: int = 32, shingle_k: int = _SHINGLE_K
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) MinHash signature table, one shuffle."""
+    coeffs = _perm_coeffs(k)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), shingle_k)).alias("shingle")
+    )
+    # 31-bit base hash keeps a*h + b < 2^62: safe under ANSI arithmetic.
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
+    sh = sh.select("doc_id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.1,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k).cache()
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.xxhash64(*[f"mh{band * rows + r}" for r in range(rows)]).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = band_frames[0]
+    for frame in band_frames[1:]:
+        buckets = buckets.unionByName(frame)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join back to shingles).
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C2c — SimHash (64-bit, stored as two 32-bit halves) + chunk blocking
+# --------------------------------------------------------------------------
+@query("c02_simhash")
+def c02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2c: 64-bit SimHash near-dup pairs with Hamming distance ≤ 3.
+
+    Signature: bit b = sign of Σ_tokens (±1 by bit b of xxhash64(token)).
+    Stored as two 32-bit halves (hi/lo) so assembling bits never overflows
+    64-bit signed arithmetic under ANSI mode. Blocking: split the 64 bits
+    into 4 × 16-bit chunks — by pigeonhole any pair with Hamming ≤ 3 shares
+    at least one exact chunk, so the equi-join on (chunk_index, chunk_value)
+    has perfect recall at this radius (a larger radius needs more chunks).
+    No oracle (bit-level SQL would re-implement the operator); behavior is
+    tested in tests/test_dedup.py with planted near-duplicates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi) — 64-bit SimHash as two 32-bit halves."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tok = tok.filter(F.col("token") != "").select(
+        "doc_id", F.xxhash64("token").alias("h")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    lo = None
+    hi = None
+    for b in range(32):
+        term_lo = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term_hi = F.when(F.col(f"s{b + 32}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        lo = term_lo if lo is None else lo + term_lo
+        hi = term_hi if hi is None else hi + term_hi
+    return sums.select(
+        "doc_id", lo.cast("bigint").alias("sim_lo"), hi.cast("bigint").alias("sim_hi")
+    )
+
+
+def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, chunk-blocked."""
+    sig = simhash_signatures(docs).cache()
+    chunks = []
+    for j in range(4):
+        half = F.col("sim_lo") if j < 2 else F.col("sim_hi")
+        shift = 16 * (j % 2)
+        chunks.append(
+            sig.select(
+                "doc_id",
+                "sim_lo",
+                "sim_hi",
+                F.lit(j).alias("chunk_idx"),
+                F.shiftright(half, shift).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+        )
+    blocked = chunks[0]
+    for frame in chunks[1:]:
+        blocked = blocked.unionByName(frame)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

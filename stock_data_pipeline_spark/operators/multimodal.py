@@ -1,0 +1,115 @@
+"""Tier C multimodal columns (SURVEY.md §2 C5).
+
+Model: media (image/audio/video) live as opaque ``binary`` payloads with a
+typed metadata struct beside them — the standard large-scale layout (payload
+in the lake, features extracted by Arrow-batched Python). The decode step
+itself needs codec libraries that are not in this environment, so it is
+stubbed behind ``NotImplementedError`` / a deterministic fake — but the
+Spark-side plumbing (schema, batching, ``mapInPandas`` signature, partition
+behavior) is real and tested.
+
+The registered query derives a deterministic binary payload from
+``documents.text`` (utf-8 bytes) so the byte-level feature extraction is
+oracle-checkable end-to-end (sha256 + length have exact SQL equivalents).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, payload_sha256 string, head_char_code int"
+)
+
+
+def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extractor over binary payloads.
+
+    This is the exact shape a real image/audio decoder plugs into: per
+    Arrow batch, vectorized work over ``bytes`` objects, schema declared
+    up front. Replace the body with PIL/librosa calls when the codecs are
+    available (see :func:`decode_image_stub`).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "payload_sha256": payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                ),
+                # decode-then-inspect: the stand-in for a real codec step
+                "head_char_code": payloads.map(
+                    lambda b: ord(b.decode("utf-8")[0]) if len(b) else -1
+                ).astype("int32"),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("n_chars"),
+            F.col("source").alias("source"),
+        ).alias("media_meta"),
+    )
+
+
+def extract_byte_features(docs: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the binary column.
+
+    Scale: pure map — no shuffle; Arrow carries the binary column to
+    Python in columnar batches (spark.sql.execution.arrow.maxRecordsPerBatch
+    bounds batch memory). At 100 TB this is the one place Python is
+    justified: codec work that no built-in expresses.
+    """
+    return with_binary_payload(docs).mapInPandas(_byte_features, FEATURE_SCHEMA)
+
+
+def decode_image_stub(payload: bytes) -> "tuple[int, int]":
+    """Placeholder for real image decode (PIL not available in this env).
+
+    STUB: raises — callers must gate on availability. The production
+    implementation returns (width, height) from the decoded header.
+    """
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "plug PIL/pillow into _byte_features when available"
+    )
+
+
+@query(
+    "c05_multimodal_features",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      sha256(text) AS payload_sha256,
+      CAST(CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS INT)
+        AS head_char_code
+    FROM documents
+    """,
+)
+def c05_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: binary-column feature extraction via Arrow-batched mapInPandas.
+
+    The payload is utf-8 text bytes (deterministic), so sha256/length/first
+    byte are exactly checkable against DuckDB — proving the binary plumbing
+    (BinaryType schema, Arrow transfer, batch iterator contract) without
+    needing codec libraries.
+    """
+    return extract_byte_features(load(spark, sf_dir, "documents"))

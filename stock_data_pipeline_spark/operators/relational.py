@@ -1,0 +1,540 @@
+"""Tier B relational core (SURVEY.md §2 B1-B16).
+
+The reference delegates its whole analytical surface to BigQuery
+(/root/reference/dags/stock_data_to_gcp.py:123-136 — data is append-loaded,
+queries happen downstream); this module supplies that surface natively.
+Every query is a declarative DataFrame program (Catalyst handles pushdown,
+pruning, join strategy, AQE re-planning) paired with a DuckDB oracle.
+
+Scale notes are on each builder: what shuffles, what broadcasts, what the
+plan must look like at 100 TB.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exact import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# B1 — predicate filter (time range + set membership)
+# --------------------------------------------------------------------------
+@query(
+    "b01_filter_time_range",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type IN ('click', 'view')
+      AND value > 250.0
+    """,
+)
+def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: range + membership predicates on the event stream.
+
+    Scale: all four predicates are plain comparisons on scan columns, so
+    Catalyst pushes them into the parquet reader (PushedFilters) and row
+    groups outside the time range are skipped via min/max stats. No shuffle.
+    """
+    events = load(spark, sf_dir, "events")
+    return events.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+        & F.col("event_type").isin("click", "view")
+        & (F.col("value") > 250.0)
+    ).select("event_id", "ts", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# B2 — hash aggregate with group-by (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "b02_group_agg",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dec_sum('l_quantity')} AS sum_qty,
+      {sql_dec_sum('l_extendedprice')} AS sum_base_price,
+      {sql_dec_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+      {sql_dec_avg('l_quantity')} AS avg_qty,
+      {sql_dec_avg('l_discount', 4)} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b02_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: multi-aggregate group-by (the TPC-H Q1 pricing-summary shape).
+
+    Scale: partial (map-side) aggregation means the shuffle carries only
+    #groups × #partitions rows, not the fact table; with 6 groups this is
+    O(partitions). Decimal accumulation keeps the result identical under any
+    partitioning (see functions/exact.py).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — broadcast hash join (fact × small dims)
+# --------------------------------------------------------------------------
+@query(
+    "b04_broadcast_join",
+    oracle=f"""
+    SELECT
+      r.r_name AS region_name,
+      n.n_name AS nation_name,
+      COUNT(*) AS n_orders,
+      {sql_dec_sum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: star-schema join, every dimension broadcast.
+
+    Scale: customer/nation/region are dimensions (≤ millions of rows at
+    100 TB) — broadcasting them turns the whole join tree into a single
+    map-side pipeline over the orders scan; the only shuffle is the final
+    tiny group-by. Explicit ``F.broadcast`` pins the strategy so a stale
+    size estimate can never flip it to sort-merge.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — large × large join (shuffle / sort-merge, AQE-planned)
+# --------------------------------------------------------------------------
+@query(
+    "b05_large_join",
+    oracle=f"""
+    SELECT
+      o.o_orderpriority,
+      COUNT(*) AS n_items,
+      {sql_dec_sum('l.l_quantity')} AS sum_qty,
+      {sql_dec_avg('l.l_discount', 4)} AS avg_disc
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 1000.0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b05_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: fact × fact equi-join on the shared key.
+
+    Scale: both sides shuffle on l_orderkey/o_orderkey; AQE picks
+    sort-merge vs shuffled-hash from runtime sizes and splits skewed
+    partitions (skewJoin enabled in session defaults). The o_totalprice
+    filter is pushed below the join so the shuffled build side shrinks
+    first. At 100 TB the durable win is bucketing both tables on orderkey
+    at write time, which removes this shuffle entirely.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_avg("l_discount", 4).alias("avg_disc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — outer / semi / anti joins
+# --------------------------------------------------------------------------
+@query(
+    "b06_left_outer_join",
+    oracle=f"""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      COUNT(o.o_orderkey) AS n_orders,
+      COALESCE({sql_dec_sum('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def b06_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6a: left outer join preserving customers with no orders.
+
+    Scale: orders is the big probe side; customer (dimension) broadcasts.
+    COUNT(col) counts only matched rows, so no-order customers report 0.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "b06_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def b06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6b: left-semi join = EXISTS; emits each qualifying customer once."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "b06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6c: left-anti join = NOT EXISTS; customers with no orders at all."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# B10 — sort / limit / top-k
+# --------------------------------------------------------------------------
+@query(
+    "b10_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: global top-k by price (tie-broken by key for determinism).
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps a 25-row heap and the driver merges #tasks × 25 rows; no global
+    sort is ever materialized.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — distinct / duplicate elimination (re-run dedup semantics)
+# --------------------------------------------------------------------------
+@query(
+    "b11_dedup_pairs",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_first_seen
+    FROM (SELECT DISTINCT user_id, event_type, event_id FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def b11_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: distinct on a key subset, then a per-pair count.
+
+    Motivated by the reference's WRITE_APPEND + retries which can
+    double-load a batch (stock_data_to_gcp.py:82,134) — dedup on the
+    natural key is the repair. Scale: distinct is a hash aggregate on the
+    key columns; one shuffle, map-side combined.
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "event_type", "event_id")
+        .distinct()
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_first_seen"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — set operations
+# --------------------------------------------------------------------------
+@query(
+    "b12_set_ops",
+    oracle="""
+    SELECT 'customer_only' AS side, x AS nationkey FROM (
+      SELECT DISTINCT c_nationkey AS x FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS x FROM supplier)
+    UNION ALL
+    SELECT 'both' AS side, x AS nationkey FROM (
+      SELECT DISTINCT c_nationkey AS x FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS x FROM supplier)
+    """,
+)
+def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: EXCEPT / INTERSECT / UNION ALL over two key sets.
+
+    Scale: set ops hash-shuffle both inputs on the full row; here the
+    inputs are already-distinct key columns so the shuffle is tiny.
+    """
+    cust_nations = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x")
+    ).distinct()
+    supp_nations = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("x")
+    ).distinct()
+    only = cust_nations.subtract(supp_nations).select(
+        F.lit("customer_only").alias("side"), F.col("x").alias("nationkey")
+    )
+    both = cust_nations.intersect(supp_nations).select(
+        F.lit("both").alias("side"), F.col("x").alias("nationkey")
+    )
+    return only.unionByName(both)
+
+
+# --------------------------------------------------------------------------
+# B13 — rollup / cube (grouping sets)
+# --------------------------------------------------------------------------
+@query(
+    "b13_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n,
+      {sql_dec_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13a: ROLLUP — per-(flag,status), per-flag subtotals, grand total.
+
+    Scale: Spark expands grouping sets before the exchange; the shuffle
+    carries one row per (group × set), still O(groups).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dec_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "b13_cube",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n,
+      {sql_dec_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13b: CUBE — all 2² grouping combinations in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 — scalar string / date / math functions (row-level, codegen'd)
+# --------------------------------------------------------------------------
+@query(
+    "b14_scalar_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      lower(l_returnflag) || '/' || lower(l_linestatus) AS flag_status,
+      substr(l_returnflag || l_linestatus, 1, 1) AS first_char,
+      CAST(year(l_shipdate) AS INT) AS ship_year,
+      CAST(month(l_shipdate) AS INT) AS ship_month,
+      l_shipdate + INTERVAL 30 DAY AS due_date,
+      l_extendedprice * (1 - l_discount) AS disc_price,
+      round(ln(l_extendedprice), 6) AS ln_price,
+      CAST(round(l_quantity, 0) AS BIGINT) AS qty_rounded
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def b14_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: the scalar-function surface (A14-A17 generalized).
+
+    All expressions are built-in ``pyspark.sql.functions`` — they stay
+    inside WholeStageCodegen; no Python boundary is crossed.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "/", F.lower("l_returnflag"), F.lower("l_linestatus")
+        ).alias("flag_status"),
+        F.substring(F.concat(F.col("l_returnflag"), F.col("l_linestatus")), 1, 1).alias(
+            "first_char"
+        ),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round("l_quantity", 0).cast("bigint").alias("qty_rounded"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — approximate aggregates (no SQL oracle: HLL/GK sketches are
+# engine-specific; correctness is bounded-error, checked in pytest)
+# --------------------------------------------------------------------------
+@query("b15_approx_aggregates")
+def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: approx_count_distinct (HyperLogLog++) + approx percentiles.
+
+    Scale: these are THE dashboard aggregates at 100 TB — fixed-size
+    sketches merged across partitions, no exact-distinct shuffle.
+    Error bounds (rsd=0.01, percentile accuracy=10000) are asserted
+    against exact values in tests/test_relational.py.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — null handling
+# --------------------------------------------------------------------------
+@query(
+    "b16_null_handling",
+    oracle=f"""
+    SELECT
+      COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)') AS segment,
+      COUNT(*) AS n_customers,
+      COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_non_null,
+      SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS n_null_safe_matches,
+      {sql_dec_sum('c_acctbal')} AS sum_bal
+    FROM customer
+    GROUP BY COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)')
+    """,
+)
+def b16_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: NULLIF / COALESCE / null-safe equality (<=>), null-skipping COUNT.
+
+    The reference declares every sink field NULLABLE and silently drops
+    failed fetches (stock_data_to_gcp.py:48-50,128-133); nulls are part of
+    the data model, so the engine's null algebra is exercised explicitly.
+    """
+    cust = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        cust.select(
+            F.coalesce(seg, F.lit("(suppressed)")).alias("segment"),
+            seg.alias("seg_nullable"),
+            "c_acctbal",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("seg_nullable").alias("n_non_null"),
+            F.sum(
+                F.when(F.col("seg_nullable").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_safe_matches"),
+            dec_sum("c_acctbal").alias("sum_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — the reference's one multi-input operator: UNION ALL of shards
+# --------------------------------------------------------------------------
+@query(
+    "a10_union_shards",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_dec_sum('o_totalprice')} AS revenue
+    FROM (
+      SELECT * FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 = 1
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 = 2
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 = 3
+      UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 = 4
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def a10_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: 5-way shard union (the reference's ``join_all_stocks``,
+    stock_data_to_gcp.py:57-71 — a bag union of identically-shaped shards).
+
+    Scale: ``unionByName`` is plan-level concatenation — zero shuffle,
+    partitions of the children are simply appended. The reference's manual
+    5-way shard split (stock_data_to_gcp.py:42) is reproduced as 5
+    modulo-filtered scans purely to prove union semantics; a real Spark
+    pipeline never splits in the first place.
+    """
+    orders = load(spark, sf_dir, "orders")
+    shards = [orders.filter(F.col("o_orderkey") % 5 == i) for i in range(5)]
+    unioned = reduce(DataFrame.unionByName, shards)
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dec_sum("o_totalprice").alias("revenue")
+    )

@@ -1,0 +1,206 @@
+"""Tier C similarity search (SURVEY.md §2 C3): cosine top-k over embeddings.
+
+Two paths, as a 100 TB ANN stack should be layered:
+- brute-force cosine top-k (exact; the oracle-checkable baseline and the
+  recall ground truth);
+- random-hyperplane LSH bucketed search (approximate; candidates come from
+  an equi-join on signature buckets instead of a cross join).
+
+Vector math is pure higher-order built-ins (``zip_with``/``aggregate``) —
+JVM-side, no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two array<float> columns, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+# --------------------------------------------------------------------------
+# C3a — exact brute-force top-k (oracle-checked)
+# --------------------------------------------------------------------------
+@query(
+    "c03_cosine_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, cos_sim, sim_rank FROM (
+      SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS vec_id,
+        round(list_cosine_similarity(
+          list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+        ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY round(list_cosine_similarity(
+            list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+          c.vec_id ASC
+        ) AS sim_rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE sim_rank <= {_TOP_K}
+    """,
+)
+def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3a: exact top-k nearest neighbors by cosine for a query set.
+
+    The query side is filtered *then broadcast*, so "brute force" is a
+    broadcast nested-loop over one scan of the corpus — no corpus×corpus
+    cross join, no shuffle of the big side. Ranking is on the *rounded*
+    similarity with a vec_id tie-break, making the top-k set stable across
+    engines (raw float ranking can flip near-ties between Spark and the
+    oracle). Scale: O(|corpus| × |queries| × dim) map-side work; the only
+    shuffle is the per-query top-k window over |corpus| rows per query —
+    rewritten by Spark into per-partition top-k before the exchange.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "sim_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# C3b — random-hyperplane LSH bucketed ANN (the scale path)
+# --------------------------------------------------------------------------
+@query("c03_ann_lsh")
+def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b: approximate top-k via random-hyperplane LSH.
+
+    Signature = sign bits of dot(v, r_i) for ``n_planes`` fixed random
+    hyperplanes (seeded, generated once on the driver, shipped as a column
+    literal — no executor-side RNG, no closure capture of numpy state).
+    Multiple independent tables raise recall. Candidates share a (table,
+    signature) bucket → equi-join; exact cosine re-ranks within candidates.
+    No SQL oracle (the plane set isn't SQL-expressible); recall vs C3a is
+    asserted in tests/test_similarity.py. Scale: the cross join disappears —
+    cost concentrates in Σ_bucket |bucket|², controlled by n_planes.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        n_planes=8,
+        n_tables=4,
+    )
+
+
+def _plane_literals(n_tables: int, n_planes: int, dim: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).tolist()
+
+
+def lsh_signatures(
+    df: DataFrame,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, sig) — one row per hash table per vector."""
+    planes = _plane_literals(n_tables, n_planes, dim)
+    frames = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("int")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t][p]])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), plane, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        frames.append(
+            df.select(
+                F.col(id_col), F.lit(t).alias("table_id"), sig.alias("sig")
+            )
+        )
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: LSH candidate generation + exact re-rank."""
+    corpus_sig = lsh_signatures(corpus, n_planes=n_planes, n_tables=n_tables)
+    query_sig = lsh_signatures(queries, n_planes=n_planes, n_tables=n_tables).select(
+        F.col("vec_id").alias("query_id"), "table_id", "sig"
+    )
+    candidates = (
+        corpus_sig.join(F.broadcast(query_sig), ["table_id", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q_vec = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_vec = corpus.select("vec_id", "embedding")
+    scored = (
+        candidates.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "sim_rank")
+    )

@@ -1,0 +1,219 @@
+"""Tier C text analysis (SURVEY.md §2 C4): token stats, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Inputs: the driver's ``documents`` table (and, in the pipeline tier, the
+reference's scraped ``news_data.Title`` column —
+/root/reference/dags/news_data_to_gcp.py:45). Everything here is built-in
+string/array functions — the hot path stays in WholeStageCodegen; there is
+deliberately no Python in any of these operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exact import sql_dec_avg, sql_dec_sum
+from ..functions.textfns import (
+    EN_STOPWORDS,
+    sql_stopword_count,
+    sql_tokens,
+    stopword_count,
+    tokens,
+)
+from ..registry import query
+
+
+@query(
+    "c04_text_stats",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      {sql_dec_avg('len(' + sql_tokens('text') + ')', 6)} AS avg_tokens,
+      {sql_dec_sum('len(' + sql_tokens('text') + ')', 0)} AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4a: corpus-level token statistics per language.
+
+    Scale: tokenization is per-row; the group-by on ``lang`` (≤ tens of
+    values) is a trivially small shuffle after map-side combine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(tokens("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum(ntok.cast("decimal(18,6)")).cast("double") / F.count(ntok)).alias(
+            "avg_tokens"
+        ),
+        F.sum(ntok.cast("decimal(18,0)")).cast("double").alias("total_tokens"),
+    )
+
+
+@query(
+    "c04_top_tokens",
+    oracle=f"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4b: global top-20 token frequencies (explode → count → top-k).
+
+    Scale: explode multiplies rows by avg tokens/doc, but partial
+    aggregation collapses counts before the shuffle, and the final top-k
+    is TakeOrderedAndProject. This is the word-count shape at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "c04_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      n_tokens,
+      round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+      round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+      round(
+        0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
+      , 6) AS quality_score
+    FROM (
+      SELECT doc_id, n_chars,
+             len({sql_tokens('text')}) AS n_tokens,
+             {sql_stopword_count(sql_tokens('text'))} AS n_stop
+      FROM documents
+    )
+    """,
+)
+def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4c: per-document quality score (length / stopword-density /
+    word-length heuristics — the standard pretraining-data filter shape).
+
+    The score is a deterministic formula so the oracle replicates it
+    exactly; per-row double arithmetic is bit-identical across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        stopword_count(tok).alias("n_stop"),
+    )
+    n_tokens_d = F.col("n_tokens").cast("double")
+    n_chars_d = F.col("n_chars").cast("double")
+    n_stop_d = F.col("n_stop").cast("double")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(n_chars_d / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(n_stop_d / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(n_tokens_d / 100.0, F.lit(1.0))
+            + 0.3 * (n_stop_d / F.col("n_tokens"))
+            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "c04_lang_id",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang AS labeled_lang,
+      round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS en_score,
+      round(CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1), 6) AS cjk_score,
+      CASE
+        WHEN CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1) > 0.2 THEN 'zh'
+        WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.03 THEN 'en'
+        ELSE 'unknown'
+      END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             len({sql_tokens('text')}) AS n_tokens,
+             {sql_stopword_count(sql_tokens('text'))} AS n_stop,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+      FROM documents
+    )
+    """,
+)
+def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4d: language-ID heuristic — EN function-word density + CJK-script
+    character density (classic charset/n-gram cascade, no model).
+
+    The synthetic corpus is English-like for every label, so the value of
+    this operator is the deterministic scoring plumbing (the oracle
+    replicates the formula), not label accuracy — accuracy is asserted
+    separately on crafted fixtures in tests/test_text.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        stopword_count(tok).alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^一-鿿]", "")).alias("n_cjk"),
+    )
+    en_score = F.col("n_stop").cast("double") / F.col("n_tokens")
+    cjk_score = F.col("n_cjk").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1).cast("bigint")
+    )
+    return base.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(en_score, 6).alias("en_score"),
+        F.round(cjk_score, 6).alias("cjk_score"),
+        F.when(cjk_score > 0.2, "zh")
+        .when(en_score >= 0.03, "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "c04_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+      length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    """,
+)
+def c04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4e: canonical document fingerprint — md5 over whitespace-normalized,
+    lowercased text. The join key for exact dedup across shards/snapshots
+    (see operators/dedup.py C1). Per-row, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(norm)).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,292 @@
+"""Tier B time-series operators (SURVEY.md §2 B3, B7, B8, B9 + flagship).
+
+The reference's data model is a keyed time series — (ingest-ts, ticker,
+measures) appended every 2 minutes (/root/reference/dags/stock_data_to_gcp.py:43-47,87).
+The driver's ``events`` table (event-ts, user_id, measures) stands in for that
+stream; these operators are the dashboard queries the reference promises but
+delegates to BigQuery (README.md:3,23): bar resampling, latest-per-key
+snapshots, as-of alignment, rankings, and moving windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exact import dec_sum, sql_dec_sum
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Flagship — B1 + B3 + B8 in one statement (entry() runs this)
+# --------------------------------------------------------------------------
+@query(
+    "flagship_event_dashboard",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT
+        event_type,
+        date_trunc('hour', ts) AS bucket,
+        COUNT(*) AS n_events,
+        {sql_dec_sum('value')} AS sum_value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY COUNT(*) DESC, date_trunc('hour', ts) ASC
+        ) AS busy_rank
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      GROUP BY event_type, date_trunc('hour', ts)
+    ) WHERE busy_rank <= 5
+    """,
+)
+def flagship_event_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: hourly activity bars + top-5 busiest hours per event type.
+
+    Composition: pushdown filter → time-bucket hash aggregate → ranking
+    window. Scale: the aggregate shuffles #buckets×#types rows (map-side
+    combined); the window then partitions by event_type — low cardinality,
+    but its input is already aggregate-sized, so the second shuffle is tiny.
+    """
+    events = load(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("bucket"))
+    return hourly.withColumn("busy_rank", F.row_number().over(w)).filter(
+        F.col("busy_rank") <= 5
+    )
+
+
+# --------------------------------------------------------------------------
+# B3 — OHLCV time-bucket resample
+# --------------------------------------------------------------------------
+@query(
+    "b03_ohlcv_bars",
+    oracle=f"""
+    SELECT
+      event_type,
+      date_trunc('day', ts) AS bar_date,
+      min_by(value, ts) AS open,
+      MAX(value) AS high,
+      MIN(value) AS low,
+      max_by(value, ts) AS close,
+      COUNT(*) AS n_ticks,
+      {sql_dec_sum('value')} AS volume
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: OHLCV bars — the resample of 2-min ticks into daily bars that the
+    reference's dashboard needs over ``ticker_data``.
+
+    open/close are ``min_by/max_by(value, ts)`` — single-pass, no
+    self-join, no window sort. Scale: one hash-aggregate shuffle keyed on
+    (entity, bucket); at 100 TB this is the canonical rollup pattern and
+    partial aggregation keeps the exchange at O(#bars).
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bar_date")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count("*").alias("n_ticks"),
+        dec_sum("value").alias("volume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B7a — latest row per key ("current price" snapshot)
+# --------------------------------------------------------------------------
+@query(
+    "b07_latest_per_key",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+    FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7a: latest event per key — the "current price per ticker" snapshot
+    (the reference reads this off its append-only log downstream).
+
+    Scale: row_number-over-desc + rn=1 is one shuffle on the key; Spark
+    rewrites the rn=1 filter into a per-partition top-1 (WindowGroupLimit),
+    so no full per-key sort materializes.
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B7b — as-of join (align each purchase with the latest prior click)
+# --------------------------------------------------------------------------
+@query(
+    "b07_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_click_ts, c.value AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7b: as-of join — for every purchase, the most recent click by the
+    same user at or before the purchase timestamp.
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-and-carry-forward pattern: tag both streams, sort within each
+    key partition by (ts, side), and carry the last click's columns
+    forward with ``last(..., ignorenulls=True)``. One shuffle on the key,
+    O(n log n/partition) sort, zero state beyond the window — versus the
+    naive range-join which is O(n·m) per key. DuckDB's native ASOF JOIN is
+    the oracle.
+
+    Tie rule: a click at exactly the purchase ts matches (sort places
+    side=0 clicks before side=1 purchases at equal ts).
+    """
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("side"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id", "user_id", "ts", "value", "asof_click_ts", "asof_click_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — ranking windows (top movers)
+# --------------------------------------------------------------------------
+@query(
+    "b08_rank_in_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal, bal_rank, bal_dense
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+        ) AS bal_rank,
+        CAST(DENSE_RANK() OVER (
+          PARTITION BY c_nationkey ORDER BY round(c_acctbal, 0) DESC
+        ) AS INT) AS bal_dense
+      FROM customer
+    ) WHERE bal_rank <= 3
+    """,
+)
+def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: top-3 customers by balance within each nation ("top movers").
+
+    row_number with an explicit unique tie-break key is the deterministic
+    top-k; dense_rank over rounded balances shows gap-free ranking. Scale:
+    rank<=k is rewritten by Spark into per-partition top-k before the
+    exchange (WindowGroupLimit) — the shuffle carries k rows per key.
+    """
+    cust = load(spark, sf_dir, "customer")
+    w_rn = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_dense = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(F.round("c_acctbal", 0))
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w_rn).alias("bal_rank"),
+            F.dense_rank().over(w_dense).cast("int").alias("bal_dense"),
+        )
+        .filter(F.col("bal_rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 — analytic windows with frames (moving average, lag, running total)
+# --------------------------------------------------------------------------
+@query(
+    "b09_moving_window",
+    oracle=f"""
+    SELECT
+      user_id,
+      event_id,
+      ts,
+      value,
+      LAG(value) OVER w AS prev_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) / COUNT(value) OVER (
+        w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+      ) AS mov_avg_5,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: lag / 5-row moving average / running total per key.
+
+    These are the "moving average & returns" dashboard columns over the
+    tick stream. Decimal-exact accumulation keeps the running totals
+    engine- and partitioning-independent. Scale: one shuffle on user_id;
+    all three windows share the same (partition, order) so Spark computes
+    them in a single Window operator over one sort.
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    frame5 = w.rowsBetween(-4, Window.currentRow)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec_val = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.sum(dec_val).over(frame5).cast("double") / F.count("value").over(frame5)).alias(
+            "mov_avg_5"
+        ),
+        F.sum(dec_val).over(run).cast("double").alias("running_total"),
+    )

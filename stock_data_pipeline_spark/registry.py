@@ -1,0 +1,90 @@
+"""Named-query registry: the engine's public, testable query surface.
+
+Each operator module registers its queries here with :func:`query`. A
+registered entry is a callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are ANSI-SQL-expressible, an equivalent DuckDB SQL string used as a
+differential-testing oracle (SURVEY.md §5). The verification driver and the
+local pytest suite both consume this registry via ``__spark_entry__.py``.
+
+Determinism contract for every registered query:
+- no wall-clock / random functions;
+- every computed column is aliased identically in Spark and oracle SQL;
+- floating-point aggregates are rounded (summation order differs between
+  engines in the low bits);
+- integer sums are cast to BIGINT on both sides (DuckDB sums integers to
+  HUGEINT);
+- ties in any rank/top-k are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: entry.fn for name, entry in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: entry.oracle
+        for name, entry in sorted(_REGISTRY.items())
+        if entry.oracle is not None
+    }
+
+
+def get(name: str) -> RegisteredQuery:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module for its registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        semistructured,
+        similarity,
+        text,
+        timeseries,
+    )
+    from .streaming import jobs  # noqa: F401
+
+    _LOADED = True

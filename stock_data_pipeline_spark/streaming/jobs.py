@@ -1,0 +1,234 @@
+"""Streaming operators (SURVEY.md §2 B17-B19) in unified batch/stream form.
+
+The reference's "streaming" is Airflow cron micro-batches with strict
+serialization (`max_active_runs=1`, `depends_on_past=True`,
+/root/reference/dags/stock_data_to_gcp.py:76,87,90); Structured Streaming's
+micro-batch loop is the native replacement (trigger ↔ cron, checkpoint ↔
+Airflow metadata DB, `availableNow` ↔ catch-up run).
+
+Design: every streaming computation is written as a pure
+``DataFrame -> DataFrame`` transformation. Applied to a batch frame it is
+oracle-checkable (registered below); applied to ``readStream`` input it is
+the production streaming job (exercised with ``trigger(availableNow=True)``
+in tests/test_streaming.py). One definition, two execution modes — that is
+exactly the unification Structured Streaming promises.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load, table_path
+from ..registry import query
+
+# On-disk schema: ts is TIMESTAMP(NANOS) parquet → int64 under
+# nanosAsLong; read_event_stream converts to TIMESTAMP_NTZ on ingest.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Transformations (shared by batch oracle-checks and streaming jobs)
+# --------------------------------------------------------------------------
+def hourly_window_agg(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
+    """B17: tumbling 1-hour window aggregate per event type."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_replayed(events: DataFrame, *, watermark: str | None = None) -> DataFrame:
+    """B18: drop replayed rows by natural key.
+
+    Batch: dropDuplicates on event_id. Streaming: the watermarked variant
+    (``dropDuplicatesWithinWatermark``) bounds the dedup state — exactly
+    the fix for the reference's retry double-append
+    (stock_data_to_gcp.py:82,134) without unbounded state at 100 TB.
+    """
+    if watermark:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """B19: gap-based sessionization per user (batch formulation).
+
+    A new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Window-lag + running-sum of session starts — one
+    shuffle on user_id. The streaming twin uses ``session_window`` (see
+    :func:`stream_session_agg`); both yield (user, session) aggregates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    # Pure timestamp comparison (no epoch conversion): exact and identical
+    # across engines even for fractional-second gaps.
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {gap_minutes} MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(run).cast("bigint"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked batch registrations of the streaming semantics
+# --------------------------------------------------------------------------
+@query(
+    "b17_hourly_window_agg",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def b17_hourly_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 (batch check): the tumbling-window aggregate; 1-hour aligned
+    windows coincide with date_trunc('hour'), which is the oracle."""
+    return hourly_window_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "b18_dedup_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b18_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 (batch check): a fully replayed batch (union of the stream with
+    itself — the retry scenario) deduplicated on event_id must equal the
+    original stream. Rows in a replay are byte-identical, so key-dedup is
+    value-deterministic."""
+    events = load(spark, sf_dir, "events")
+    replayed = events.unionByName(events)
+    return (
+        dedup_replayed(replayed)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "b19_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+        CAST(SUM(is_new) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def b19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 (batch check): 30-minute-gap sessions per user."""
+    return sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# --------------------------------------------------------------------------
+# Streaming runners (used by tests and as production entry points)
+# --------------------------------------------------------------------------
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned, no inference).
+
+    ``maxFilesPerTrigger=1`` gives multi-micro-batch behavior even on a
+    single parquet file directory in tests.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
+
+
+def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """B19 streaming twin: native session_window with watermarked state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, *, checkpoint: str, output_mode: str = "append"
+):
+    """Drive a streaming frame to a memory sink with availableNow (tests)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

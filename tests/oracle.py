@@ -1,0 +1,73 @@
+"""Local differential-test harness mirroring the driver's oracle compare.
+
+Runs a registered Spark query and its DuckDB oracle on the same parquet
+tables, normalizes both to pandas (columns sorted by name, rows sorted by
+all columns), and compares values exactly. Stricter than the driver's
+order-insensitive value hash — if this passes, the driver's check passes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from stock_data_pipeline_spark.catalog import TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con.execute(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out.reindex(sorted(out.columns), axis=1)
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[col] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (bytes,)):
+            out[col] = s.map(lambda b: b.hex() if isinstance(b, bytes) else b)
+        elif pd.api.types.is_integer_dtype(s):
+            out[col] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[col] = s.astype("float64")
+    out = out.sort_values(by=list(out.columns), ignore_index=True, na_position="last")
+    return out
+
+
+def assert_matches_oracle(spark, name: str, sf_dir: str) -> None:
+    from stock_data_pipeline_spark import registry
+
+    entry = registry.get(name)
+    assert entry.oracle is not None, f"{name} has no oracle"
+    spark_pdf = normalize(entry.fn(spark, sf_dir).toPandas())
+    duck_pdf = normalize(run_oracle(entry.oracle, sf_dir))
+    assert list(spark_pdf.columns) == list(duck_pdf.columns), (
+        f"{name}: column mismatch {list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    for col in spark_pdf.columns:
+        a, b = spark_pdf[col], duck_pdf[col]
+        if pd.api.types.is_float_dtype(a):
+            eq = np.isclose(a.to_numpy(), b.to_numpy(), rtol=0, atol=0, equal_nan=True)
+        else:
+            eq = (a.fillna("«null»") == b.fillna("«null»")).to_numpy() if a.dtype == object else (
+                (a.isna() & b.isna()) | (a == b)
+            ).to_numpy()
+        if not eq.all():
+            bad = (~eq).nonzero()[0][:5]
+            detail = "\n".join(
+                f"  row {i}: spark={a.iloc[i]!r} duck={b.iloc[i]!r}" for i in bad
+            )
+            raise AssertionError(
+                f"{name}: value mismatch in column {col!r} "
+                f"({(~eq).sum()}/{len(eq)} rows):\n{detail}"
+            )
