@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full evaluation of
+every output column — ``count()`` alone would let Spark skip projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stock_data_pipeline_spark import registry
+from stock_data_pipeline_spark.session import get_spark
+
+HEADLINE_QUERIES = [
+    "flagship_event_dashboard",
+    "b02_group_agg",
+    "b03_ohlcv_bars",
+    "b04_broadcast_join",
+    "b05_large_join",
+    "b07_asof_join",
+    "b08_rank_in_group",
+    "b09_moving_window",
+    "b17_hourly_window_agg",
+    "b19_sessionization",
+    "c01_exact_dedup",
+    "c02_minhash_lsh",
+    "c03_cosine_topk",
+    "c04_top_tokens",
+    "c05_multimodal_features",
+    "c06_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = registry.get(name).fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
