@@ -48,9 +48,14 @@ def word_shingles(tok: Column, k: int = 3) -> Column:
     Built with sequence+transform+slice — no explode until the caller
     chooses to, so shingling itself adds no rows.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    shingled = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(tok, i, k), " "))
+    )
+    # sequence(1, n) counts DOWN when n < 1 — docs shorter than k tokens
+    # must yield an empty shingle set, not slice(_, 0, _) errors.
+    return F.when(F.size(tok) >= k, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -1,0 +1,199 @@
+"""The parameterized ingest pipeline (SURVEY.md §2 Tier A, §7 Phase 3).
+
+The reference repo contains four near-identical DAG files differing only in
+fetcher, schema, table name, and cron cadence (SURVEY.md §0) — a design
+smell this module fixes with ONE ``IngestPipeline`` parameterized by a
+:class:`PipelineSpec`. A batch run is a single DataFrame lineage:
+
+    seed (A1-A3) → distributed fetch (A4-A5, mapInPandas)
+                 → ok/quarantine split (A6, observable — not silent)
+                 → schema enforcement (A19)
+                 → append parquet sink partitioned by ingest_date (A18-A19)
+                 → observed row counts (A11)
+
+replacing the reference's 8-task Airflow DAG with its CSV hops on a shared
+volume (stock_data_to_gcp.py:51-71,116-136).
+
+Scale design: the sink is partitioned by ``ingest_date`` so time-range
+queries prune partitions; appends are per-batch directories (no
+read-modify-write); counts come from ``observe()`` (no extra pass over the
+data); rerun repair is key-dedup (B11), not truncate-reload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..sources import fetch as fetch_mod
+from ..sources.seed import seed_table
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    """Everything that distinguishes the reference's four DAGs."""
+
+    name: str                      # sink table name
+    fields: tuple[str, ...]        # measure columns after (Time, Ticker)
+    cadence: str                   # Structured Streaming trigger interval
+    news_shaped: bool = False      # 1:N headline fetch vs 1:1 quote fetch
+    num_fetch_partitions: int = 8  # replaces the reference's 5-shard fan-out
+
+
+# The four reference pipelines (cadences from SURVEY.md §1.1).
+TICKER_SPEC = PipelineSpec("ticker_data", ("Price", "Volume"), "120 seconds")
+RATIO_SPEC = PipelineSpec(
+    "fin_ratio_data",
+    ("QuickRatio", "CurrentRatio", "ROA", "ROE", "DebttoEquity", "FCF"),
+    "1 hour",
+)
+STATEMENT_SPEC = PipelineSpec(
+    "fin_stm_data",
+    (
+        "DividendYield",
+        "TotalCash",
+        "TotalDebt",
+        "TotalRevenue",
+        "RevPerShare",
+        "GrossProfits",
+        "OCF",
+    ),
+    "1 hour",
+)
+NEWS_SPEC = PipelineSpec(
+    "news_data",
+    ("Price", "Volume"),
+    "2 hours",
+    news_shaped=True,
+)
+
+
+@dataclass
+class BatchMetrics:
+    n_fetched: int
+    n_ok: int
+    n_quarantined: int
+
+
+class IngestPipeline:
+    """One parameterized pipeline instance (vs four copy-pasted DAGs)."""
+
+    def __init__(
+        self,
+        spec: PipelineSpec,
+        sink_root: str,
+        *,
+        fetcher=None,
+        symbols: list[str] | None = None,
+    ):
+        self.spec = spec
+        self.sink_root = sink_root
+        self.symbols = symbols
+        if fetcher is not None:
+            self.fetcher = fetcher
+        elif spec.news_shaped:
+            self.fetcher = fetch_mod.synthetic_news_fetcher()
+        else:
+            self.fetcher = fetch_mod.synthetic_quote_fetcher(spec.fields)
+
+    # -- paths ------------------------------------------------------------
+    @property
+    def sink_path(self) -> str:
+        return f"{self.sink_root}/{self.spec.name}"
+
+    @property
+    def quarantine_path(self) -> str:
+        return f"{self.sink_root}/{self.spec.name}_quarantine"
+
+    # -- batch run --------------------------------------------------------
+    def run_batch(self, spark: SparkSession, batch_time: datetime) -> BatchMetrics:
+        """One micro-batch: fetch universe → split → enforce → append."""
+        tickers = seed_table(spark, self.symbols)
+        if self.spec.news_shaped:
+            fetched = fetch_mod.fetch_news_batch(
+                tickers,
+                self.fetcher,
+                batch_time,
+                num_partitions=self.spec.num_fetch_partitions,
+            )
+        else:
+            fetched = fetch_mod.fetch_batch(
+                tickers,
+                self.fetcher,
+                self.spec.fields,
+                batch_time,
+                num_partitions=self.spec.num_fetch_partitions,
+            )
+
+        obs = Observation(f"{self.spec.name}_batch")
+        fetched = fetched.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.count(F.col("fetch_error")).alias("n_quarantined"),
+        )
+        ok = fetched.filter(F.col("fetch_error").isNull()).drop("fetch_error")
+        bad = fetched.filter(F.col("fetch_error").isNotNull())
+
+        sink_schema = schemas.SINK_SCHEMAS[self.spec.name]
+        enforced = enforce_schema(ok, sink_schema)
+        time_col = sink_schema.fields[0].name
+
+        (
+            enforced.withColumn("ingest_date", F.to_date(F.col(time_col)))
+            .write.mode("append")
+            .partitionBy("ingest_date")
+            .parquet(self.sink_path)
+        )
+        # Quarantine is observable, append-only, and carries the error —
+        # the anti-silent-drop counterpart of the reference's bare except
+        # (stock_data_to_gcp.py:48-50).
+        bad.write.mode("append").parquet(self.quarantine_path)
+
+        m = obs.get
+        return BatchMetrics(
+            n_fetched=int(m["n_fetched"]),
+            n_ok=int(m["n_fetched"]) - int(m["n_quarantined"]),
+            n_quarantined=int(m["n_quarantined"]),
+        )
+
+    # -- reads ------------------------------------------------------------
+    def read_sink(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.sink_path).drop("ingest_date")
+
+    def read_quarantine(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.quarantine_path)
+
+    def read_sink_deduped(self, spark: SparkSession) -> DataFrame:
+        """Rerun-repair view (B11): retried batches may double-append
+        (the reference's WRITE_APPEND + retries=2,
+        stock_data_to_gcp.py:82,134); the natural key wins."""
+        time_col = schemas.SINK_SCHEMAS[self.spec.name].fields[0].name
+        keys = [time_col, "Ticker"]
+        if self.spec.news_shaped:
+            keys.append("Title")
+        return self.read_sink(spark).dropDuplicates(keys)
+
+
+def enforce_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """A19: schema enforcement at the sink boundary.
+
+    Column set must match exactly (order-insensitive, like the
+    reference's declared ``schema_fields``); types are cast, which
+    raises under ANSI if a value can't convert — fail loudly at the
+    boundary rather than corrupt the table.
+    """
+    expected = {f.name for f in schema.fields}
+    actual = set(df.columns)
+    if expected != actual:
+        missing, extra = expected - actual, actual - expected
+        raise ValueError(
+            f"schema mismatch at sink: missing={sorted(missing)} extra={sorted(extra)}"
+        )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -16,13 +16,11 @@ exactly the unification Structured Streaming promises.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load, table_path
+from ..catalog import load
 from ..registry import query
 
 # On-disk schema: ts is TIMESTAMP(NANOS) parquet → int64 under
@@ -189,20 +187,21 @@ def b19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Streaming runners (used by tests and as production entry points)
 # --------------------------------------------------------------------------
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (schema pinned, no inference).
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a landing DIRECTORY of events parquet files
+    (schema pinned, no inference) — new files become new micro-batches,
+    the Spark-native analog of the reference's per-cron-run CSV drops.
 
-    ``maxFilesPerTrigger=1`` gives multi-micro-batch behavior even on a
-    single parquet file directory in tests.
+    ``maxFilesPerTrigger=1`` gives one micro-batch per file.
     """
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(table_path(sf_dir, "events"))
+        .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    # Watermarks only accept TIMESTAMP (LTZ) event time, not NTZ; with the
+    # session tz pinned UTC the wall-clock values match the batch catalog.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:

@@ -1,0 +1,112 @@
+"""Dedup behavior tests: planted near-duplicates, recall of the
+approximate operators vs exact Jaccard ground truth (SURVEY.md §7 "LSH
+similarity — test via recall threshold, not hash equality")."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from stock_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _corpus(n_base: int = 30, words_per_doc: int = 60, seed: int = 7):
+    """Random docs + planted near-duplicates (1-2 word substitutions)."""
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_base):
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(words_per_doc))))
+    planted = []
+    for i in range(8):  # doc 100+i is a near-dup of doc i
+        words = docs[i][1].split()
+        for _ in range(2):
+            words[rng.randrange(len(words))] = rng.choice(VOCAB)
+        planted.append((100 + i, " ".join(words)))
+    return docs + planted
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string")
+
+
+def test_exact_jaccard_finds_planted_pairs(spark, doc_df):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(doc_df, threshold=0.5).collect()
+    }
+    for i in range(8):
+        assert (i, 100 + i) in pairs, f"planted pair {i} missed"
+        assert pairs[(i, 100 + i)] > 0.5
+    # unrelated random docs must not collide at this threshold
+    assert all(b - a == 100 for (a, b) in pairs)
+
+
+def test_minhash_recall_vs_exact(spark, doc_df):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(doc_df, threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(doc_df, threshold=0.5).collect()
+    }
+    assert exact, "ground truth empty — fixture broken"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} below bound"
+    # verification step guarantees precision = 1.0 (every emitted pair is
+    # exact-Jaccard-checked)
+    assert approx <= exact
+
+
+def test_minhash_signatures_deterministic(spark, doc_df):
+    a = {tuple(r) for r in minhash_signatures(doc_df, k=8).collect()}
+    b = {tuple(r) for r in minhash_signatures(doc_df, k=8).collect()}
+    assert a == b
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = simhash_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_simhash_near_dup_within_radius(spark, doc_df):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(doc_df, max_hamming=10).collect()}
+    found_planted = sum(1 for i in range(8) if (i, 100 + i) in pairs)
+    # 2-word substitution in 60 words barely moves the weighted bit sums.
+    assert found_planted >= 6, f"only {found_planted}/8 planted pairs within radius"
+
+
+def test_df_prune_keeps_high_jaccard_pairs(spark, doc_df):
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(doc_df, threshold=0.5).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            doc_df, threshold=0.5, max_shingle_df=10
+        ).collect()
+    }
+    # the planted pairs' shingles are rare (unique base docs) → survive
+    assert full <= pruned or len(full & pruned) / len(full) >= 0.9

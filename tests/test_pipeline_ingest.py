@@ -1,0 +1,122 @@
+"""Tier A pipeline tests: ingest → quarantine → append → rerun-dedup.
+
+Models the reference's operational semantics (SURVEY.md §5.5): exact sink
+schemas, per-row error tolerance, append-only accumulation, retry-replay
+repair — with deterministic synthetic fetchers (never the network).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from stock_data_pipeline_spark.pipelines.ingest import (
+    NEWS_SPEC,
+    RATIO_SPEC,
+    TICKER_SPEC,
+    IngestPipeline,
+    enforce_schema,
+)
+from stock_data_pipeline_spark.schemas import SINK_SCHEMAS
+from stock_data_pipeline_spark.sources.fetch import synthetic_quote_fetcher
+from stock_data_pipeline_spark.sources.seed import BAD_TICKERS, seed_table
+
+T0 = datetime(2024, 3, 1, 9, 30, 0)
+T1 = datetime(2024, 3, 1, 9, 32, 0)
+
+SYMBOLS = [f"SYM{i:03d}" for i in range(40)] + list(BAD_TICKERS)
+FAILING = frozenset({"SYM003", "SYM017"})
+
+
+@pytest.fixture()
+def pipeline(tmp_path):
+    return IngestPipeline(
+        TICKER_SPEC,
+        str(tmp_path),
+        fetcher=synthetic_quote_fetcher(TICKER_SPEC.fields, fail_symbols=FAILING),
+        symbols=SYMBOLS,
+    )
+
+
+def test_seed_filters_bad_tickers(spark):
+    seeded = seed_table(spark, SYMBOLS)
+    symbols = {r.Symbol for r in seeded.collect()}
+    assert symbols.isdisjoint(BAD_TICKERS)
+    assert len(symbols) == 40
+
+
+def test_batch_metrics_and_quarantine(spark, pipeline):
+    metrics = pipeline.run_batch(spark, T0)
+    assert metrics.n_fetched == 40
+    assert metrics.n_quarantined == 2
+    assert metrics.n_ok == 38
+
+    sink = pipeline.read_sink(spark)
+    assert sink.count() == 38
+    quarantined = pipeline.read_quarantine(spark)
+    rows = quarantined.collect()
+    assert {r.Ticker for r in rows} == set(FAILING)
+    assert all("ConnectionError" in r.fetch_error for r in rows)
+
+
+def test_sink_schema_matches_reference_declaration(spark, pipeline):
+    pipeline.run_batch(spark, T0)
+    got = pipeline.read_sink(spark).schema
+    assert got == SINK_SCHEMAS["ticker_data"]
+
+
+def test_append_accumulates_batches(spark, pipeline):
+    pipeline.run_batch(spark, T0)
+    pipeline.run_batch(spark, T1)
+    sink = pipeline.read_sink(spark)
+    assert sink.count() == 76
+    times = {r.Time for r in sink.select("Time").distinct().collect()}
+    assert times == {T0, T1}
+
+
+def test_rerun_replay_is_repaired_by_dedup(spark, pipeline):
+    pipeline.run_batch(spark, T0)
+    pipeline.run_batch(spark, T0)  # the retry double-append
+    assert pipeline.read_sink(spark).count() == 76
+    deduped = pipeline.read_sink_deduped(spark)
+    assert deduped.count() == 38  # natural key (Time, Ticker) wins
+
+
+def test_fetch_determinism_across_runs(spark, tmp_path):
+    p1 = IngestPipeline(TICKER_SPEC, str(tmp_path / "a"), symbols=SYMBOLS)
+    p2 = IngestPipeline(TICKER_SPEC, str(tmp_path / "b"), symbols=SYMBOLS)
+    p1.run_batch(spark, T0)
+    p2.run_batch(spark, T0)
+    a = {tuple(r) for r in p1.read_sink(spark).collect()}
+    b = {tuple(r) for r in p2.read_sink(spark).collect()}
+    assert a == b
+
+
+def test_null_fields_survive_to_sink(spark, tmp_path):
+    p = IngestPipeline(RATIO_SPEC, str(tmp_path), symbols=SYMBOLS)
+    p.run_batch(spark, T0)
+    sink = p.read_sink(spark)
+    # synthetic fetcher nulls ~2% of fields — with 40×6 values some nulls
+    # must exist, and the sink schema keeps them (all-NULLABLE semantics).
+    n_nulls = sum(
+        sink.filter(sink[f].isNull()).count() for f in RATIO_SPEC.fields
+    )
+    assert n_nulls > 0
+
+
+def test_news_pipeline_one_row_per_headline(spark, tmp_path):
+    p = IngestPipeline(NEWS_SPEC, str(tmp_path), symbols=SYMBOLS[:10])
+    metrics = p.run_batch(spark, T0)
+    sink = p.read_sink(spark)
+    assert metrics.n_quarantined == 0
+    assert sink.count() == metrics.n_ok
+    per_ticker = sink.groupBy("Ticker").count().collect()
+    assert all(1 <= r["count"] <= 5 for r in per_ticker)
+    assert sink.schema == SINK_SCHEMAS["news_data"]
+
+
+def test_enforce_schema_rejects_wrong_columns(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        enforce_schema(df, SINK_SCHEMAS["ticker_data"])

@@ -1,0 +1,68 @@
+"""Relational-operator behavior beyond oracle parity: approx-sketch error
+bounds, plan-shape assertions (broadcast chosen, filters pushed down, no
+Python in codegen paths) — the 100-TB design checks from SURVEY.md §2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.registry import get
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_check_dir):
+    got = {
+        r.l_returnflag: r
+        for r in get("b15_approx_aggregates").fn(spark, sf_check_dir).collect()
+    }
+    li = load(spark, sf_check_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for flag, row in got.items():
+        rel_err = abs(row.approx_parts - exact[flag]) / exact[flag]
+        assert rel_err < 0.05, (flag, row.approx_parts, exact[flag])
+
+
+def test_percentile_approx_ordered_and_bounded(spark, sf_check_dir):
+    rows = get("b15_approx_aggregates").fn(spark, sf_check_dir).collect()
+    li = load(spark, sf_check_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    for r in rows:
+        p50, p95, p99 = r.price_quantiles
+        assert lo <= p50 <= p95 <= p99 <= hi
+
+
+def test_broadcast_join_plan_has_broadcast(spark, sf_check_dir):
+    plan = get("b04_broadcast_join").fn(spark, sf_check_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_check_dir):
+    df = get("b01_filter_time_range").fn(spark, sf_check_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(value)" in plan or "GreaterThan(value" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_check_dir):
+    df = load(spark, sf_check_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_extendedprice" not in plan  # unprojected column absent from scan
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
+    """Tier B must stay JVM-side: no BatchEvalPython/ArrowEvalPython."""
+    for name in ["b02_group_agg", "b05_large_join", "b09_moving_window",
+                 "c04_quality_score", "c07_array_funcs"]:
+        plan = get(name).fn(spark, sf_check_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, sf_check_dir):
+    plan = get("b10_topk_orders").fn(spark, sf_check_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

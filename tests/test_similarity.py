@@ -1,0 +1,70 @@
+"""Similarity-search tests: ANN recall vs brute force, vector math edge
+cases (SURVEY.md §7: approximate ops are tested via recall thresholds)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine,
+    lsh_signatures,
+)
+from stock_data_pipeline_spark.registry import get
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], [1.0, 0.0], 1.0),
+            (1, [1.0, 0.0], [0.0, 1.0], 0.0),
+            (2, [1.0, 0.0], [-1.0, 0.0], -1.0),
+            (3, [3.0, 4.0], [3.0, 4.0], 1.0),
+        ],
+        "id long, a array<float>, b array<float>, expected double",
+    )
+    rows = df.select("id", "expected", F.round(cosine(F.col("a"), F.col("b")), 9).alias("got")).collect()
+    for r in rows:
+        assert abs(r.got - r.expected) < 1e-9, r
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    brute = get("c03_cosine_topk").fn(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    # Random 64-d vectors are LSH's worst case (neighbors barely closer
+    # than average) — short signatures + many tables buys recall by
+    # widening candidate sets. Measured 0.96 at (3, 12) on this corpus.
+    approx = ann_lsh_topk(emb, queries, k=5, n_planes=3, n_tables=12).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"ANN recall {recall:.2f} below bound"
+
+
+def test_lsh_signatures_deterministic_and_bounded(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    a = {tuple(r) for r in lsh_signatures(emb, n_planes=8, n_tables=2).collect()}
+    b = {tuple(r) for r in lsh_signatures(emb, n_planes=8, n_tables=2).collect()}
+    assert a == b
+    assert all(0 <= sig < 256 for (_, _, sig) in a)
+
+
+def test_identical_vector_is_nearest_neighbor(spark):
+    base = [float(i) for i in range(8)]
+    rows = [(0, base), (1, base), (2, [float(8 - i) for i in range(8)]),
+            (3, [1.0] * 8), (4, [-x for x in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_lsh_topk(emb, emb.filter("vec_id = 0"), k=1, n_planes=4, n_tables=6).collect()
+    assert out and out[0].vec_id == 1 and out[0].cos_sim == 1.0

@@ -1,0 +1,117 @@
+"""Structured Streaming tests (SURVEY.md §2 B17-B19, §5.4).
+
+Deterministic pattern: file source + ``trigger(availableNow=True)`` + memory
+sink; the stream drains synchronously and results compare against the batch
+formulation of the same transformation (unified semantics).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load, table_path
+from stock_data_pipeline_spark.streaming.jobs import (
+    dedup_replayed,
+    hourly_window_agg,
+    read_event_stream,
+    run_stream_to_memory,
+    sessionize,
+    stream_session_agg,
+)
+
+
+def _drain(query):
+    query.awaitTermination(300)
+    assert not query.isActive
+
+
+@pytest.fixture()
+def events_dir(sf_dir, tmp_path):
+    """Landing directory holding one events parquet file."""
+    src = tmp_path / "events_landing"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "batch0.parquet")
+    return str(src)
+
+
+def test_streaming_hourly_agg_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    agg = hourly_window_agg(stream, watermark="10 minutes")
+    q = run_stream_to_memory(
+        agg, "hourly_out", checkpoint=str(tmp_path / "ckpt"), output_mode="append"
+    )
+    _drain(q)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_window_agg(load(spark, sf_dir, "events")).collect()
+    }
+    # availableNow + watermark: every window closed by the final watermark
+    # must match batch exactly; unemitted tail windows are the only gap.
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val
+    emitted_ratio = len(got) / len(expected)
+    assert emitted_ratio > 0.9
+
+
+def test_streaming_dedup_replay(spark, sf_dir, tmp_path):
+    # Two identical files → two micro-batches, the second a full replay
+    # (the reference's retry double-append, stock_data_to_gcp.py:82,134).
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "batch0.parquet")
+    shutil.copy(table_path(sf_dir, "events"), src / "batch1.parquet")
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from stock_data_pipeline_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    deduped = dedup_replayed(events, watermark="1 minute")
+    q = run_stream_to_memory(
+        deduped, "dedup_out", checkpoint=str(tmp_path / "ckpt2")
+    )
+    _drain(q)
+    n_out = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    n_distinct = (
+        load(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert n_out == n_distinct
+
+
+def test_streaming_session_window_subset_of_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    sessions = stream_session_agg(stream, gap="30 minutes")
+    q = run_stream_to_memory(
+        sessions, "sessions_out", checkpoint=str(tmp_path / "ckpt3")
+    )
+    _drain(q)
+    emitted = spark.sql("SELECT * FROM sessions_out").collect()
+    assert emitted
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(load(spark, sf_dir, "events"), gap_minutes=30).collect()
+    }
+    # Every emitted (closed) session must exist in the batch formulation
+    # with identical membership count — the two definitions agree.
+    for r in emitted:
+        assert batch[(r.user_id, r.session_start)] == r.n_events
+
+
+def test_stream_is_incremental_not_batch(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = hourly_window_agg(stream, watermark="10 minutes")
+    assert agg.isStreaming

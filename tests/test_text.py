@@ -1,0 +1,67 @@
+"""Text-analysis behavior tests on crafted fixtures (the synthetic corpus
+is English-like for every label, so classifier behavior needs real
+multilingual samples — SURVEY.md §2 C4)."""
+
+from __future__ import annotations
+
+from stock_data_pipeline_spark.operators.multimodal import extract_byte_features
+from stock_data_pipeline_spark.operators.text import c04_lang_id  # noqa: F401
+from stock_data_pipeline_spark.functions.textfns import tokens, word_shingles
+
+from pyspark.sql import functions as F
+
+
+def _lang_id_frame(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t, "??", "fixture", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return df
+
+
+def test_lang_id_heuristic_on_crafted_samples(spark, tmp_path, monkeypatch):
+    # Route the registered query's loader at a fixture table by rebuilding
+    # the same expressions through the public helper pipeline.
+    from stock_data_pipeline_spark.operators import text as text_mod
+    from stock_data_pipeline_spark import catalog
+
+    samples = [
+        "the cat sat on the mat and it was the best of days for a walk",
+        "熊猫 在 竹林 里 吃 竹子 然后 睡觉 了 一整天",
+        "zxqv blarg frumple wuzzle grik snorp vex",
+    ]
+    df = _lang_id_frame(spark, samples)
+    monkeypatch.setattr(catalog, "load", lambda _s, _d, _n: df)
+    monkeypatch.setattr(text_mod, "load", lambda _s, _d, _n: df)
+    out = {r.doc_id: r.predicted_lang for r in text_mod.c04_lang_id(spark, "ignored").collect()}
+    assert out[0] == "en"
+    assert out[1] == "zh"
+    assert out[2] == "unknown"
+
+
+def test_tokenizer_handles_whitespace_runs(spark):
+    df = spark.createDataFrame([(1, "  Hello   WORLD\tfoo\nbar  ")], "id int, text string")
+    toks = df.select(tokens("text").alias("t")).collect()[0].t
+    assert toks == ["hello", "world", "foo", "bar"]
+
+
+def test_word_shingles_short_doc_edge(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "one two three four")],
+        "id int, text string",
+    )
+    rows = {r.id: r.s for r in df.select("id", word_shingles(tokens("text"), 3).alias("s")).collect()}
+    assert rows[1] == []                       # shorter than k → no shingles
+    assert rows[2] == ["one two three"]
+    assert rows[3] == ["one two three", "two three four"]
+
+
+def test_byte_features_multibyte_first_char(spark):
+    docs = spark.createDataFrame(
+        [(1, "héllo", "fx", "src", 5), (2, "中文 text", "fx", "src", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in extract_byte_features(docs).collect()}
+    assert out[1].head_char_code == ord("h")
+    assert out[2].head_char_code == ord("中")
+    assert out[1].n_bytes == len("héllo".encode("utf-8"))  # 6, not 5
