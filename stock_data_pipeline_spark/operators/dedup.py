@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.partitioning import rebalance
 from ..functions.textfns import sql_tokens, sql_word_shingles, tokens, word_shingles
 from ..registry import query
 
@@ -130,7 +131,7 @@ def ngram_jaccard_pairs(
     appearing in more than that many docs (document-frequency prune — the
     standard way to bound the inverted-index join at corpus scale; ~exact
     for high thresholds because stop-shingles contribute little)."""
-    sh = docs.select(
+    sh = rebalance(docs).select(
         "doc_id", F.explode(word_shingles(tokens("text"), k)).alias("shingle")
     )
     if max_shingle_df is not None:
@@ -192,7 +193,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) MinHash signature table, one shuffle."""
     coeffs = _perm_coeffs(k)
-    sh = docs.select(
+    sh = rebalance(docs).select(
         "doc_id", F.explode(word_shingles(tokens("text"), shingle_k)).alias("shingle")
     )
     # 31-bit base hash keeps a*h + b < 2^62: safe under ANSI arithmetic.
@@ -239,7 +240,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify candidates with exact Jaccard (join back to shingles).
-    sh = docs.select(
+    sh = rebalance(docs).select(
         "doc_id", F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -284,7 +285,7 @@ def c02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sim_lo, sim_hi) — 64-bit SimHash as two 32-bit halves."""
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tok = rebalance(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
     tok = tok.filter(F.col("token") != "").select(
         "doc_id", F.xxhash64("token").alias("h")
     )

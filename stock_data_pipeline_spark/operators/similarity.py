@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.partitioning import rebalance
 from ..registry import query
 
 _N_QUERIES = 10
@@ -85,7 +86,8 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     )
     scored = (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        rebalance(emb)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -142,6 +144,7 @@ def lsh_signatures(
 ) -> DataFrame:
     """(id, table, sig) — one row per hash table per vector."""
     planes = _plane_literals(n_tables, n_planes, dim)
+    df = rebalance(df)
     frames = []
     for t in range(n_tables):
         sig = F.lit(0).cast("int")
