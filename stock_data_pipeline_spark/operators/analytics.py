@@ -1,0 +1,380 @@
+"""Tier B analytics extensions: pivot/unpivot, distribution windows,
+grouping sets, SQL-API entry, correlated subqueries, list aggregation,
+sliding windows, BPE-ish token counting, embedding near-dup.
+
+Second coverage wave over SURVEY.md §2 — the dashboard/reporting shapes
+(B8/B9/B13/B14 generalizations) plus the remaining C3/C4 rows. Same
+determinism contract as registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..functions.exact import dec_sum, sql_dec_sum
+from ..functions.partitioning import rebalance
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+@query(
+    "b20_pivot",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      {sql_dec_sum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+      {sql_dec_sum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: line status → columns. ``pivot`` with an explicit value list
+    (no extra distinct-scan job, stable output schema — mandatory at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .join(
+            li.groupBy("l_returnflag").agg(F.count("*").alias("n")),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "b21_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure_name, measure_value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure_name,
+             l_quantity AS measure_value FROM lineitem WHERE l_orderkey % 100 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    """,
+)
+def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measures → (name, value) rows — one pass,
+    no self-union of the fact table (the oracle's UNION ALL shape re-scans
+    the input once per measure; ``unpivot`` does not)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure_name",
+        "measure_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions / first-last-nth
+# --------------------------------------------------------------------------
+@query(
+    "b22_window_distribution",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      c_custkey,
+      c_acctbal,
+      round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      round(CUME_DIST() OVER w, 6) AS cume,
+      CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile — dashboard distribution stats.
+    Ordering includes the unique key so NTILE bucket boundaries are
+    deterministic under ties."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "b23_first_last_value",
+    oracle="""
+    SELECT DISTINCT
+      user_id,
+      FIRST_VALUE(value) OVER w AS first_value,
+      LAST_VALUE(value) OVER w AS last_value,
+      NTH_VALUE(value, 2) OVER w AS second_value
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over the full-partition frame (constant per
+    key → DISTINCT collapses to one row per user). The explicit UNBOUNDED
+    FOLLOWING frame matters: the default frame would make last_value mean
+    'current row'."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# SQL API entry (TPC-H Q3 shape) + grouping sets + correlated subquery
+# --------------------------------------------------------------------------
+_Q3_SQL = f"""
+SELECT
+  o.o_orderkey,
+  o.o_orderdate,
+  o.o_orderpriority,
+  {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("b24_sql_api", oracle=_Q3_SQL)
+def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the engine's tables as temp views + ANSI SQL
+    through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
+    plan as the DataFrame API — one declarative surface, two dialects;
+    the oracle runs the *identical* SQL text on DuckDB.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@query(
+    "b26_grouping_sets",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      c_nationkey,
+      COUNT(*) AS n,
+      {sql_dec_sum('c_acctbal')} AS bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """,
+)
+def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) via
+    the SQL surface — the B13 family completed."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT
+          c_mktsegment,
+          c_nationkey,
+          COUNT(*) AS n,
+          {sql_dec_sum('c_acctbal')} AS bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "b27_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's mean
+    balance. Catalyst decorrelates this into an aggregate + join — the
+    plan a hand-written join would give, but declared as the user thinks
+    it. Decimal-exact mean keeps the > comparison engine-identical."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "b25_listagg",
+    oracle="""
+    SELECT
+      c_nationkey,
+      string_agg(c_name, ',' ORDER BY c_name) AS names,
+      COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey % 50 = 0
+    GROUP BY c_nationkey
+    """,
+)
+def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
+    because the ORDER BY is total. Scale note: list aggregation is
+    unbounded per group; cap group size upstream (here a key filter)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          c_nationkey,
+          listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+          COUNT(*) AS n
+        FROM customer
+        WHERE c_custkey % 50 = 0
+        GROUP BY c_nationkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window bars (B3/B17 sliding variant)
+# --------------------------------------------------------------------------
+@query(
+    "b03_sliding_bars",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def b03_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h duration / 1h slide): every event lands in two
+    overlapping bars — the moving-bar dashboard view. ``F.window`` expands
+    rows window-count times before the hash aggregate (exactly what the
+    oracle's UNION ALL spells out)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C3: exact embedding near-dup pairs (the C2-for-vectors operator)
+# --------------------------------------------------------------------------
+@query(
+    "c03_embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def c03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), exact.
+
+    This is the oracle-checkable ground truth; the production-scale path
+    is LSH bucketing (``ann_lsh_topk``/``lsh_signatures``) which turns
+    the O(n²) pair space into per-bucket blocks. Here n is corpus-sized
+    but the comparison is pruned by the upper-triangle condition and runs
+    broadcast — no shuffle of the pair space.
+    """
+    from .similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = rebalance(emb).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+# --------------------------------------------------------------------------
+# C4: BPE-ish regex token counting
+# --------------------------------------------------------------------------
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@query(
+    "c04_token_count_bpe",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+      CAST(SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS DECIMAL(18,6)))
+           AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def c04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letters / digits / single
+    punctuation marks as separate tokens) — the cheap pre-tokenizer count
+    that training-data pipelines budget with. Pure JVM regex, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        (F.sum(ntok.cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+    )

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,
