@@ -215,18 +215,18 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash, verified with exact Jaccard."""
     rows = k // bands
-    sig = minhash_signatures(docs, k=k).cache()
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.xxhash64(*[f"mh{band * rows + r}" for r in range(rows)]).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    buckets = band_frames[0]
-    for frame in band_frames[1:]:
-        buckets = buckets.unionByName(frame)
+    sig = minhash_signatures(docs, k=k)
+    # One projection + posexplode emits all (band, bucket) rows in a single
+    # pass over the signatures — no per-band re-read, no 8-way union.
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[f"mh{band * rows + r}" for r in range(rows)])
+            for band in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -310,23 +310,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, chunk-blocked."""
-    sig = simhash_signatures(docs).cache()
-    chunks = []
+    sig = simhash_signatures(docs)
+    chunk_exprs = []
     for j in range(4):
         half = F.col("sim_lo") if j < 2 else F.col("sim_hi")
         shift = 16 * (j % 2)
-        chunks.append(
-            sig.select(
-                "doc_id",
-                "sim_lo",
-                "sim_hi",
-                F.lit(j).alias("chunk_idx"),
-                F.shiftright(half, shift).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-            )
-        )
-    blocked = chunks[0]
-    for frame in chunks[1:]:
-        blocked = blocked.unionByName(frame)
+        chunk_exprs.append(F.shiftright(half, shift).bitwiseAND(F.lit(0xFFFF)))
+    blocked = sig.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     hamming = F.bit_count(

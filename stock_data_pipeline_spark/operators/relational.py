@@ -471,8 +471,8 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)') AS segment,
       COUNT(*) AS n_customers,
       COUNT(NULLIF(c_mktsegment, 'BUILDING')) AS n_non_null,
-      SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
-               THEN 1 ELSE 0 END) AS n_null_safe_matches,
+      CAST(SUM(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_matches,
       {sql_dec_sum('c_acctbal')} AS sum_bal
     FROM customer
     GROUP BY COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)')

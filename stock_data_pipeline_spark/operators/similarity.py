@@ -145,7 +145,7 @@ def lsh_signatures(
     """(id, table, sig) — one row per hash table per vector."""
     planes = _plane_literals(n_tables, n_planes, dim)
     df = rebalance(df)
-    frames = []
+    table_sigs = []
     for t in range(n_tables):
         sig = F.lit(0).cast("int")
         for p in range(n_planes):
@@ -158,15 +158,12 @@ def lsh_signatures(
                 lambda acc, x: acc + x,
             )
             sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        frames.append(
-            df.select(
-                F.col(id_col), F.lit(t).alias("table_id"), sig.alias("sig")
-            )
-        )
-    out = frames[0]
-    for frame in frames[1:]:
-        out = out.unionByName(frame)
-    return out
+        table_sigs.append(sig)
+    # All tables' signatures in one projection + posexplode: the vector is
+    # scanned once total, not once per table.
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*table_sigs)).alias("table_id", "sig")
+    )
 
 
 def ann_lsh_topk(
