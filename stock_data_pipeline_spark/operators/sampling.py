@@ -1,0 +1,226 @@
+"""Training-data sampling, splitting, and sequence-packing operators.
+
+Extends the Tier C north-star surface (SURVEY.md §2) with the dataset-prep
+operations a pretraining pipeline runs after dedup/quality filtering
+(operators/dedup.py, operators/text.py): deterministic train/val/test
+splitting, stratified downsampling, and token-budget sequence packing.
+The reference's analog is its append-only corpus of scraped rows
+(/root/reference/dags/stock_data_to_gcp.py:43-47) that downstream consumers
+must sample reproducibly.
+
+Design rules for 100 TB:
+- Split/sample assignment is a pure per-row hash — no shuffle, no state, no
+  RNG; re-running on a re-partitioned corpus yields the identical split
+  (rerun-safety the reference's WRITE_APPEND retries need).
+- Packing is partition-local greedy first-fit — bins never cross a pack
+  group, so the only shuffle is the groupBy on the (salted) group key and
+  state per task is O(open bins), not O(corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.exact import sql_dec_sum
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# Deterministic hash bucketing (shared by split + stratified sample)
+# --------------------------------------------------------------------------
+# bucket(doc_id) ∈ [0, 100): first 8 hex chars of md5 of the decimal string,
+# as an integer, mod 100. md5 is identical in Spark and DuckDB, so the
+# assignment is engine-independent — unlike rand(seed) or xxhash64, whose
+# streams are engine-private.
+
+
+def _hash_bucket(col: str) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+def _sql_hash_bucket(expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " % 100)"
+    )
+
+
+def with_split(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Append a deterministic 80/10/10 train/val/test ``split`` column."""
+    b = _hash_bucket(key)
+    return docs.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+
+
+_SQL_SPLIT = f"""
+    CASE WHEN {_sql_hash_bucket('doc_id')} < 80 THEN 'train'
+         WHEN {_sql_hash_bucket('doc_id')} < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "c08_hash_split",
+    oracle=f"""
+    SELECT
+      split,
+      COUNT(*) AS n_docs,
+      CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, n_chars, {_SQL_SPLIT} AS split FROM documents)
+    GROUP BY split
+    """,
+)
+def c08_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8a: deterministic 80/10/10 train/val/test split by content-stable
+    hash of the document key.
+
+    The checksum column pins the exact per-row assignment (not just the
+    counts) in the differential hash. Scale: pure map-side projection —
+    the split of a 100 TB corpus costs one scan and zero shuffles, and is
+    reproducible across engines, runs, and repartitionings.
+    """
+    docs = with_split(load(spark, sf_dir, "documents"))
+    return docs.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# Per-stratum keep-rates for the downsampling demo: heavily downsample the
+# dominant stratum, keep the tails — the standard corpus-rebalancing move.
+_STRATUM_RATES = {"en": 40}
+_DEFAULT_RATE = 90
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int], default: int) -> DataFrame:
+    """Deterministic per-stratum downsample: keep row iff bucket < rate%.
+
+    The hash-threshold formulation of ``df.sampleBy`` — same expected
+    fractions, but reproducible (no RNG stream) and engine-independent.
+    """
+    b = _hash_bucket("doc_id")
+    rate = F.lit(default)
+    for stratum, r in rates.items():
+        rate = F.when(F.col("lang") == stratum, F.lit(r)).otherwise(rate)
+    return docs.filter(b < rate)
+
+
+@query(
+    "c08_stratified_sample",
+    oracle=f"""
+    SELECT
+      lang,
+      COUNT(*) AS n_kept,
+      CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum,
+      {sql_dec_sum('n_chars', 0)} AS kept_chars
+    FROM (
+      SELECT * FROM documents
+      WHERE {_sql_hash_bucket('doc_id')} <
+            (CASE WHEN lang = 'en' THEN {_STRATUM_RATES['en']}
+                  ELSE {_DEFAULT_RATE} END)
+    )
+    GROUP BY lang
+    """,
+)
+def c08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8b: stratified corpus rebalancing — keep 40% of 'en' docs, 90% of
+    every other language, chosen by the same deterministic hash bucket as
+    the split (so sample ⊆ corpus is stable under reruns).
+
+    Scale: a scan-side filter; no shuffle, and the predicate is codegen'd.
+    """
+    docs = stratified_sample(
+        load(spark, sf_dir, "documents"), _STRATUM_RATES, _DEFAULT_RATE
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias(
+            "kept_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — token-budget sequence packing (greedy first-fit-decreasing per group)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+N_PACK_GROUPS = 32
+
+_PACK_SCHEMA = (
+    "doc_id bigint, pack_group int, bin_id bigint, n_tokens int, bin_fill int"
+)
+
+
+def _pack_group(pdf_iter: Iterable[pd.DataFrame], budget: int):
+    """Greedy first-fit-decreasing packing of one pack group.
+
+    State is the open-bin list (fill levels), O(#bins) — never the docs.
+    """
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # fill level per bin
+        assign: list[int] = []
+        for ntok in pdf["n_tokens"]:
+            ntok = int(ntok)
+            for i, fill in enumerate(bins):
+                if fill + ntok <= budget:
+                    bins[i] = fill + ntok
+                    assign.append(i)
+                    break
+            else:
+                bins.append(ntok)  # oversize docs get a singleton bin
+                assign.append(len(bins) - 1)
+        out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
+        out["bin_id"] = assign
+        out["bin_fill"] = [bins[i] for i in assign]
+        yield out[["doc_id", "pack_group", "bin_id", "n_tokens", "bin_fill"]]
+
+
+def pack_sequences(
+    docs: DataFrame, *, budget: int = PACK_BUDGET, n_groups: int = N_PACK_GROUPS
+) -> DataFrame:
+    """Pack documents into ≤``budget``-token bins, greedily within each of
+    ``n_groups`` hash-partitioned pack groups.
+
+    Packing is inherently order-dependent, so global optimality is traded
+    for partition-local determinism: group assignment is a stable hash,
+    and within a group FFD order is fixed by (n_tokens desc, doc_id). At
+    100 TB each group packs independently in one task — no global sort, no
+    driver state; bin_ids are group-local (globally unique as the pair).
+    """
+    from ..functions.textfns import tokens
+
+    sized = docs.select(
+        "doc_id",
+        (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups)))
+        .cast("int")
+        .alias("pack_group"),
+        F.size(tokens("text")).cast("int").alias("n_tokens"),
+    )
+    return sized.groupBy("pack_group").applyInPandas(
+        lambda pdf: next(iter(_pack_group([pdf], budget))),
+        schema=_PACK_SCHEMA,
+    )
+
+
+@query("c09_sequence_packing")  # order-dependent heuristic → no SQL oracle;
+# invariants (exactly-once, budget) are asserted in tests/test_sampling.py
+def c09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: sequence packing — batch documents into fixed token budgets for
+    training, first-fit-decreasing within hash-partitioned groups.
+    """
+    return pack_sequences(load(spark, sf_dir, "documents"))

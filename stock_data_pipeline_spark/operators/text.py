@@ -10,7 +10,7 @@ deliberately no Python in any of these operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -192,6 +192,76 @@ def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(en_score >= 0.03, "en")
         .otherwise("unknown")
         .alias("predicted_lang"),
+    )
+
+
+@query(
+    "c04_tfidf_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, token
+      FROM (SELECT doc_id, source, unnest({sql_tokens('text')}) AS token
+            FROM documents)
+      WHERE token <> ''
+    ),
+    doc_freq AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+    term_freq AS (
+      SELECT source, token, COUNT(*) AS tf FROM toks GROUP BY source, token
+    )
+    SELECT source, token, tf, df, tfidf, term_rank FROM (
+      SELECT
+        t.source, t.token,
+        CAST(t.tf AS BIGINT) AS tf,
+        CAST(d.df AS BIGINT) AS df,
+        round(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+        ROW_NUMBER() OVER (
+          PARTITION BY t.source
+          ORDER BY round(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df), 6) DESC,
+                   t.token ASC
+        ) AS term_rank
+      FROM term_freq t JOIN doc_freq d ON t.token = d.token CROSS JOIN corpus c
+    ) WHERE term_rank <= 5
+    """,
+)
+def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4f: top-5 characteristic terms per source by TF-IDF — the standard
+    corpus-profiling / domain-tagging primitive.
+
+    Scale: two word-count-shaped aggregates (both map-side combined) joined
+    on token — a token-keyed shuffle join whose inputs are vocabulary-sized,
+    not corpus-sized; the 1-row corpus count is a broadcast nested-loop.
+    idf uses integer counts only, so the double math is engine-identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    doc_freq = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    corpus = docs.agg(F.count("*").alias("n_docs"))
+    term_freq = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    scored = (
+        term_freq.join(doc_freq, "token")
+        .crossJoin(corpus)
+        .select(
+            "source",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 5)
     )
 
 

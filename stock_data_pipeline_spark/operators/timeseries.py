@@ -10,6 +10,9 @@ snapshots, as-of alignment, rankings, and moving windows.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -192,6 +195,135 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", "value", "asof_click_ts", "asof_click_value"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B28 — time-bucket gap fill (hypertable-style continuous aggregate)
+# --------------------------------------------------------------------------
+@query(
+    "b28_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             round({sql_dec_sum('value', 6)} / COUNT(value), 6) AS hour_avg
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT event_type,
+                   date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events GROUP BY event_type)
+    )
+    SELECT s.event_type, s.bucket,
+           h.hour_avg IS NULL AS is_gap,
+           last_value(h.hour_avg IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.bucket = h.bucket
+    """,
+)
+def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: gap-filled hourly series — generate the dense per-key hour spine
+    and carry the last observed hourly average forward (LOCF), the
+    timescale-style ``time_bucket_gapfill`` the reference's 2-minute tick
+    stream needs whenever a batch window is missed (retry gaps,
+    /root/reference/dags/stock_data_to_gcp.py:82).
+
+    Scale: the spine is #keys × #buckets rows generated from a tiny
+    per-key min/max aggregate (never from the raw stream); the join back
+    is aggregate-sized on both sides, and the LOCF window sorts buckets
+    within each key only. Nothing here touches the raw corpus twice.
+    """
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("hour_avg")
+    )
+    spine = (
+        events.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("hour_avg").isNull().alias("is_gap"),
+            F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — technical indicators (EMA / RSI) via Arrow-batched applyInPandas
+# --------------------------------------------------------------------------
+
+_INDICATOR_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp_ntz, value double,"
+    " ema double, rsi double"
+)
+EMA_ALPHA = 0.2
+RSI_PERIOD = 14
+
+
+def _indicators(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-key EMA + Wilder RSI, computed on one key's ordered history."""
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["ema"] = pdf["value"].ewm(alpha=EMA_ALPHA, adjust=True).mean()
+    delta = pdf["value"].diff()
+    gain = delta.clip(lower=0.0).ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean()
+    loss = (-delta.clip(upper=0.0)).ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean()
+    rs = gain / loss
+    pdf["rsi"] = (100.0 - 100.0 / (1.0 + rs)).where(loss > 0, 100.0)
+    pdf.loc[delta.isna(), "rsi"] = None
+    return pdf[["user_id", "event_id", "ts", "value", "ema", "rsi"]]
+
+
+def with_indicators(events: DataFrame) -> DataFrame:
+    """EMA/RSI per key — the custom "RSI indicator" UDAF surface of
+    SURVEY.md §2 B20, as grouped Arrow-batched pandas.
+
+    EMA/RSI are sequential recurrences (each row depends on the previous
+    smoothed value), which no built-in window aggregate expresses — the
+    textbook ``applyInPandas`` case. Scale: one shuffle on the entity key;
+    each key's history is processed vectorized in a single Arrow batch.
+    Skew guard: a single hot key's history must fit one task — at 100 TB
+    pre-bucket the sink by entity so the shuffle is map-free.
+    """
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandas(_indicators, schema=_INDICATOR_SCHEMA)
+
+
+@query("b29_ema_rsi")  # sequential recurrence → no SQL oracle; verified
+# against pandas ewm ground truth in tests/test_sampling.py
+def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
+    custom technical indicators the reference's dashboard roadmap implies
+    (/root/reference/README.md:23)."""
+    return with_indicators(load(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         dedup,
         multimodal,
         relational,
+        sampling,
         semistructured,
         similarity,
         text,
