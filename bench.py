@@ -45,8 +45,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
-    # JVM/codegen warmup outside the timed region.
+    # Warmup outside the timed region: JIT/codegen, Arrow init, parquet
+    # reader classes — run the flagship once at the smallest SF so the
+    # timings below measure steady-state execution, not first-query
+    # class-loading (~2.5 s of constant overhead on a cold JVM).
     spark.range(1000).selectExpr("sum(id)").collect()
+    registry.get("flagship_event_dashboard").fn(
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

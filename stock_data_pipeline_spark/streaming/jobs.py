@@ -219,6 +219,52 @@ def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFra
     )
 
 
+def stream_running_ema(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
+    """Custom stateful operator: per-key running EMA across micro-batches
+    via ``applyInPandasWithState`` (SURVEY.md §2 B19/B20 — the "custom
+    indicator over a live tick stream" the reference's dashboard implies).
+
+    State per key is three scalars — the numerator/denominator of the
+    adjust-corrected EMA (num_t = x_t + (1-α)·num_{t-1},
+    den_t = 1 + (1-α)·den_{t-1}) and the row count — so a 10⁸-key stream
+    holds O(keys) state, never history. Emits one snapshot row per key per
+    micro-batch (outputMode=update). The recurrence is identical to
+    pandas ``ewm(alpha, adjust=True)``, which the batch twin
+    (operators/timeseries.py::with_indicators) and the stream==batch test
+    rely on.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    one_minus = 1.0 - alpha
+
+    def update(key, pdf_iter, state: GroupState):
+        num, den, n = state.get if state.exists else (0.0, 0.0, 0)
+        # One key's batch may arrive as several Arrow chunks; the recurrence
+        # needs the whole batch in event order, so concat before sorting.
+        batch = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for v in batch["value"]:
+            num = float(v) + one_minus * num
+            den = 1.0 + one_minus * den
+            n += 1
+        state.update((num, den, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ema": [num / den]}
+        )
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, ema double",
+        stateStructType="num double, den double, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, *, checkpoint: str, output_mode: str = "append"
 ):

@@ -110,6 +110,85 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir, events_dir, tmp
         assert batch[(r.user_id, r.session_start)] == r.n_events
 
 
+def test_stateful_running_ema_across_restarts(spark, sf_dir, tmp_path):
+    """Custom stateful operator: EMA state must carry across micro-batches
+    AND across query restarts (checkpoint recovery), and the final per-key
+    value must equal the batch EMA over the full history."""
+    from stock_data_pipeline_spark.operators.timeseries import with_indicators
+    from stock_data_pipeline_spark.streaming.jobs import stream_running_ema
+
+    events = load(spark, sf_dir, "events")
+    median_us = events.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).approxQuantile("us", [0.5], 0.0)[0]
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ema_ckpt")
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.select(
+            "event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        shutil.copy(part, src / f"{name}.parquet")
+
+    out = str(tmp_path / "ema_out")
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory does not).
+        q = (
+            stream_running_ema(read_event_stream(spark, str(src)))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    # Run 1: first half of the stream by event time, to completion.
+    land(events.filter(ts_us <= median_us), "b0")
+    run_once()
+    # Run 2: land the second half, restart from the SAME checkpoint —
+    # state must resume from the first run, not reset.
+    land(events.filter(ts_us > median_us), "b1")
+    run_once()
+
+    # Latest snapshot per user across all emitted micro-batch outputs
+    # (n_events strictly increases per key).
+    snapshots = spark.read.parquet(out)
+    snapshots.createOrReplaceTempView("ema_snapshots")
+    final = {
+        r.user_id: (r.n_events, r.ema)
+        for r in spark.sql(
+            """SELECT user_id, n_events, ema FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM ema_snapshots) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.ema)
+        for r in with_indicators(events)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max_by("ema", "ts").alias("ema"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, ema) in want.items():
+        assert final[uid][0] == n
+        assert final[uid][1] == pytest.approx(ema, rel=1e-9)
+
+
 def test_stream_is_incremental_not_batch(spark, sf_dir, events_dir):
     stream = read_event_stream(spark, events_dir)
     assert stream.isStreaming
