@@ -1,0 +1,56 @@
+"""Skew mitigation: salted joins for hot keys.
+
+At 100 TB a handful of hot keys (the reference's analog: one ticker with
+100× the ticks) put an entire shuffle partition on one task. Three tools,
+in preference order:
+
+1. **AQE skew-join** (`spark.sql.adaptive.skewJoin.enabled`, on by default
+   in session.py) — splits oversized partitions at runtime; use it and do
+   nothing. This module exists for the cases AQE cannot touch:
+2. **Broadcast** the small side (no shuffle at all) — but only if it fits.
+3. **Manual salting** (this module) — when the build side is too big to
+   broadcast AND the join is outside AQE's reach (streaming-static joins,
+   or a stubbornly hot key inside an otherwise balanced shuffle).
+
+Skewed *aggregations* need none of this: Spark's partial (map-side)
+aggregation already combines hot-key rows before the shuffle, which is
+exactly what a manual two-stage salted aggregate would do by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys in ``big``.
+
+    ``big`` rows get a uniform random-ish salt derived from a *stable* hash
+    of the whole row's join-independent identity — here ``monotonically
+    _increasing_id`` would be nondeterministic, so we hash the partition-
+    independent payload: ``xxhash64(all columns)``. ``small`` is exploded
+    ×``n_salts`` so every (key, salt) bucket finds its match. The shuffle
+    key becomes (key, salt): a key carrying 1/k of the data now spreads
+    over ``n_salts`` tasks.
+
+    Cost: ``small`` is replicated n_salts× (keep it the dimension side);
+    result equals the plain join exactly (verified in tests/test_skew.py).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+    big_salted = big.withColumn(SALT_COL, salt)
+    small_salted = small.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_salted.join(small_salted, keys + [SALT_COL], how)
+    return out.drop(SALT_COL)

@@ -80,6 +80,65 @@ def extract_byte_features(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_byte_features, FEATURE_SCHEMA)
 
 
+FRAME_SIZE = 16
+FRAME_STRIDE = 4
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_off int, frame_bytes int,"
+    " frame_sha256 string"
+)
+
+
+def _frame_sample(
+    batches: Iterator[pd.DataFrame],
+    *,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: treat the payload as a sequence of
+    fixed-size frames, emit every ``stride``-th frame's offset + digest.
+
+    The stand-in for video keyframe extraction: a real implementation
+    swaps the byte-slice for a codec seek (pyav/ffmpeg) with the same
+    (doc_id → many frames) fan-out shape and schema contract.
+    """
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "frame_idx", "frame_off", "frame_bytes", "frame_sha256")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = max((n + frame_size - 1) // frame_size, 1)
+            for idx in range(0, n_frames, stride):
+                off = idx * frame_size
+                chunk = bytes(payload[off : off + frame_size])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_off"].append(off)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+        yield pd.DataFrame(out).astype(
+            {"frame_idx": "int32", "frame_off": "int32", "frame_bytes": "int32"}
+        )
+
+
+def sample_frames(docs: DataFrame) -> DataFrame:
+    """One row per sampled frame per document (mapInPandas fan-out).
+
+    Scale: map-only like :func:`extract_byte_features`, but row-expanding
+    (×frames/stride) — at 100 TB size the downstream shuffle off the
+    SAMPLED rows, never the raw payloads.
+    """
+    return with_binary_payload(docs).mapInPandas(_frame_sample, FRAME_SCHEMA)
+
+
+@query("c05_frame_sample")  # byte-slice digests aren't SQL-expressible in
+# the oracle dialect (no BLOB substring); checked against an in-process
+# recompute in tests/test_multimodal.py
+def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5b: frame sampling over opaque media payloads — every 4th 16-byte
+    frame's offset and sha256, the keyframe-extraction plumbing shape."""
+    return sample_frames(load(spark, sf_dir, "documents"))
+
+
 def decode_image_stub(payload: bytes) -> "tuple[int, int]":
     """Placeholder for real image decode (PIL not available in this env).
 

@@ -166,6 +166,31 @@ def lsh_signatures(
     )
 
 
+def _exact_rerank(
+    candidates: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine re-rank of (query_id, vec_id) candidate pairs → top-k."""
+    q_vec = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_vec = corpus.select("vec_id", "embedding")
+    scored = (
+        candidates.join(F.broadcast(q_vec), "query_id")
+        .join(c_vec, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "sim_rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,22 +210,105 @@ def ann_lsh_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    q_vec = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    return _exact_rerank(candidates, corpus, queries, k)
+
+
+# --------------------------------------------------------------------------
+# C3c — IVF (inverted-file) partitioned ANN: coarse k-means quantization
+# --------------------------------------------------------------------------
+def ivf_index(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF index: (vec_id → cell) assignments + centroid list.
+
+    Coarse quantizer = Spark ML k-means (JVM, seeded). At 100 TB the model
+    is trained on ``train_fraction`` of the corpus (IVF practice: O(√N)
+    training points suffice for a coarse quantizer) while ASSIGNMENT runs
+    over the full corpus in one model.transform pass — map-side, no
+    shuffle. Centroids are n_cells × dim floats — always driver-small.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = rebalance(corpus).select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    c_vec = corpus.select("vec_id", "embedding")
-    scored = (
-        candidates.join(F.broadcast(q_vec), "query_id")
-        .join(c_vec, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+    train = (
+        feats.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else feats
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", "sim_rank")
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("cell")
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` nearest cells per
+    query, exact-rerank only vectors in probed cells.
+
+    Complements the LSH path (data-independent hashing) with a
+    data-DEPENDENT partitioning — clustered corpora get much tighter
+    candidate sets. Scale: candidate volume ≈ |corpus| · n_probe / n_cells
+    per query; the probe-cell computation is |queries| × n_cells distances
+    against a literal centroid array — no join, no shuffle on the corpus
+    side beyond the candidate equi-join on ``cell``.
+    """
+    assigned, centers = ivf_index(corpus, n_cells=n_cells, seed=seed)
+    centroid_arr = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centers]
+    )
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode(centroid_arr).alias("cell", "centroid"),
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(
+            "q_emb",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"), F.asc("cell"))
+    probe_cells = (
+        probes.withColumn("cell_dist", sq_dist)
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "cell")
+    )
+    candidates = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(candidates, corpus, queries, k)
+
+
+@query("c03_ann_ivf")
+def c03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3c: IVF-partitioned approximate nearest neighbors (16 cells,
+    probe 4). No SQL oracle (k-means isn't SQL-expressible); recall vs the
+    exact C3a top-k is asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOP_K
     )

@@ -1,0 +1,90 @@
+"""Multimodal plumbing tests (C5): frame sampling + skew-salted joins."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.functions.skew import salted_join
+from stock_data_pipeline_spark.operators.multimodal import (
+    FRAME_SIZE,
+    FRAME_STRIDE,
+    sample_frames,
+)
+
+
+def test_frame_sample_matches_local_recompute(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_off, r.frame_bytes, r.frame_sha256)
+        for r in sample_frames(docs).collect()
+    }
+    raw = docs.select("doc_id", "text").collect()
+    want = {}
+    for r in raw:
+        payload = r.text.encode("utf-8")
+        n_frames = max(-(-len(payload) // FRAME_SIZE), 1)
+        for idx in range(0, n_frames, FRAME_STRIDE):
+            off = idx * FRAME_SIZE
+            chunk = payload[off : off + FRAME_SIZE]
+            want[(r.doc_id, idx)] = (
+                off, len(chunk), hashlib.sha256(chunk).hexdigest()
+            )
+    assert got == want
+
+
+def test_frame_sample_empty_payload_single_frame(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sample_frames(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].frame_bytes == 0
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    # 90% of the big side on one hot key — the AQE-skew scenario.
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim_val")
+    salted = salted_join(big, small, "k", n_salts=8).select(
+        "k", "payload", "dim_val"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, d double")
+    out = salted_join(big, small, "k", n_salts=4, how="left").collect()
+    assert len(out) == 3
+    orphan = [r for r in out if r.k == 99][0]
+    assert orphan.d is None
+
+
+def test_salted_join_spreads_hot_key_over_salts(spark):
+    """The salt column must actually split the hot key's rows into multiple
+    distinct (key, salt) groups — the whole point of the rewrite."""
+    big = spark.range(0, 1000).select(
+        F.lit(7).cast("long").alias("k"), F.col("id").alias("payload")
+    )
+    from stock_data_pipeline_spark.functions.skew import SALT_COL
+
+    salted = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*big.columns), F.lit(8)).cast("int")
+    )
+    n_groups = salted.select(SALT_COL).distinct().count()
+    assert n_groups >= 6  # ~8 salts in use for 1000 rows

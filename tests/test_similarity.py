@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from stock_data_pipeline_spark.catalog import load
 from stock_data_pipeline_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine,
+    ivf_index,
     lsh_signatures,
 )
 from stock_data_pipeline_spark.registry import get
@@ -51,6 +53,44 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     total = sum(len(v) for v in truth.values())
     recall = hits / total
     assert recall >= 0.8, f"ANN recall {recall:.2f} below bound"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    brute = get("c03_cosine_topk").fn(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    # Random uniform vectors are also IVF's worst case (clusters are
+    # arbitrary); probing half the cells keeps recall high while still
+    # exercising the pruning path.
+    approx = ann_ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below bound"
+
+
+def test_ivf_candidates_are_pruned(spark, sf_dir):
+    """IVF must actually prune: every query's scored candidate set is a
+    strict subset of the corpus (cells outside the probe set skipped)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_index(emb, n_cells=8)
+    n_corpus = emb.count()
+    cell_sizes = assigned.groupBy("cell").count().collect()
+    assert len(cell_sizes) > 1  # k-means actually split the corpus
+    assert ann_ivf_topk(
+        emb, emb.filter("vec_id = 0"), k=5, n_cells=8, n_probe=2
+    ).count() == 5
+    # probe 2 of 8 cells → candidates bounded well under the corpus
+    biggest_two = sum(sorted((r["count"] for r in cell_sizes))[-2:])
+    assert biggest_two < n_corpus
 
 
 def test_lsh_signatures_deterministic_and_bounded(spark, sf_dir):
