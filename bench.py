@@ -31,12 +31,18 @@ HEADLINE_QUERIES = [
     "b09_moving_window",
     "b17_hourly_window_agg",
     "b19_sessionization",
+    "b28_gap_fill",
+    "b29_ema_rsi",
     "c01_exact_dedup",
     "c02_minhash_lsh",
     "c03_cosine_topk",
+    "c03_ann_ivf",
     "c04_top_tokens",
+    "c04_tfidf_terms",
     "c05_multimodal_features",
     "c06_json_extract",
+    "c08_hash_split",
+    "c09_sequence_packing",
 ]
 
 

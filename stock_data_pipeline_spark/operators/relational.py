@@ -462,6 +462,40 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B15b — exact percentiles (interpolated), the oracle-checked complement
+# --------------------------------------------------------------------------
+@query(
+    "b15_exact_percentiles",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      COUNT(*) AS n,
+      round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+      round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+      round(MAX(c_acctbal) - MIN(c_acctbal), 6) AS bal_range
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15b: exact linear-interpolated percentiles per group — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (both the classic R-7
+    definition), so the values match bit-for-bit after rounding.
+
+    Scale note: exact percentile shuffles the group's values; use it for
+    grouped/moderate cardinality and B15's sketches for corpus-wide
+    dashboard cards.
+    """
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90_bal"),
+        F.round(F.max("c_acctbal") - F.min("c_acctbal"), 6).alias("bal_range"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B16 — null handling
 # --------------------------------------------------------------------------
 @query(

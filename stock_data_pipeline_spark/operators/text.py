@@ -240,11 +240,18 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    doc_freq = toks.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
+    # Collapse to per-(doc, token) counts FIRST: one tokenize+explode pass
+    # and one corpus-sized shuffle; doc_freq and term_freq then derive
+    # from the collapsed (much smaller) frame instead of re-scanning and
+    # re-tokenizing the corpus once each.
+    tok_doc = toks.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("tf_doc")
     )
+    doc_freq = tok_doc.groupBy("token").agg(F.count("*").alias("df"))
     corpus = docs.agg(F.count("*").alias("n_docs"))
-    term_freq = toks.groupBy("source", "token").agg(F.count("*").alias("tf"))
+    term_freq = tok_doc.groupBy("source", "token").agg(
+        F.sum("tf_doc").alias("tf")
+    )
     scored = (
         term_freq.join(doc_freq, "token")
         .crossJoin(corpus)

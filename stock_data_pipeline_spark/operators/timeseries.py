@@ -247,12 +247,11 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hour_avg")
     )
+    # Spine bounds come from the hourly AGGREGATE, not a second raw scan —
+    # min/max of the bucket column equal the truncated raw min/max.
     spine = (
-        events.groupBy("event_type")
-        .agg(
-            F.date_trunc("hour", F.min("ts")).alias("lo"),
-            F.date_trunc("hour", F.max("ts")).alias("hi"),
-        )
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
         .select(
             "event_type",
             F.explode(
@@ -273,6 +272,73 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hour_avg").isNull().alias("is_gap"),
             F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — range / interval join (clicks within 1 hour before each purchase)
+# --------------------------------------------------------------------------
+@query(
+    "b30_range_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           COUNT(c.event_id) AS n_clicks_1h,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def b30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: interval join — per purchase, count/sum the same user's clicks
+    in the preceding hour (attribution-window shape).
+
+    A naive range join is O(n·m) per user (nested loop). The scalable
+    formulation: clicks carry their hour bucket; each purchase PROBES the
+    two buckets its 1-hour window can touch (posexplode), so the range
+    condition rides on an EQUI-join (user_id, bucket) — shuffle-hash-able,
+    AQE-skew-splittable — with the interval predicate folded into the join
+    condition (not a post-filter, preserving left-outer zero rows). Each
+    click lands in exactly one probed bucket: no double counting.
+    """
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+        F.date_trunc("hour", "ts").alias("c_bucket"),
+    )
+    probes = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.posexplode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            )
+        ).alias("probe_idx", "c_bucket"),
+    )
+    joined = probes.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (probes["c_bucket"] == clicks["c_bucket"])
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_event_id").alias("n_clicks_1h"),
+        F.sum(F.col("c_value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_click_value"),
     )
 
 
