@@ -276,6 +276,52 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B31 — volume-weighted average price (VWAP), the canonical stock rollup
+# --------------------------------------------------------------------------
+@query(
+    "b31_vwap",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bucket,
+      CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+    """,
+)
+def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: VWAP — quantity-weighted average price per entity per time
+    bucket, the headline number on every trading dashboard the reference
+    feeds (price×volume over `ticker_data`, README.md:3; here the lineitem
+    price/quantity pair at monthly grain).
+
+    The price×qty product is computed in DOUBLE (exact here: ≤2-dp prices ×
+    small quantities stay far under 2^53) then accumulated in DECIMAL, so
+    the quotient is engine- and partition-order-exact (functions/exact.py;
+    a decimal×decimal product would overflow the oracle's 18-digit width).
+    Scale: single hash aggregate, map-side combined — the same shape as B3.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("bucket")
+    ).agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+        ).alias("vwap"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias(
+            "total_qty"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # B30 — range / interval join (clicks within 1 hour before each purchase)
 # --------------------------------------------------------------------------
 @query(

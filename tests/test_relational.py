@@ -56,11 +56,25 @@ def test_column_pruning_reads_only_needed_columns(spark, sf_check_dir):
 
 
 def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
-    """Tier B must stay JVM-side: no BatchEvalPython/ArrowEvalPython."""
-    for name in ["b02_group_agg", "b05_large_join", "b09_moving_window",
-                 "c04_quality_score", "c07_array_funcs"]:
-        plan = get(name).fn(spark, sf_check_dir)._jdf.queryExecution().executedPlan().toString()
-        assert "EvalPython" not in plan, name
+    """EVERY oracle-backed query must stay JVM-side (whole-stage codegen
+    territory): no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas.
+    Python is reserved for the explicitly-pandas operators (fetch UDFs,
+    multimodal decode, sequence packing, EMA recurrence), none of which
+    are oracle-backed except c05, which is exempted below."""
+    from stock_data_pipeline_spark.registry import all_oracles
+
+    exempt = {"c05_multimodal_features"}  # mapInPandas by design (C5)
+    for name in all_oracles():
+        if name in exempt:
+            continue
+        plan = (
+            get(name)
+            .fn(spark, sf_check_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
 
 
 def test_topk_uses_take_ordered(spark, sf_check_dir):
