@@ -1,0 +1,84 @@
+"""Bucketed co-located joins: the write-once-shuffle-never scale path."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.sources.bucketed import read_table, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders, "orders_b", bucket_by="o_orderkey", n_buckets=8,
+        sort_by="o_orderkey", path=str(warehouse / "orders_b"),
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", bucket_by="l_orderkey", n_buckets=8,
+        sort_by="l_orderkey", path=str(warehouse / "lineitem_b"),
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _join(o, li):
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    o_name, li_name = bucketed_tables
+    # Disable auto-broadcast so the test exercises the SMJ path bucketing
+    # is designed for (at real scale neither fact side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            _join(read_table(spark, o_name), read_table(spark, li_name))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    join_section = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan
+    # The join's inputs come straight from bucketed scans — no shuffle.
+    assert "Exchange hashpartitioning" not in join_section
+
+
+def test_bucketed_join_equals_plain_join(spark, bucketed_tables):
+    o_name, li_name = bucketed_tables
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            _join(
+                read_table(spark, o_name), read_table(spark, li_name)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            _join(
+                load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+            ).collect(),
+        )
+    )
+    assert got == want
