@@ -51,14 +51,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
-    # Warmup outside the timed region: JIT/codegen, Arrow init, parquet
-    # reader classes — run the flagship once at the smallest SF so the
-    # timings below measure steady-state execution, not first-query
-    # class-loading (~2.5 s of constant overhead on a cold JVM).
+    # Warmup outside the timed region: run every headline query once at the
+    # smallest SF so the timed section measures steady-state execution at
+    # the target SF — not JIT/codegen, Arrow init, Python-worker spinup, or
+    # ML class loading (measured ~2-4 s of one-time cost per cold path).
     spark.range(1000).selectExpr("sum(id)").collect()
-    registry.get("flagship_event_dashboard").fn(
-        spark, "/root/testdata/sf0.001"
-    ).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE_QUERIES:
+        registry.get(name).fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

@@ -239,8 +239,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard (join back to shingles).
-    sh = rebalance(docs).select(
+    # Verify candidates with exact Jaccard — but only ever shingle the
+    # docs that appear in some candidate pair (semi-join first). At a 1%
+    # near-dup rate this makes verification cost O(candidates), not
+    # O(corpus): the corpus-wide tokenization happens exactly once (in the
+    # signature pass above).
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = rebalance(docs.join(cand_docs, "doc_id", "left_semi")).select(
         "doc_id", F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

