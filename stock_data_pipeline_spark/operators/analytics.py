@@ -378,3 +378,50 @@ def c04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# B32 — histogram / fixed-width binning (dashboard distribution card)
+# --------------------------------------------------------------------------
+_HIST_WIDTH = 50_000.0
+
+
+@query(
+    "b32_histogram",
+    oracle=f"""
+    SELECT
+      CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+      round(floor(o_totalprice / {_HIST_WIDTH}) * {_HIST_WIDTH}, 2) AS bin_lo,
+      COUNT(*) AS n_orders,
+      round(MIN(o_totalprice), 2) AS min_price,
+      round(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY floor(o_totalprice / {_HIST_WIDTH})
+    """,
+)
+def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: fixed-width histogram of order totals — the distribution card
+    behind every dashboard. floor-division binning (not width_bucket) so
+    the oracle is dialect-portable and the bin id is integer-exact.
+
+    Scale: one hash aggregate on a derived integer key; bin count is
+    bounded by the value range, so the shuffle is O(bins) after map-side
+    combine no matter the corpus size.
+    """
+    orders = load(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / _HIST_WIDTH)
+    return (
+        orders.groupBy(bin_col.cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * _HIST_WIDTH, 2).alias("bin_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )

@@ -219,6 +219,19 @@ def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFra
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension table.
+
+    The streaming analog of B4 — the static side is re-resolved per
+    micro-batch and broadcast (dimension-sized by contract), so the stream
+    side never shuffles. This is how the reference's prices⋈fundamentals
+    dashboard join runs against the live tick stream. Left join: a tick
+    whose entity is missing from the dimension must still flow (nulls,
+    B16 semantics), never be dropped.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stream_running_ema(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
     """Custom stateful operator: per-key running EMA across micro-batches
     via ``applyInPandasWithState`` (SURVEY.md §2 B19/B20 — the "custom

@@ -189,6 +189,51 @@ def test_stateful_running_ema_across_restarts(spark, sf_dir, tmp_path):
         assert final[uid][1] == pytest.approx(ema, rel=1e-9)
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static broadcast join: streamed result == batch left join,
+    including stream rows with no dimension match (null columns kept)."""
+    from stock_data_pipeline_spark.streaming.jobs import enrich_stream
+
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the keys unmatched
+        .withColumn("segment", F.concat(F.lit("seg-"), F.col("user_id") % 3))
+    )
+    stream = read_event_stream(spark, events_dir)
+    q = run_stream_to_memory(
+        enrich_stream(stream, dim, "user_id"),
+        "enriched_out",
+        checkpoint=str(tmp_path / "ckpt_enrich"),
+    )
+    _drain(q)
+    got = {
+        (r.event_id): (r.user_id, r.segment)
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    batch = load(spark, sf_dir, "events")
+    want = {
+        (r.event_id): (r.user_id, r.segment)
+        for r in enrich_stream(batch, dim, "user_id").collect()
+    }
+    assert got == want
+    assert any(v[1] is None for v in want.values())  # unmatched rows kept
+
+
+def test_csv_roundtrip_with_declared_schema(spark, sf_dir, tmp_path):
+    """A8/A9: CSV sink + scan with an explicit schema (never inferred)
+    round-trips the orders table losslessly."""
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).csv(path)
+    back = spark.read.schema(orders.schema).option("header", True).csv(path)
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
 def test_stream_is_incremental_not_batch(spark, sf_dir, events_dir):
     stream = read_event_stream(spark, events_dir)
     assert stream.isStreaming
