@@ -3,8 +3,10 @@ grouping sets, SQL-API entry, correlated subqueries, list aggregation,
 sliding windows, BPE-ish token counting, embedding near-dup.
 
 Second coverage wave over SURVEY.md §2 — the dashboard/reporting shapes
-(B8/B9/B13/B14 generalizations) plus the remaining C3/C4 rows. Same
-determinism contract as registry.py.
+(B8/B9/B13/B14 generalizations) plus the remaining C3/C4 rows. These are
+the queries behind the dashboard the reference promises over its BigQuery
+tables but never builds (/root/reference/README.md:3,23). Same determinism
+contract as registry.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for operator invariants that must hold
+on ANY input, not just the driver fixtures (SURVEY.md §5.4).
+
+One shared SparkSession; small generated frames; deadline disabled (Spark
+job latency is not the code-under-test)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.functions.exact import dec_sum
+from stock_data_pipeline_spark.streaming.jobs import sessionize
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+amounts = st.lists(
+    st.decimals(
+        min_value="-99999.99", max_value="99999.99", places=2
+    ).map(float),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(values=amounts, n_parts=st.integers(min_value=1, max_value=7))
+def test_dec_sum_is_partitioning_invariant(spark, values, n_parts):
+    """Decimal-exact SUM must not change under any repartitioning — the
+    reproducibility property plain float SUM lacks."""
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    a = df.agg(dec_sum("v").alias("s")).collect()[0].s
+    b = df.repartition(n_parts).agg(dec_sum("v").alias("s")).collect()[0].s
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    gaps_minutes=st.lists(
+        st.integers(min_value=1, max_value=120), min_size=1, max_size=30
+    )
+)
+def test_sessionize_partitions_events_and_respects_gap(spark, gaps_minutes):
+    """Sessions must (a) cover every event exactly once and (b) start a new
+    session exactly when the inter-event gap exceeds the threshold."""
+    t0 = datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps_minutes:
+        cur = cur + timedelta(minutes=g)
+        ts.append(cur)
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz"
+    )
+    sessions = sessionize(df, gap_minutes=30).collect()
+    # (a) every event in exactly one session
+    assert sum(s.n_events for s in sessions) == len(ts)
+    # (b) session count == 1 + number of gaps > 30 min
+    expected_sessions = 1 + sum(1 for g in gaps_minutes[1:] if g > 30)
+    assert len(sessions) == expected_sessions
+    # (c) sessions don't overlap and are gap-separated
+    spans = sorted((s.session_start, s.session_end) for s in sessions)
+    for (_, end_a), (start_b, _) in zip(spans, spans[1:]):
+        assert start_b > end_a + timedelta(minutes=30)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_exact_dedup_fingerprint_groups_cover_all_docs(spark, texts):
+    """C1 invariant on arbitrary unicode: fingerprint groups partition the
+    corpus (Σ n_copies == N) and keeper ids are members of their group."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    out = (
+        df.select(fp.alias("f"), "doc_id")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r.n for r in out) == len(texts)
+    assert all(0 <= r.keeper < len(texts) for r in out)
