@@ -1,0 +1,57 @@
+"""Scan-level quarantine (A6 at the source boundary): bad records are
+routed, counted, and replayable — never silently dropped, never fatal."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from stock_data_pipeline_spark.sources.quarantine import (
+    read_csv_quarantined,
+    read_json_quarantined,
+)
+
+TICKER_SCHEMA = T.StructType(
+    [
+        T.StructField("Ticker", T.StringType()),
+        T.StructField("Price", T.DoubleType()),
+        T.StructField("Volume", T.DoubleType()),
+    ]
+)
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "ticks.csv"
+    p.write_text(
+        "AAPL,187.5,1000000\n"
+        "MSFT,not_a_price,2000000\n"  # type failure → quarantine
+        "GOOG,140.25,1500000\n"
+    )
+    good, bad = read_csv_quarantined(spark, str(p), TICKER_SCHEMA)
+    good_rows = {r.Ticker: r.Price for r in good.collect()}
+    assert good_rows == {"AAPL": 187.5, "GOOG": 140.25}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "not_a_price" in bad_rows[0].raw_record  # raw line replayable
+
+
+def test_json_quarantine_preserves_malformed_lines(spark, tmp_path):
+    p = tmp_path / "ticks.jsonl"
+    p.write_text(
+        '{"Ticker": "AAPL", "Price": 187.5, "Volume": 1e6}\n'
+        "{this is not json}\n"
+        '{"Ticker": "MSFT", "Price": 402.1, "Volume": 2e6}\n'
+    )
+    good, bad = read_json_quarantined(spark, str(p), TICKER_SCHEMA)
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0].raw_record
+
+
+def test_quarantine_batch_never_fails_whole_scan(spark, tmp_path):
+    """An all-bad file still yields an empty good frame, not an exception —
+    the reference's one defensible semantic (batch survives bad rows)."""
+    p = tmp_path / "garbage.csv"
+    p.write_text("x,y\noops,entirely\n,broken,extra,cols\n")
+    good, bad = read_csv_quarantined(spark, str(p), TICKER_SCHEMA)
+    assert good.count() + bad.count() == 3
+    assert all(r.Price is None or isinstance(r.Price, float) for r in good.collect())
