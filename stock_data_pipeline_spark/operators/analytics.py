@@ -427,3 +427,188 @@ def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B33 — full pricing summary (TPC-H Q1 shape): the max-width hash aggregate
+# --------------------------------------------------------------------------
+@query(
+    "b33_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dec_sum('l_quantity')} AS sum_qty,
+      {sql_dec_sum('l_extendedprice')} AS sum_base_price,
+      {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+      {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+        AS sum_charge,
+      round({sql_dec_sum('l_quantity')} / COUNT(l_quantity), 6) AS avg_qty,
+      round({sql_dec_sum('l_extendedprice')} / COUNT(l_extendedprice), 6)
+        AS avg_price,
+      round({sql_dec_sum('l_discount', 6)} / COUNT(l_discount), 6) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: the TPC-H Q1 pricing summary — 8 simultaneous aggregates over a
+    pushdown-filtered scan, the canonical "wide dashboard rollup" the
+    reference's BigQuery layer would serve (README.md:3).
+
+    All money sums accumulate in DECIMAL (functions/exact.py) so results
+    are identical under any partitioning; the derived products are
+    computed in DOUBLE first (both engines do the identical IEEE multiply)
+    then fixed-point-accumulated. Scale: one hash aggregate with map-side
+    partials; the exchange carries #flag×#status ≈ 6 rows per task no
+    matter the corpus size, and the shipdate filter reaches the parquet
+    scan (PushedFilters).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 6).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            F.round(dec_sum("l_quantity") / F.count("l_quantity"), 6).alias(
+                "avg_qty"
+            ),
+            F.round(
+                dec_sum("l_extendedprice") / F.count("l_extendedprice"), 6
+            ).alias("avg_price"),
+            F.round(dec_sum("l_discount", 6) / F.count("l_discount"), 6).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B35 — ordered conversion funnel (view → click → purchase)
+# --------------------------------------------------------------------------
+@query(
+    "b35_funnel",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, ts, event_type,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ), fc AS (
+      SELECT *,
+        MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+          OVER (PARTITION BY user_id) AS t_click
+      FROM fv
+    ), fp AS (
+      SELECT user_id, t_view, t_click,
+        MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+          OVER (PARTITION BY user_id) AS t_purchase
+      FROM fc
+    ), per_user AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM fp GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: strictly-ordered conversion funnel — users whose first view
+    precedes a click which precedes a purchase. The product-analytics
+    staple over an event log (the reference's append-only stream is
+    exactly this shape, SURVEY.md §1.1).
+
+    Formulated as three chained unordered windows over the SAME partition
+    key: Catalyst plans ONE Exchange on user_id and evaluates all three
+    Window operators on co-located data — no self-joins, no repeated
+    scans of the raw log. The final per-user reduce and global count are
+    aggregate-sized. Scale: single shuffle of the (projected) log.
+    """
+    events = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    staged = events.select("user_id", "ts", "event_type").withColumn(
+        "t_view", t_view
+    )
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B36 — weekly cohort retention
+# --------------------------------------------------------------------------
+@query(
+    "b36_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(a.active_week AS TIMESTAMP) AS active_week,
+           COUNT(*) AS n_users
+    FROM cohorts c JOIN activity a USING (user_id)
+    GROUP BY c.cohort_week, a.active_week
+    """,
+)
+def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: weekly cohort retention — users bucketed by first-seen week,
+    counted in every week they return. The second product-analytics
+    staple over the reference's append-only event log.
+
+    Scale: cohort table and distinct-activity table are both user-grain
+    (tiny vs the raw log); both reduce map-side before their shuffles.
+    The user-keyed join co-partitions two already-aggregated inputs, and
+    the final rollup is #cohorts×#weeks. No raw-log joins anywhere.
+    """
+    events = load(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -573,3 +573,65 @@ def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(dec_val).over(run).cast("double").alias("running_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# B34 — time-weighted average (TWAP): interval-weighted rollup
+# --------------------------------------------------------------------------
+@query(
+    "b34_twap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value,
+        (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) / 1000000.0 AS dur_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id,
+      round(
+        CAST(SUM(CAST(value * dur_s AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(dur_s AS DECIMAL(18,6))) AS DOUBLE), 6) AS twap,
+      COUNT(dur_s) AS n_spans
+    FROM spans
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: time-weighted average value per key — each observation weighted
+    by how long it remained current (until the key's next event). The
+    irregular-sampling companion to B31's VWAP: 2-minute ticks are only
+    *nominally* regular (retry gaps, /root/reference/dags/stock_data_to_gcp.py:82),
+    so an unweighted AVG over-counts dense bursts.
+
+    Durations come from LEAD over (ts, event_id) — one shuffle on the key,
+    one sort per partition; the weighted products are IEEE-identical in
+    both engines and accumulate in DECIMAL so the rollup is
+    partitioning-exact. The last observation per key carries no duration
+    and is excluded (standard TWAP half-open convention).
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    spans = events.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).select(
+        "user_id",
+        "value",
+        (
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)") / 1000000.0
+        ).alias("dur_s"),
+    )
+    return (
+        spans.filter(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * F.col("dur_s")).cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.sum(F.col("dur_s").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("twap"),
+            F.count("dur_s").alias("n_spans"),
+        )
+    )
