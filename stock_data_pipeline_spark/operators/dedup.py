@@ -239,34 +239,39 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard — but only ever shingle the
-    # docs that appear in some candidate pair (semi-join first). At a 1%
-    # near-dup rate this makes verification cost O(candidates), not
-    # O(corpus): the corpus-wide tokenization happens exactly once (in the
-    # signature pass above).
-    cand_docs = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sh = rebalance(docs.join(cand_docs, "doc_id", "left_semi")).select(
-        "doc_id", F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle")
+    # Verify candidates with exact Jaccard — per PAIR, with JVM array ops.
+    # ``word_shingles`` returns the distinct shingle SET, so
+    # size(array_intersect)/size-union is exact set Jaccard; no explode, no
+    # inverted-index re-join, no groupBy. Only candidate docs are ever
+    # re-shingled (two key-joins against the docs table), so verification
+    # cost is O(candidates × doc_len) — at a ~1% near-dup rate that's
+    # negligible next to the signature pass, and at 100 TB the candidate
+    # table is the small side by construction.
+    texts = docs.select("doc_id", "text")
+    pairs = candidates.join(
+        texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
+        "doc_a",
+    ).join(
+        texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+        "doc_b",
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        candidates.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    shingled = pairs.select(
+        "doc_a",
+        "doc_b",
+        word_shingles(tokens("text_a"), _SHINGLE_K).alias("sha"),
+        word_shingles(tokens("text_b"), _SHINGLE_K).alias("shb"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
+        F.size("sha").alias("na"),
+        F.size("shb").alias("nb"),
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return shingled.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
