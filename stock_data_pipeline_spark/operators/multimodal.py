@@ -172,3 +172,100 @@ def c05_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     needing codec libraries.
     """
     return extract_byte_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C5c — resize / thumbnail (deterministic stand-in for image resample)
+# --------------------------------------------------------------------------
+THUMB_BYTES = 32
+RESIZE_SCHEMA = "doc_id bigint, orig_bytes int, thumb binary, thumb_sha256 string"
+
+
+def _resize_payload(
+    batches: Iterator[pd.DataFrame], *, out_bytes: int = THUMB_BYTES
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched "resize": even-stride downsample of the payload to a
+    fixed byte budget — the plumbing shape of image thumbnailing (decode →
+    resample → re-encode) with a deterministic fake in place of the codec.
+    A real implementation swaps the strided byte pick for
+    ``PIL.Image.resize`` keeping schema and batch contract identical.
+    """
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "orig_bytes", "thumb", "thumb_sha256")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n <= out_bytes:
+                thumb = bytes(payload)
+            else:
+                idx = [i * n // out_bytes for i in range(out_bytes)]
+                thumb = bytes(payload[i] for i in idx)
+            rows["doc_id"].append(doc_id)
+            rows["orig_bytes"].append(n)
+            rows["thumb"].append(thumb)
+            rows["thumb_sha256"].append(hashlib.sha256(thumb).hexdigest())
+        yield pd.DataFrame(rows).astype({"orig_bytes": "int32"})
+
+
+def resize_payloads(docs: DataFrame) -> DataFrame:
+    """Fixed-budget thumbnails for every payload (map-only, no shuffle)."""
+    return with_binary_payload(docs).mapInPandas(_resize_payload, RESIZE_SCHEMA)
+
+
+@query("c05_resize_thumbnail")  # byte-slice output isn't SQL-expressible in
+# the oracle dialect; checked against an in-process recompute in
+# tests/test_multimodal.py
+def c05_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5c: resize/thumbnail plumbing — every payload downsampled to a
+    32-byte strided thumbnail with digest, the image-resample fan-in shape."""
+    return resize_payloads(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C5d — audio-style windowed energy (deterministic stand-in for DSP)
+# --------------------------------------------------------------------------
+AUDIO_WINDOW = 64
+AUDIO_SCHEMA = "doc_id bigint, n_windows int, window_rms array<double>"
+
+
+def _audio_energy(
+    batches: Iterator[pd.DataFrame], *, window: int = AUDIO_WINDOW
+) -> Iterator[pd.DataFrame]:
+    """Per-payload windowed RMS over byte values — the frame-energy shape
+    of audio feature extraction (librosa RMS / mel energies), computed
+    vectorized per Arrow batch with numpy. A real DSP step swaps the byte
+    interpretation for PCM decode with the same (doc → array) contract.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids, counts, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+            if len(x) == 0:
+                ids.append(doc_id); counts.append(0); feats.append([])
+                continue
+            pad = (-len(x)) % window
+            x = np.pad(x, (0, pad))
+            frames = x.reshape(-1, window)
+            rms = np.sqrt((frames * frames).mean(axis=1))
+            ids.append(doc_id)
+            counts.append(frames.shape[0])
+            feats.append([round(float(v), 6) for v in rms])
+        yield pd.DataFrame(
+            {"doc_id": ids, "n_windows": pd.array(counts, dtype="int32"),
+             "window_rms": feats}
+        )
+
+
+def audio_energy(docs: DataFrame) -> DataFrame:
+    """Windowed-RMS feature arrays for every payload (map-only)."""
+    return with_binary_payload(docs).mapInPandas(_audio_energy, AUDIO_SCHEMA)
+
+
+@query("c05_audio_energy")  # windowed byte-RMS isn't expressible in the
+# oracle dialect (no BLOB slicing); checked against an in-process recompute
+# in tests/test_multimodal.py
+def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5d: audio-style windowed RMS energy per payload — the DSP
+    feature-extraction plumbing over opaque media bytes."""
+    return audio_energy(load(spark, sf_dir, "documents"))

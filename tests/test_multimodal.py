@@ -88,3 +88,59 @@ def test_salted_join_spreads_hot_key_over_salts(spark):
     )
     n_groups = salted.select(SALT_COL).distinct().count()
     assert n_groups >= 6  # ~8 salts in use for 1000 rows
+
+
+def test_resize_thumbnail_matches_local_recompute(spark, sf_dir):
+    from stock_data_pipeline_spark.operators.multimodal import (
+        THUMB_BYTES,
+        resize_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: (r.orig_bytes, bytes(r.thumb), r.thumb_sha256)
+        for r in resize_payloads(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        payload = r.text.encode("utf-8")
+        n = len(payload)
+        if n <= THUMB_BYTES:
+            thumb = payload
+        else:
+            thumb = bytes(payload[i * n // THUMB_BYTES] for i in range(THUMB_BYTES))
+        assert got[r.doc_id] == (n, thumb, hashlib.sha256(thumb).hexdigest())
+
+
+def test_audio_energy_matches_local_recompute(spark, sf_dir):
+    import numpy as np
+
+    from stock_data_pipeline_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        audio_energy,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: (r.n_windows, list(r.window_rms))
+        for r in audio_energy(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        x = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8).astype(float)
+        if len(x) == 0:
+            assert got[r.doc_id] == (0, [])
+            continue
+        pad = (-len(x)) % AUDIO_WINDOW
+        frames = np.pad(x, (0, pad)).reshape(-1, AUDIO_WINDOW)
+        rms = [round(float(v), 6) for v in np.sqrt((frames**2).mean(axis=1))]
+        assert got[r.doc_id] == (frames.shape[0], rms)
+
+
+def test_audio_energy_empty_payload(spark):
+    from stock_data_pipeline_spark.operators.multimodal import audio_energy
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = audio_energy(docs).collect()
+    assert rows[0].n_windows == 0 and list(rows[0].window_rms) == []
