@@ -572,3 +572,124 @@ def a10_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unioned.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), dec_sum("o_totalprice").alias("revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# B37 — star-schema multi-join rollup (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "b37_regional_revenue",
+    oracle=f"""
+    SELECT
+      n.n_name,
+      {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def b37_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: the TPC-H Q5 local-supplier-volume shape — a 6-table star join
+    (fact × fact × 4 dims) with a region filter and same-nation predicate.
+
+    Join-order intent at 100 TB: region→nation prunes FIRST (broadcast,
+    cuts supplier to one region's), supplier/customer broadcast into the
+    two fact joins, and the only big shuffle is lineitem⋈orders on
+    orderkey — Catalyst + AQE reorder and pick broadcast strategies from
+    runtime sizes; the date filter pushes to the orders scan. The explicit
+    broadcasts mark every dimension below the threshold.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nations = F.broadcast(
+        nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    asian_supp = F.broadcast(
+        supp.join(asian_nations, supp.s_nationkey == F.col("n_nationkey")).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asian_supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        dec_sum(revenue, 6).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B38 — aggregate-filtered semi-join (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+_Q18_MIN_QTY = 150
+
+
+@query(
+    "b38_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           {sql_dec_sum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: the TPC-H Q18 large-volume-customer shape — orders whose total
+    quantity exceeds a threshold, re-joined to their lines and customers.
+
+    The HAVING subquery becomes an aggregate + semi-join: lineitem rolls
+    up to order grain FIRST (map-side partials, one shuffle on orderkey),
+    the >threshold survivors form a small key set, and the detail join is
+    a left-semi against that set — never a second full aggregate. At
+    100 TB the semi-join side is broadcast-able after AQE measures it.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+    )
