@@ -294,3 +294,125 @@ def c04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(norm)).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4g — PII redaction (regex scrub, the pre-training hygiene pass)
+# --------------------------------------------------------------------------
+# Conservative patterns shared verbatim by both engines (Java regex and
+# DuckDB RE2 agree on this subset: char classes, +, {n,}, alternation).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Emails/phones replaced with typed placeholders + per-doc match
+    counts. Pure ``regexp_replace``/``regexp_count`` — JVM codegen, no
+    Python; at 100 TB this is a map-only pass that pipelines with the
+    scan."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+@query(
+    "c04_redact_pii",
+    oracle=f"""
+    SELECT
+      doc_id,
+      regexp_replace(
+        regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
+    FROM documents
+    """,
+)
+def c04_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4g: PII redaction — emails/phones scrubbed to placeholders with
+    match counts, the standard pre-training hygiene pass. Behavior on
+    crafted PII-bearing strings is asserted in tests/test_text.py; the
+    oracle proves engine parity of the regex dialect subset used."""
+    return redact_pii(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C4h — decontamination: n-gram overlap against a held-out eval set
+# --------------------------------------------------------------------------
+_DECON_SHINGLE_K = 3
+_DECON_MIN_SHARED = 3
+_EVAL_MOD = 97  # doc_id % 97 == 0 → the stand-in benchmark/eval subset
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    k: int = _DECON_SHINGLE_K,
+    min_shared: int = _DECON_MIN_SHARED,
+) -> DataFrame:
+    """(train_id, eval_id, n_shared) for every train doc sharing ≥
+    ``min_shared`` distinct k-gram shingles with an eval doc.
+
+    The canonical pre-training decontamination join: both sides explode to
+    an inverted shingle index and meet in an equi-join on the shingle —
+    never a cross join. Scale: cost is Σ_shingle df_train × df_eval; the
+    eval side is tiny by construction, so the join is effectively a
+    semi-probe of the train index; skewed stop-shingles are bounded by the
+    distinct-set shingling (each doc contributes a shingle once).
+    """
+    from ..functions.textfns import word_shingles
+
+    t = train.select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(word_shingles(tokens("text"), k)).alias("shingle"),
+    )
+    e = eval_set.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(word_shingles(tokens("text"), k)).alias("shingle"),
+    )
+    return (
+        t.join(e, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+from ..functions.textfns import sql_word_shingles  # noqa: E402
+
+_DECON_SH_SQL = sql_word_shingles(sql_tokens("text"), _DECON_SHINGLE_K)
+
+
+@query(
+    "c04_decontaminate",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id AS train_id,
+             unnest({_DECON_SH_SQL}) AS shingle
+      FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+    ), sh_e AS (
+      SELECT doc_id AS eval_id,
+             unnest({_DECON_SH_SQL}) AS shingle
+      FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    )
+    SELECT train_id, eval_id, COUNT(*) AS n_shared
+    FROM sh_t JOIN sh_e USING (shingle)
+    GROUP BY train_id, eval_id
+    HAVING COUNT(*) >= {_DECON_MIN_SHARED}
+    """,
+)
+def c04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4h: decontamination — training docs sharing ≥3 distinct 3-gram
+    shingles with the held-out eval subset (doc_id % 97 == 0), via the
+    inverted-index equi-join (never a cross join)."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return decontaminate(train, eval_set)

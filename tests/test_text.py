@@ -65,3 +65,43 @@ def test_byte_features_multibyte_first_char(spark):
     assert out[1].head_char_code == ord("h")
     assert out[2].head_char_code == ord("中")
     assert out[1].n_bytes == len("héllo".encode("utf-8"))  # 6, not 5
+
+
+def test_redact_pii_on_crafted_strings(spark):
+    from stock_data_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk for info"),
+            (2, "call +1 (555) 123-4567 or 555 867 5309 today"),
+            (3, "no pii here at all"),
+            (4, "a@b.io and 12345678901 mixed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].redacted == "contact <EMAIL> for info"
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[2].n_phones == 2
+    assert "<PHONE>" in out[2].redacted and "555" not in out[2].redacted
+    assert out[3].redacted == "no pii here at all"
+    assert out[4].n_emails == 1 and out[4].n_phones == 1
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from stock_data_pipeline_spark.operators.text import decontaminate
+
+    phrase = "the quick brown fox jumps over the lazy sleeping dog"
+    train = spark.createDataFrame(
+        [
+            (10, f"prefix words here {phrase} suffix words"),
+            (11, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(900, f"eval question mentions {phrase} verbatim")],
+        "doc_id long, text string",
+    )
+    rows = decontaminate(train, eval_set, k=5, min_shared=3).collect()
+    assert [(r.train_id, r.eval_id) for r in rows] == [(10, 900)]
