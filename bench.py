@@ -33,12 +33,17 @@ HEADLINE_QUERIES = [
     "b19_sessionization",
     "b28_gap_fill",
     "b29_ema_rsi",
+    "b33_pricing_summary",
+    "b34_twap",
+    "b37_regional_revenue",
+    "b38_large_orders",
     "c01_exact_dedup",
     "c02_minhash_lsh",
     "c03_cosine_topk",
     "c03_ann_ivf",
     "c04_top_tokens",
     "c04_tfidf_terms",
+    "c04_decontaminate",
     "c05_multimodal_features",
     "c06_json_extract",
     "c08_hash_split",

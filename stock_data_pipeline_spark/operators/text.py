@@ -235,9 +235,12 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-sized; the 1-row corpus count is a broadcast nested-loop.
     idf uses integer counts only, so the double math is engine-identical.
     """
+    from ..functions.partitioning import rebalance
+
     docs = load(spark, sf_dir, "documents")
     toks = (
-        docs.select("doc_id", "source", F.explode(tokens("text")).alias("token"))
+        rebalance(docs)
+        .select("doc_id", "source", F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
     # Collapse to per-(doc, token) counts FIRST: one tokenize+explode pass
@@ -367,13 +370,16 @@ def decontaminate(
     semi-probe of the train index; skewed stop-shingles are bounded by the
     distinct-set shingling (each doc contributes a shingle once).
     """
+    from ..functions.partitioning import rebalance
     from ..functions.textfns import word_shingles
 
-    t = train.select(
+    # Shingling is CPU-heavy per row; a single-file scan would otherwise
+    # run it in one task (see functions/partitioning.py).
+    t = rebalance(train).select(
         F.col("doc_id").alias("train_id"),
         F.explode(word_shingles(tokens("text"), k)).alias("shingle"),
     )
-    e = eval_set.select(
+    e = rebalance(eval_set).select(
         F.col("doc_id").alias("eval_id"),
         F.explode(word_shingles(tokens("text"), k)).alias("shingle"),
     )

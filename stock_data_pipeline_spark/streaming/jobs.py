@@ -290,3 +290,43 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Exactly-once append sink (fixes the reference's WRITE_APPEND replay bug)
+# --------------------------------------------------------------------------
+BATCH_COL = "_batch_id"
+
+
+def write_batch_idempotent(df: DataFrame, batch_id: int, sink_dir: str) -> None:
+    """One micro-batch → one sink partition, idempotently.
+
+    The reference append-loads with ``WRITE_APPEND`` under ``retries: 2``
+    (/root/reference/dags/stock_data_to_gcp.py:82,134): a task that wrote
+    then failed before commit double-loads on retry. Here a replayed batch
+    OVERWRITES its own ``_batch_id`` partition (dynamic partition
+    overwrite touches only that partition), so write-then-crash-then-retry
+    converges to exactly one copy. At 100 TB dynamic overwrite rewrites a
+    micro-batch's worth of files, never the table.
+    """
+    (
+        df.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(sink_dir)
+    )
+
+
+def run_stream_to_parquet(df: DataFrame, sink_dir: str, *, checkpoint: str):
+    """Production sink: checkpointed foreachBatch with idempotent batch
+    partitions — WAL offsets give at-least-once batch delivery, the
+    idempotent writer upgrades it to exactly-once table contents."""
+    return (
+        df.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_idempotent(bdf, bid, sink_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -239,3 +239,56 @@ def test_stream_is_incremental_not_batch(spark, sf_dir, events_dir):
     assert stream.isStreaming
     agg = hourly_window_agg(stream, watermark="10 minutes")
     assert agg.isStreaming
+
+
+def test_idempotent_sink_survives_batch_replay(spark, tmp_path):
+    """Replaying a batch (crash-after-write, retry before checkpoint
+    commit) must not double-load — the reference's WRITE_APPEND+retries
+    defect, fixed by per-batch dynamic partition overwrite."""
+    from stock_data_pipeline_spark.streaming.jobs import (
+        BATCH_COL,
+        write_batch_idempotent,
+    )
+
+    sink = str(tmp_path / "sink")
+    batch = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    write_batch_idempotent(batch, 7, sink)
+    write_batch_idempotent(batch, 7, sink)  # the retry
+    out = spark.read.parquet(sink)
+    assert out.count() == 100
+    assert out.select(BATCH_COL).distinct().collect()[0][0] == 7
+    # a different batch id APPENDS (new partition), never clobbers
+    write_batch_idempotent(spark.range(100, 150).selectExpr("id", "id*2 AS v"), 8, sink)
+    assert spark.read.parquet(sink).count() == 150
+
+
+def test_stream_to_parquet_incremental_batches(spark, tmp_path):
+    """File-source stream → idempotent parquet sink: each new landed file
+    becomes a batch; totals are exactly-once across restarts."""
+    import shutil
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_stream_to_parquet,
+    )
+
+    land = tmp_path / "landing"; land.mkdir()
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "drop1.parquet")
+    n1 = spark.read.parquet(str(land / "drop1.parquet")).count()
+
+    stream = read_event_stream(spark, str(land))
+    q = run_stream_to_parquet(stream, sink, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).drop("_batch_id").count() == n1
+
+    # second landing + RESTARTED query (same checkpoint): only the new
+    # file is processed, totals stay exactly-once
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "drop2.parquet")
+    stream2 = read_event_stream(spark, str(land))
+    q2 = run_stream_to_parquet(stream2, sink, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 2 * n1
+    assert out.select("_batch_id").distinct().count() == 2
