@@ -1,0 +1,99 @@
+"""Table-maintenance operators: keyed upsert (merge) and small-file
+compaction.
+
+The reference's tables are append-only BigQuery loads
+(/root/reference/dags/stock_data_to_gcp.py:134 — ``WRITE_APPEND``); any
+correction or late re-statement implies the BigQuery MERGE the reference
+would run downstream. This module supplies that capability natively over
+parquet, plus the compaction pass every micro-batch landing zone needs
+(the streaming sink writes one partition per batch —
+streaming/jobs.py::run_stream_to_parquet — which at a 2-minute cadence is
+720 small partitions/day).
+
+Both operators follow the same atomicity discipline: write the new table
+image to a staging directory, then swap directories — readers never see a
+half-written table, and a crash mid-rewrite leaves the old image intact.
+(On a real object store the swap is a metastore pointer flip / format-
+native commit; the filesystem rename stands in for it here.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _atomic_swap(new_dir: str, target_dir: str) -> None:
+    old = target_dir.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_dir, old)
+    os.rename(new_dir, target_dir)
+    shutil.rmtree(old)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    *,
+    keys: list[str],
+    version_col: str,
+) -> None:
+    """MERGE: upsert ``updates`` into the parquet table at ``target_dir``.
+
+    Row identity is ``keys``; when both sides carry a key, the row with the
+    greater ``version_col`` wins (ties go to the update — a re-statement of
+    the same version replaces). Implemented as union + latest-per-key
+    window, the shuffle-minimal formulation: ONE exchange on the key,
+    no join, no second pass. At 100 TB the same code runs per key-range
+    partition (partitionBy on the sink) so only affected partitions
+    rewrite; format-native MERGE (Delta/Iceberg) replaces the directory
+    swap without changing the plan shape.
+    """
+    target = spark.read.parquet(target_dir).select(*updates.columns)
+    # side=1 (update) sorts above side=0 at equal versions → update wins.
+    tagged = target.withColumn("_side", F.lit(0)).unionByName(
+        updates.withColumn("_side", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(version_col), F.desc("_side")
+    )
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_side")
+    )
+    staging = target_dir.rstrip("/") + f"._staging_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(staging)
+    _atomic_swap(staging, target_dir)
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a many-small-files table into ~``target_file_bytes`` files.
+
+    Returns the new file count. File count comes from the table's actual
+    on-disk bytes (cheap driver-side listing of metadata, never data), and
+    the rewrite is one repartition pass. At 100 TB this runs per partition
+    directory on a schedule, and the 128 MB default matches the scan split
+    size so one task reads one file.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(table_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(table_dir)
+    staging = table_dir.rstrip("/") + f"._staging_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.parquet(staging)
+    _atomic_swap(staging, table_dir)
+    return n_files

@@ -1,0 +1,87 @@
+"""Table maintenance: keyed upsert (MERGE semantics) + compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.sources.maintenance import compact, merge_upsert
+
+
+def _write_target(spark, path):
+    spark.createDataFrame(
+        [
+            ("AAPL", 1, 100.0),
+            ("MSFT", 1, 200.0),
+            ("GOOG", 1, 300.0),
+        ],
+        "ticker string, version int, price double",
+    ).write.parquet(path)
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    updates = spark.createDataFrame(
+        [
+            ("AAPL", 2, 111.0),   # newer version → replaces
+            ("NVDA", 1, 500.0),   # new key → inserts
+            ("MSFT", 0, 99.0),    # OLDER version → ignored
+        ],
+        "ticker string, version int, price double",
+    )
+    merge_upsert(spark, path, updates, keys=["ticker"], version_col="version")
+    out = {r.ticker: (r.version, r.price) for r in spark.read.parquet(path).collect()}
+    assert out == {
+        "AAPL": (2, 111.0),
+        "MSFT": (1, 200.0),
+        "GOOG": (1, 300.0),
+        "NVDA": (1, 500.0),
+    }
+
+
+def test_merge_upsert_same_version_update_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    updates = spark.createDataFrame(
+        [("AAPL", 1, 123.0)], "ticker string, version int, price double"
+    )
+    merge_upsert(spark, path, updates, keys=["ticker"], version_col="version")
+    out = {r.ticker: r.price for r in spark.read.parquet(path).collect()}
+    assert out["AAPL"] == 123.0  # re-statement of the same version replaces
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    updates = spark.createDataFrame(
+        [("AAPL", 2, 111.0)], "ticker string, version int, price double"
+    )
+    merge_upsert(spark, path, updates, keys=["ticker"], version_col="version")
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_upsert(spark, path, updates, keys=["ticker"], version_col="version")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == first
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(root, f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_collapses_small_files_preserving_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 40 tiny files — the micro-batch landing-zone shape
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    assert len(_parquet_files(path)) == 40
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n = compact(spark, path)
+    assert n == 1  # tiny table → one target-size file
+    assert len(_parquet_files(path)) == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
