@@ -66,12 +66,17 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # Two timed passes, keep the per-query MIN: single-shot local timings
+    # swing ±25% with machine noise; the min is the steady-state number and
+    # makes round-over-round comparisons meaningful.
     timings: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
-        fn = registry.get(name).fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE_QUERIES:
+            fn = registry.get(name).fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(
