@@ -466,7 +466,7 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the corpus size, and the shipdate filter reaches the parquet
     scan (PushedFilters).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = rebalance(load(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

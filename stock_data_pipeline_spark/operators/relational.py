@@ -80,7 +80,9 @@ def b02_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(partitions). Decimal accumulation keeps the result identical under any
     partitioning (see functions/exact.py).
     """
-    li = load(spark, sf_dir, "lineitem")
+    from ..functions.partitioning import rebalance
+
+    li = rebalance(load(spark, sf_dir, "lineitem"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
