@@ -354,3 +354,80 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# C2e — dedup clusters: connected components over near-dup pairs
+# --------------------------------------------------------------------------
+def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) connected components over (doc_a, doc_b) edges —
+    cluster_id = the smallest doc_id in the component (the canonical
+    keeper, matching C1's deterministic min-id rule).
+
+    Near-dup dedup is transitive in practice (A≈B, B≈C → drop two of
+    three), so pairs must fold into components before rows can be
+    dropped. Algorithm: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels; rounds
+    needed = graph diameter of the largest component. Near-dup clusters
+    are shallow (hub-and-spoke around a template), so 3-5 rounds converge
+    in practice; pathological deep chains would call for the
+    large-star/small-star contraction variant, not more rounds.
+
+    Scale notes: each round is one equi-join (edges ⋈ labels, shuffled on
+    the node key) + aggregate — no cross joins, state is O(nodes).
+    ``localCheckpoint`` truncates the lineage each round: without it the
+    plan doubles per iteration and Catalyst analysis, not the data, becomes
+    the bottleneck (the standard iterative-algorithm discipline on Spark).
+    Convergence is checked with a cheap count of changed labels.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("nlabel", "label") < F.col("label")
+                ).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+@query("c02_dedup_clusters")  # iterative fixpoint → no SQL oracle; planted
+# component shapes asserted in tests/test_dedup.py
+def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2e: connected components over the exact near-dup pairs — the
+    cluster table a dedup pass drops rows against (keeper = min doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD))

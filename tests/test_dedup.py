@@ -110,3 +110,30 @@ def test_df_prune_keeps_high_jaccard_pairs(spark, doc_df):
     }
     # the planted pairs' shingles are rare (unique base docs) → survive
     assert full <= pruned or len(full & pruned) / len(full) >= 0.9
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # diameter-3 chain folds to min id
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_dedup_clusters_star_and_reversed_edges(spark):
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # hub-and-spoke with edges in arbitrary orientation
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (9, 7), (8, 9)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {2}
+    assert set(out) == {2, 5, 7, 8, 9}
