@@ -265,6 +265,12 @@ def ivf_index(
     # Bounded collect: cap the driver sample at 256 points per cell.
     sample = train.select("embedding").limit(256 * n_cells).toPandas()
     x = np.asarray([np.asarray(e, dtype=np.float64) for e in sample["embedding"]])
+    if len(x) == 0:
+        # Empty corpus/partition (routine at scale): empty index, no cells.
+        empty = feats.select(
+            "vec_id", F.lit(0).cast("int").alias("cell")
+        ).limit(0)
+        return empty, []
     centers = _kmeans_numpy(x, n_cells, seed)
 
     centroid_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
@@ -311,6 +317,12 @@ def ann_ivf_topk(
     assigned, centers = ivf_index(
         corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
     )
+    if not centers:
+        # Empty index → no candidates → empty (but correctly-typed) top-k.
+        empty_cand = assigned.select(
+            F.col("vec_id").alias("query_id"), "vec_id"
+        ).limit(0)
+        return _exact_rerank(empty_cand, corpus, queries, k)
     centroid_arr = F.array(
         *[F.array(*[F.lit(x) for x in c]) for c in centers]
     )
