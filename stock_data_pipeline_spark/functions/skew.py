@@ -54,3 +54,26 @@ def salted_join(
     )
     out = big_salted.join(small_salted, keys + [SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def two_phase_count_distinct(
+    df: DataFrame, group_col: str, distinct_col: str
+) -> DataFrame:
+    """COUNT(DISTINCT x) per group, skew-proof: (group, x) pre-distinct,
+    then a plain count per group.
+
+    A direct ``countDistinct`` ships every raw (group, value) pair of a
+    hot group to ONE reducer to deduplicate — the classic straggler at
+    100 TB. The rewrite dedups on the (group, value) COMPOSITE key first
+    (uniformly distributed even when one group dominates, and partially
+    aggregated map-side), so no single task ever holds a hot group's full
+    value set; the second aggregate then counts already-distinct rows —
+    partial counts combine, the hot group costs O(its distinct values),
+    not O(its rows).
+    """
+    return (
+        df.select(group_col, distinct_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(distinct_col).alias(f"n_distinct_{distinct_col}"))
+    )

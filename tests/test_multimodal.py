@@ -144,3 +144,23 @@ def test_audio_energy_empty_payload(spark):
     )
     rows = audio_energy(docs).collect()
     assert rows[0].n_windows == 0 and list(rows[0].window_rms) == []
+
+
+def test_two_phase_count_distinct_equals_direct(spark):
+    from stock_data_pipeline_spark.functions.skew import two_phase_count_distinct
+
+    # hot key 7 with many duplicate values — the straggler scenario
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4500, F.lit(7)).otherwise(F.col("id") % 13)
+        .cast("long").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    got = {
+        r.k: r.n_distinct_v
+        for r in two_phase_count_distinct(df, "k", "v").collect()
+    }
+    want = {
+        r.k: r.want
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("want")).collect()
+    }
+    assert got == want

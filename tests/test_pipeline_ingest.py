@@ -120,3 +120,24 @@ def test_enforce_schema_rejects_wrong_columns(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError, match="schema mismatch"):
         enforce_schema(df, SINK_SCHEMAS["ticker_data"])
+
+
+def test_sink_read_prunes_date_partitions(spark, pipeline):
+    """The ingest_date partition layout must turn date filters into
+    PartitionFilters (directory pruning) — at a 2-minute cadence over
+    years of history this is the difference between scanning one day and
+    scanning the lake."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    pipeline.run_batch(spark, datetime(2024, 3, 1, 9, 30))
+    pipeline.run_batch(spark, datetime(2024, 3, 2, 9, 30))
+    df = spark.read.parquet(pipeline.sink_path).filter(
+        F.col("ingest_date") == "2024-03-01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ingest_date" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    days = {r.ingest_date.isoformat() for r in df.select("ingest_date").distinct().collect()}
+    assert days == {"2024-03-01"}
