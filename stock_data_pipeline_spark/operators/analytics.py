@@ -612,3 +612,26 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# B39 — distinct-count rollup via the skew-proof two-phase rewrite
+# --------------------------------------------------------------------------
+@query(
+    "b39_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39: distinct users per event type — executed with the two-phase
+    (pre-distinct on the composite key, then count) rewrite from
+    functions/skew.py, so a hot event type never funnels its raw rows
+    into one reducer. Same result as COUNT(DISTINCT ...), skew-proof plan.
+    """
+    from ..functions.skew import two_phase_count_distinct
+
+    events = load(spark, sf_dir, "events")
+    return two_phase_count_distinct(events, "event_type", "user_id")

@@ -330,3 +330,39 @@ def run_stream_to_parquet(df: DataFrame, sink_dir: str, *, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join: watermarked purchase↔click attribution
+# --------------------------------------------------------------------------
+def attribute_purchases(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-STREAM inner join: each purchase paired with the same user's
+    clicks in the preceding hour (the streaming twin of the B30 range
+    join).
+
+    Both sides carry watermarks so the state store can evict: a buffered
+    click can only match purchases up to 1 h later, so once the purchase
+    watermark passes click_ts + 1 h the click is dropped — state is
+    bounded by (watermark window × arrival rate), never unbounded. The
+    join condition carries BOTH the equi-key (shuffle partitioning) and
+    the time range (state pruning).
+    """
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "c_user = user_id AND "
+            "c_ts > ts - INTERVAL 1 HOUR AND c_ts <= ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "ts", "c_ts")

@@ -292,3 +292,54 @@ def test_stream_to_parquet_incremental_batches(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 2 * n1
     assert out.select("_batch_id").distinct().count() == 2
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """Watermarked stream-stream purchase↔click attribution must emit
+    exactly the pairs the batch range join finds."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.streaming.jobs import (
+        attribute_purchases,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    land = tmp_path / "landing"; land.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", land / "e.parquet")
+
+    stream = read_event_stream(spark, str(land))
+    joined = attribute_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = run_stream_to_memory(
+        joined, "ss_attr", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ss_attr").collect()
+    }
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("ts")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
