@@ -644,3 +644,53 @@ def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("dur_s").alias("n_spans"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B40 — time-based RANGE window frame (trailing 1-hour per-row aggregate)
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "b40_trailing_hour_window",
+    oracle="""
+    SELECT user_id, event_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+      CAST(COUNT(value) OVER w AS BIGINT) AS n_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def b40_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40: per-event trailing-hour rollup — a TIME-based RANGE frame
+    (B9's ROWS frames count rows; a tick stream with gaps needs wall-clock
+    framing). Spark's rangeBetween needs a numeric sort key, so the frame
+    rides on microseconds-since-epoch with interval-sized bounds —
+    semantics identical to the oracle's RANGE INTERVAL frame, including
+    equal-timestamp peers (RANGE includes all peers on both engines).
+
+    Scale: one shuffle on the key, one sort per partition; the frame is
+    evaluated with a sliding accumulator over the sorted run (no per-row
+    rescan), and decimal accumulation keeps sliding sums exact.
+    """
+    events = load(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us.alias("_ts_us"))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    dec_val = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec_val).over(w).cast("double").alias("sum_1h"),
+        F.count("value").over(w).cast("bigint").alias("n_1h"),
+    )
