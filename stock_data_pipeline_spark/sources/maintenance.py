@@ -97,3 +97,58 @@ def compact(
     df.repartition(n_files).write.parquet(staging)
     _atomic_swap(staging, table_dir)
     return n_files
+
+
+def refresh_hourly_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    increment: DataFrame,
+) -> None:
+    """Incrementally maintain an hourly (event_type, bucket) rollup —
+    the continuous-aggregate pattern: aggregate ONLY the new micro-batch,
+    then merge partial states into the stored rollup.
+
+    The stored state is mergeable partials — n (count) and a decimal-exact
+    sum — so refresh cost is O(increment + touched buckets), never a
+    rescan of the raw log (which at a 2-minute cadence over years is the
+    whole lake). Derived columns (averages) are computed at READ time from
+    the partials; storing them would make states non-mergeable.
+    Idempotence is the caller's concern: feed increments through the
+    exactly-once sink (streaming/jobs.py) so a batch is never merged
+    twice.
+    """
+    part = increment.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+    )
+    if os.path.isdir(rollup_dir):
+        existing = spark.read.parquet(rollup_dir)
+        merged = (
+            existing.unionByName(part)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value")
+                .cast("decimal(18,6)")
+                .alias("sum_value"),
+            )
+        )
+        staging = rollup_dir.rstrip("/") + f"._staging_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(staging)
+        _atomic_swap(staging, rollup_dir)
+    else:
+        part.write.parquet(rollup_dir)
+
+
+def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Read-time view over the partial states: derived avg from (sum, n)."""
+    r = spark.read.parquet(rollup_dir)
+    return r.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
+    )

@@ -85,3 +85,33 @@ def test_compact_collapses_small_files_preserving_rows(spark, tmp_path):
     assert n == 1  # tiny table → one target-size file
     assert len(_parquet_files(path)) == 1
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.sources.maintenance import (
+        read_hourly_rollup,
+        refresh_hourly_rollup,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    inc1 = events.filter(F.dayofmonth("ts") <= 10)
+    inc2 = events.filter(F.dayofmonth("ts") > 10)
+    rollup = str(tmp_path / "rollup")
+    refresh_hourly_rollup(spark, rollup, inc1)
+    refresh_hourly_rollup(spark, rollup, inc2)
+    got = {
+        (r.event_type, r.bucket): (r.n, r.sum_value, round(r.avg_value, 9))
+        for r in read_hourly_rollup(spark, rollup).collect()
+    }
+    full = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    want = {
+        (r.event_type, r.bucket): (r.n, r.s, round(r.s / r.n, 9))
+        for r in full.collect()
+    }
+    assert got == want
