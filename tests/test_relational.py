@@ -80,3 +80,18 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
 def test_topk_uses_take_ordered(spark, sf_check_dir):
     plan = get("b10_topk_orders").fn(spark, sf_check_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_coalesces_oversized_shuffle_partitions(spark, sf_check_dir):
+    """With shuffle.partitions deliberately oversized (the cluster-tuned
+    value is always wrong for a small stage), AQE must coalesce the
+    aggregate's output to far fewer partitions at runtime — the property
+    that makes one conf work from local tests to a 1000-executor job."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = get("b02_group_agg").fn(spark, sf_check_dir)
+        df.collect()
+        assert df.rdd.getNumPartitions() < 20
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
