@@ -91,13 +91,15 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       n_tokens,
-      round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-      round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-      round(
+      floor(CAST(n_chars AS DOUBLE) / n_tokens * 1000000) / 1000000
+        AS avg_token_len,
+      floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000
+        AS stopword_ratio,
+      floor((
         0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
         + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
         + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
-      , 6) AS quality_score
+      ) * 1000000) / 1000000 AS quality_score
     FROM (
       SELECT doc_id, n_chars,
              len({sql_tokens('text')}) AS n_tokens,
@@ -111,7 +113,12 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-length heuristics — the standard pretraining-data filter shape).
 
     The score is a deterministic formula so the oracle replicates it
-    exactly; per-row double arithmetic is bit-identical across engines.
+    exactly. Truncation to 6 dp uses floor(x·1e6)/1e6, NOT round(): the
+    per-row doubles are bit-identical across engines but round() is not —
+    Spark half-rounds the exact binary value while the oracle rounds its
+    shortest decimal rendering, and a score landing on a .xxxxxx5 boundary
+    (1 doc in 5000 at sf0.1) splits them. floor of the same double is the
+    same double, always.
     """
     docs = load(spark, sf_dir, "documents")
     tok = tokens("text")
@@ -124,16 +131,19 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens_d = F.col("n_tokens").cast("double")
     n_chars_d = F.col("n_chars").cast("double")
     n_stop_d = F.col("n_stop").cast("double")
+
+    def trunc6(c):
+        return F.floor(c * 1000000.0) / 1000000.0
+
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(n_chars_d / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(n_stop_d / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(
+        trunc6(n_chars_d / F.col("n_tokens")).alias("avg_token_len"),
+        trunc6(n_stop_d / F.col("n_tokens")).alias("stopword_ratio"),
+        trunc6(
             0.4 * F.least(n_tokens_d / 100.0, F.lit(1.0))
             + 0.3 * (n_stop_d / F.col("n_tokens"))
-            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0)),
-            6,
+            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0))
         ).alias("quality_score"),
     )
 
