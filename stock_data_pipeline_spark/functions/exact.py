@@ -38,3 +38,24 @@ def sql_dec_sum(expr: str, scale: int = 2) -> str:
 
 def sql_dec_avg(expr: str, scale: int = 2) -> str:
     return f"({sql_dec_sum(expr, scale)} / COUNT({expr}))"
+
+
+def trunc6(col: Column) -> Column:
+    """Engine-exact 6-dp truncation: floor(x·1e6)/1e6.
+
+    ``round(x, 6)`` is NOT cross-engine deterministic on doubles: Spark
+    half-rounds the exact binary expansion (BigDecimal) while other
+    engines round arithmetically (x·1e6 + 0.5), and a rational quotient
+    landing near a .xxxxxx5 boundary splits them (observed: 1 doc in 5000
+    on a stopword ratio). floor of the identical double after the
+    identical multiply is the identical double — always. Use this for any
+    RATIONAL ratio column (counts, ranks, jaccard, averages); irrational
+    values (sqrt/ln/cosine outputs) hit boundaries with probability
+    ~2^-45 and may keep round().
+    """
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
+def sql_trunc6(expr: str) -> str:
+    """DuckDB oracle spelling of :func:`trunc6`."""
+    return f"floor(({expr}) * 1000000) / 1000000"

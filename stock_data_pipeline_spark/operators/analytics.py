@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
-from ..functions.exact import dec_sum, sql_dec_sum
+from ..functions.exact import dec_sum, sql_dec_sum, sql_trunc6, trunc6
 from ..functions.partitioning import rebalance
 from ..registry import query
 
@@ -89,8 +89,8 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_mktsegment,
       c_custkey,
       c_acctbal,
-      round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-      round(CUME_DIST() OVER w, 6) AS cume,
+      floor(PERCENT_RANK() OVER w * 1000000) / 1000000 AS pct_rank,
+      floor(CUME_DIST() OVER w * 1000000) / 1000000 AS cume,
       CAST(NTILE(4) OVER w AS INT) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
@@ -108,8 +108,8 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        trunc6(F.percent_rank().over(w)).alias("pct_rank"),
+        trunc6(F.cume_dist().over(w)).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
@@ -443,10 +443,10 @@ def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
       {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
         AS sum_charge,
-      round({sql_dec_sum('l_quantity')} / COUNT(l_quantity), 6) AS avg_qty,
-      round({sql_dec_sum('l_extendedprice')} / COUNT(l_extendedprice), 6)
+      {sql_trunc6(sql_dec_sum('l_quantity') + ' / COUNT(l_quantity)')} AS avg_qty,
+      {sql_trunc6(sql_dec_sum('l_extendedprice') + ' / COUNT(l_extendedprice)')}
         AS avg_price,
-      round({sql_dec_sum('l_discount', 6)} / COUNT(l_discount), 6) AS avg_disc,
+      {sql_trunc6(sql_dec_sum('l_discount', 6) + ' / COUNT(l_discount)')} AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -477,13 +477,13 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice").alias("sum_base_price"),
             dec_sum(disc_price, 6).alias("sum_disc_price"),
             dec_sum(charge, 6).alias("sum_charge"),
-            F.round(dec_sum("l_quantity") / F.count("l_quantity"), 6).alias(
+            trunc6(dec_sum("l_quantity") / F.count("l_quantity")).alias(
                 "avg_qty"
             ),
-            F.round(
-                dec_sum("l_extendedprice") / F.count("l_extendedprice"), 6
+            trunc6(
+                dec_sum("l_extendedprice") / F.count("l_extendedprice")
             ).alias("avg_price"),
-            F.round(dec_sum("l_discount", 6) / F.count("l_discount"), 6).alias(
+            trunc6(dec_sum("l_discount", 6) / F.count("l_discount")).alias(
                 "avg_disc"
             ),
             F.count("*").alias("count_order"),

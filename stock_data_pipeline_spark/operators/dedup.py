@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import trunc6
 from ..functions.partitioning import rebalance
 from ..functions.textfns import sql_tokens, sql_word_shingles, tokens, word_shingles
 from ..registry import query
@@ -100,7 +101,8 @@ _SHINGLE_K = 3
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+           floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 1000000)
+             / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -165,7 +167,7 @@ def ngram_jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
     )
 
 
@@ -271,7 +273,7 @@ def minhash_lsh_pairs(
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return shingled.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", trunc6(jac).alias("jaccard")
     )
 
 

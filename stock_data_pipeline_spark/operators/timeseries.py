@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import dec_sum, sql_dec_sum
+from ..functions.exact import dec_sum, sql_dec_sum, sql_trunc6, trunc6
 from ..registry import query
 
 
@@ -205,7 +205,7 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
-             round({sql_dec_sum('value', 6)} / COUNT(value), 6) AS hour_avg
+             {sql_trunc6(sql_dec_sum('value', 6) + ' / COUNT(value)')} AS hour_avg
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     spine AS (
@@ -241,10 +241,9 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
-        F.round(
+        trunc6(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value"),
-            6,
+            / F.count("value")
         ).alias("hour_avg")
     )
     # Spine bounds come from the hourly AGGREGATE, not a second raw scan —
@@ -597,9 +596,10 @@ def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     )
     SELECT user_id,
-      round(
+      floor(
         CAST(SUM(CAST(value * dur_s AS DECIMAL(18,6))) AS DOUBLE)
-        / CAST(SUM(CAST(dur_s AS DECIMAL(18,6))) AS DOUBLE), 6) AS twap,
+        / CAST(SUM(CAST(dur_s AS DECIMAL(18,6))) AS DOUBLE) * 1000000)
+        / 1000000 AS twap,
       COUNT(dur_s) AS n_spans
     FROM spans
     WHERE dur_s IS NOT NULL
@@ -634,12 +634,11 @@ def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.filter(F.col("dur_s").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.round(
+            trunc6(
                 F.sum((F.col("value") * F.col("dur_s")).cast("decimal(18,6)")).cast(
                     "double"
                 )
-                / F.sum(F.col("dur_s").cast("decimal(18,6)")).cast("double"),
-                6,
+                / F.sum(F.col("dur_s").cast("decimal(18,6)")).cast("double")
             ).alias("twap"),
             F.count("dur_s").alias("n_spans"),
         )
