@@ -673,25 +673,35 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: the TPC-H Q18 large-volume-customer shape — orders whose total
     quantity exceeds a threshold, re-joined to their lines and customers.
 
-    The HAVING subquery becomes an aggregate + semi-join: lineitem rolls
-    up to order grain FIRST (map-side partials, one shuffle on orderkey),
-    the >threshold survivors form a small key set, and the detail join is
-    a left-semi against that set — never a second full aggregate. At
-    100 TB the semi-join side is broadcast-able after AQE measures it.
+    The HAVING subquery becomes an aggregate whose output is REUSED:
+    lineitem rolls up to order grain once (map-side partials, one shuffle
+    on orderkey) and the >threshold survivors carry their qty with them.
+    Because the final grouping is at order grain, re-joining lineitem and
+    re-summing would reproduce exactly that qty — so the textbook
+    semi-join-then-reaggregate plan's second lineitem scan + shuffle join
+    is dead work and is eliminated. Survivors are a tiny fraction of
+    orders, so AQE broadcasts them into the orders join; customers
+    broadcast explicitly. Net: ONE big-table scan, one shuffle, for a
+    query whose naive plan has two of each — the dominant saving at
+    100 TB, where lineitem is the table that doesn't fit anywhere.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
-        .filter(F.col("qty") > _Q18_MIN_QTY)
-        .select("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
     )
     return (
-        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
     )
