@@ -16,6 +16,11 @@ EN_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
 TOKEN_PATTERN = r"\s+"
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation.
+# Shared by the C4 token-count queries and their DuckDB oracles (Java
+# regex and RE2 agree on this subset).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""

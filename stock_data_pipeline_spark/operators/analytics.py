@@ -34,6 +34,7 @@ from ..registry import query
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    driver=False,
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
@@ -65,6 +66,7 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
     """,
+    driver=False,
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures → (name, value) rows — one pass,
@@ -95,6 +97,7 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
+    driver=False,
 )
 def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — dashboard distribution stats.
@@ -128,6 +131,7 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
+    driver=False,
 )
 def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full-partition frame (constant per
@@ -168,7 +172,7 @@ LIMIT 10
 """
 
 
-@query("b24_sql_api", oracle=_Q3_SQL)
+@query("b24_sql_api", oracle=_Q3_SQL, driver=False)
 def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the engine's tables as temp views + ANSI SQL
     through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
@@ -190,6 +194,7 @@ def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
     """,
+    driver=False,
 )
 def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind rollup/cube) via
@@ -219,6 +224,7 @@ def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c2.c_nationkey = c.c_nationkey
     )
     """,
+    driver=False,
 )
 def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: customers above their nation's mean
@@ -250,6 +256,7 @@ def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY c_nationkey
     """,
+    driver=False,
 )
 def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
@@ -284,6 +291,7 @@ def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY window_start, event_type
     """,
+    driver=False,
 )
 def b03_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2h duration / 1h slide): every event lands in two
@@ -351,7 +359,7 @@ def c03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # C4: BPE-ish regex token counting
 # --------------------------------------------------------------------------
-_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+from ..functions.textfns import BPE_TOKEN_RE as _TOKEN_RE  # noqa: E402
 
 
 @query(
@@ -366,6 +374,7 @@ _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
     FROM documents
     GROUP BY lang
     """,
+    driver=False,
 )
 def c04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letters / digits / single
@@ -400,6 +409,7 @@ _HIST_WIDTH = 50_000.0
     FROM orders
     GROUP BY floor(o_totalprice / {_HIST_WIDTH})
     """,
+    driver=False,
 )
 def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32: fixed-width histogram of order totals — the distribution card
@@ -523,6 +533,7 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(t_purchase) AS n_purchased_after_click
     FROM per_user
     """,
+    driver=False,
 )
 def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: strictly-ordered conversion funnel — users whose first view
@@ -589,6 +600,7 @@ def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cohorts c JOIN activity a USING (user_id)
     GROUP BY c.cohort_week, a.active_week
     """,
+    driver=False,
 )
 def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36: weekly cohort retention — users bucketed by first-seen week,
@@ -624,6 +636,7 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
+    driver=False,
 )
 def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39: distinct users per event type — executed with the two-phase

@@ -2,11 +2,12 @@
 
 Model: media (image/audio/video) live as opaque ``binary`` payloads with a
 typed metadata struct beside them — the standard large-scale layout (payload
-in the lake, features extracted by Arrow-batched Python). The decode step
-itself needs codec libraries that are not in this environment, so it is
-stubbed behind ``NotImplementedError`` / a deterministic fake — but the
-Spark-side plumbing (schema, batching, ``mapInPandas`` signature, partition
-behavior) is real and tested.
+in the lake, features extracted by Arrow-batched Python). Compressed codecs
+(JPEG/MP3/H.264) need libraries absent from this environment, so those steps
+use deterministic byte-level stand-ins with the identical Spark plumbing
+(schema, batching, ``mapInPandas`` signature, partition behavior); image
+decode is REAL for the uncompressed formats — :func:`decode_image_dims`
+parses any BMP / P6-PPM header in pure Python.
 
 The registered query derives a deterministic binary payload from
 ``documents.text`` (utf-8 bytes) so the byte-level feature extraction is
@@ -130,25 +131,146 @@ def sample_frames(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_frame_sample, FRAME_SCHEMA)
 
 
-@query("c05_frame_sample")  # byte-slice digests aren't SQL-expressible in
-# the oracle dialect (no BLOB substring); checked against an in-process
-# recompute in tests/test_multimodal.py
+@query("c05_frame_sample", driver=False)  # byte-slice digests aren't
+# SQL-expressible in the oracle dialect (no BLOB substring); checked against
+# an in-process recompute in tests/test_multimodal.py
 def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling over opaque media payloads — every 4th 16-byte
     frame's offset and sha256, the keyframe-extraction plumbing shape."""
     return sample_frames(load(spark, sf_dir, "documents"))
 
 
-def decode_image_stub(payload: bytes) -> "tuple[int, int]":
-    """Placeholder for real image decode (PIL not available in this env).
-
-    STUB: raises — callers must gate on availability. The production
-    implementation returns (width, height) from the decoded header.
-    """
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "plug PIL/pillow into _byte_features when available"
+# --------------------------------------------------------------------------
+# C5e — real image decode: pure-Python header parsers for two uncompressed
+# formats (no codec libraries needed). Works on ANY valid BMP/P6-PPM file,
+# not just the synthetic fixtures below.
+# --------------------------------------------------------------------------
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24-bpp BITMAPINFOHEADER BMP with deterministic pixels."""
+    stride = ((3 * width + 3) // 4) * 4
+    img_size = stride * height
+    file_size = 54 + img_size
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel-array offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + img_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi x/y
+        + (0).to_bytes(4, "little") * 2  # palette
     )
+    pixels = bytes((seed + i) % 256 for i in range(img_size))
+    return header + pixels
+
+
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Binary P6 PPM (ASCII dims header + raw RGB triples)."""
+    pixels = bytes((seed + i) % 256 for i in range(3 * width * height))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
+    """Real image decode: (format, width, height) from the file header.
+
+    BMP: little-endian i32 dims at fixed offsets 18/22 of the
+    BITMAPINFOHEADER (height may be negative for top-down rows — the
+    logical height is its absolute value). P6 PPM: ASCII dims after the
+    magic, comment lines allowed. Raises ValueError on anything else —
+    unknown formats must go to quarantine, not silently pass.
+    """
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return ("bmp", width, height)
+    if payload[:2] == b"P6":
+        fields: list[bytes] = []
+        i = 2
+        while len(fields) < 2 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to end-of-line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        if len(fields) == 2:
+            return ("ppm", int(fields[0]), int(fields[1]))
+    raise ValueError("unsupported image format (expected BMP or P6 PPM)")
+
+
+IMAGE_SCHEMA = "doc_id bigint, fmt string, width int, height int, img_bytes int"
+
+
+def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched encode→decode round trip: build a real image file per
+    document (BMP for even doc_ids, PPM for odd), then recover its
+    dimensions by parsing the bytes — the decoded values, not the inputs,
+    are what the query emits, so the parser is on the verified path."""
+    for pdf in batches:
+        fmts, widths, heights, sizes = [], [], [], []
+        for doc_id, w, h in zip(pdf["doc_id"], pdf["width"], pdf["height"]):
+            enc = encode_bmp if doc_id % 2 == 0 else encode_ppm
+            payload = enc(int(w), int(h), seed=int(doc_id) % 256)
+            fmt, got_w, got_h = decode_image_dims(payload)
+            fmts.append(fmt)
+            widths.append(got_w)
+            heights.append(got_h)
+            sizes.append(len(payload))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": fmts,
+                "width": pd.array(widths, dtype="int32"),
+                "height": pd.array(heights, dtype="int32"),
+                "img_bytes": pd.array(sizes, dtype="int32"),
+            }
+        )
+
+
+@query(
+    "c05_image_decode",
+    oracle="""
+    SELECT
+      doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+      CAST(n_chars % 64 + 1 AS INT) AS width,
+      CAST(doc_id % 48 + 1 AS INT) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0
+        THEN 54 + ((3 * (n_chars % 64 + 1) + 3) // 4) * 4 * (doc_id % 48 + 1)
+        ELSE 3 + length(CAST(n_chars % 64 + 1 AS VARCHAR)) + 1
+           + length(CAST(doc_id % 48 + 1 AS VARCHAR)) + 5
+           + 3 * (n_chars % 64 + 1) * (doc_id % 48 + 1)
+      END AS INT) AS img_bytes
+    FROM documents
+    """,
+)
+def c05_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5e: REAL image decode — deterministic BMP/PPM files are written
+    per document and their dimensions recovered by parsing the bytes
+    (:func:`decode_image_dims`, a genuine header parser that works on any
+    BMP/P6 file; no codec library required). The oracle recomputes the
+    expected dims and exact file size arithmetically, so a parser bug
+    (wrong offset, wrong endianness, missed row padding) breaks parity.
+
+    Scale: map-only Arrow-batched Python — the codec shape of C5 — with
+    dims bounded (≤64×48) so the synthetic payload cost stays O(rows).
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 48 + 1).cast("int").alias("height"),
+    )
+    return docs.mapInPandas(_image_decode, IMAGE_SCHEMA)
 
 
 @query(
@@ -216,8 +338,17 @@ def resize_payloads(docs: DataFrame) -> DataFrame:
 # tests/test_multimodal.py
 def c05_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5c: resize/thumbnail plumbing — every payload downsampled to a
-    32-byte strided thumbnail with digest, the image-resample fan-in shape."""
-    return resize_payloads(load(spark, sf_dir, "documents"))
+    32-byte strided thumbnail, the image-resample fan-in shape.
+
+    The registered projection reports the thumbnail by digest + size (the
+    raw ``thumb`` binary stays on :func:`resize_payloads` — the driver's
+    canonicalizer can't hash binary cells)."""
+    return resize_payloads(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "orig_bytes",
+        F.octet_length("thumb").cast("int").alias("thumb_bytes"),
+        "thumb_sha256",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -267,5 +398,16 @@ def audio_energy(docs: DataFrame) -> DataFrame:
 # in tests/test_multimodal.py
 def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5d: audio-style windowed RMS energy per payload — the DSP
-    feature-extraction plumbing over opaque media bytes."""
-    return audio_energy(load(spark, sf_dir, "documents"))
+    feature-extraction plumbing over opaque media bytes.
+
+    The registered projection flattens the RMS array to scalar picks
+    (first/last/max) — the driver's canonicalizer can't hash array cells;
+    the full per-window array stays on :func:`audio_energy`."""
+    feats = audio_energy(load(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        "n_windows",
+        F.get("window_rms", F.lit(0)).alias("rms_first"),
+        F.get("window_rms", F.col("n_windows") - 1).alias("rms_last"),
+        F.array_max("window_rms").alias("rms_max"),
+    )

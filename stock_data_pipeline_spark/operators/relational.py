@@ -182,6 +182,72 @@ def b05_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B5b — the same join, exchange-free via bucketed tables
+# --------------------------------------------------------------------------
+_BUCKETED_READY: set[str] = set()
+
+
+@query(
+    "b05_bucketed_join",
+    oracle=f"""
+    SELECT
+      o.o_orderpriority,
+      COUNT(*) AS n_items,
+      {sql_dec_sum('l.l_quantity')} AS sum_qty,
+      {sql_dec_avg('l.l_discount', 4)} AS avg_disc
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 1000.0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 on the 100 TB growth path: identical semantics to b05_large_join,
+    but both fact tables are bucketed on the join key at write time
+    (sources/bucketed.py), so every subsequent join on orderkey reads
+    co-located buckets — no per-query shuffle of either side. The
+    write-once cost amortizes across all downstream orderkey joins/aggs.
+
+    Plan shape (asserted in tests/test_bucketing.py): SortMergeJoin whose
+    inputs come straight from bucketed scans, no Exchange. Bucket count is
+    sized for the test SF; at 1 TB+ use O(1000) buckets (~100-500 MB
+    each).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.bucketed import read_table, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_t, l_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if tag not in _BUCKETED_READY or not spark.catalog.tableExists(o_t):
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+        write_bucketed(
+            load(spark, sf_dir, "orders"), o_t,
+            bucket_by="o_orderkey", n_buckets=8, sort_by="o_orderkey",
+            path=os.path.join(base, "orders"),
+        )
+        write_bucketed(
+            load(spark, sf_dir, "lineitem"), l_t,
+            bucket_by="l_orderkey", n_buckets=8, sort_by="l_orderkey",
+            path=os.path.join(base, "lineitem"),
+        )
+        _BUCKETED_READY.add(tag)
+    li = read_table(spark, l_t)
+    orders = read_table(spark, o_t).filter(F.col("o_totalprice") > 1000.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_avg("l_discount", 4).alias("avg_disc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # B6 — outer / semi / anti joins
 # --------------------------------------------------------------------------
 @query(
@@ -196,6 +262,7 @@ def b05_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
+    driver=False,
 )
 def b06_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6a: left outer join preserving customers with no orders.
@@ -225,6 +292,7 @@ def b06_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
     )
     """,
+    driver=False,
 )
 def b06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6b: left-semi join = EXISTS; emits each qualifying customer once."""
@@ -244,6 +312,7 @@ def b06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
+    driver=False,
 )
 def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6c: left-anti join = NOT EXISTS; customers with no orders at all."""
@@ -252,6 +321,62 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@query(
+    "b06_join_suite",
+    oracle="""
+    SELECT 'left_outer' AS join_kind, c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name, CAST(NULL AS BIGINT)
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name, CAST(NULL AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: outer + semi + anti joins, one driver-verified representative.
+
+    The three variants above stay on the full surface (oracle-parity
+    sweep); this tagged union is the single B6 row inside the driver's
+    50-name verification window. Each branch keeps its canonical plan:
+    dimension-side broadcast, EXISTS → left-semi, NOT EXISTS → left-anti.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    outer = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(F.lit("left_outer").alias("join_kind"), "c_custkey", "c_name",
+                "n_orders")
+    )
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    semi = (
+        customer.join(f_orders, customer.c_custkey == f_orders.o_custkey,
+                      "left_semi")
+        .select(F.lit("semi").alias("join_kind"), "c_custkey", "c_name",
+                F.lit(None).cast("bigint").alias("n_orders"))
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_anti")
+        .select(F.lit("anti").alias("join_kind"), "c_custkey", "c_name",
+                F.lit(None).cast("bigint").alias("n_orders"))
+    )
+    return outer.unionAll(semi).unionAll(anti)
 
 
 # --------------------------------------------------------------------------
@@ -361,6 +486,7 @@ def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    driver=False,
 )
 def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13a: ROLLUP — per-(flag,status), per-flag subtotals, grand total.
@@ -385,12 +511,45 @@ def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    driver=False,
 )
 def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13b: CUBE — all 2² grouping combinations in one pass."""
     orders = load(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "b13_rollup_cube_sets",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      GROUPING(o_orderstatus) AS g_status,
+      GROUPING(o_orderpriority) AS g_priority,
+      COUNT(*) AS n,
+      {sql_dec_sum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def b13_rollup_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: one driver-verified representative for rollup/cube/grouping
+    sets. CUBE's 2² sets are a strict superset of ROLLUP's, and the
+    GROUPING() markers exercise the grouping-id surface that
+    distinguishes a real subtotal row from a NULL-valued group.
+
+    Scale: Spark expands grouping sets map-side before the exchange; the
+    shuffle stays O(groups × sets).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count("*").alias("n"),
+        dec_sum("o_totalprice").alias("revenue"),
     )
 
 
@@ -454,12 +613,25 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact values in tests/test_relational.py.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
-        F.count("*").alias("n"),
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    # Flatten the quantile array to scalar columns: the verification
+    # driver's pandas canonicalizer cannot hash array cells
+    # (numpy.ndarray is unhashable in sort_values) — round-1 driver err.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            q.alias("_q"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("_q")[0].alias("p50_price"),
+            F.col("_q")[1].alias("p95_price"),
+            F.col("_q")[2].alias("p99_price"),
+            "n",
+        )
     )
 
 
@@ -598,6 +770,7 @@ def a10_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY n.n_name
     """,
+    driver=False,
 )
 def b37_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37: the TPC-H Q5 local-supplier-volume shape — a 6-table star join
@@ -668,6 +841,7 @@ _Q18_MIN_QTY = 150
     )
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
+    driver=False,
 )
 def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: the TPC-H Q18 large-volume-customer shape — orders whose total

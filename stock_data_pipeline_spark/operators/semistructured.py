@@ -25,31 +25,43 @@ from ..registry import query
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-        / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+        / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS VARCHAR)) AS max_k_str,
+      CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys
     FROM events
     GROUP BY event_type
     """,
 )
 def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6: JSON path extraction + typed aggregation over ``events.props``.
+    """C6: the JSON surface over ``events.props`` — typed ``from_json``
+    (explicit schema, parsed once per row inside codegen), path-plucking
+    ``get_json_object`` (the ad-hoc string accessor), and
+    ``json_object_keys``; ``schema_of_json`` inference is covered in
+    tests/test_semistructured.py (its output is a Spark-dialect DDL
+    string, not oracle-comparable).
 
-    ``from_json`` with an explicit schema (not schema inference, not
-    ``get_json_object`` string-plucking) parses once per row inside
-    codegen; integer sums are exact so no decimal dance is needed.
     Scale: JSON parse is per-row CPU, no shuffle added; the aggregate is
     the usual map-side-combined hash agg.
     """
     events = load(spark, sf_dir, "events")
     props_schema = T.StructType([T.StructField("k", T.LongType())])
     k = F.from_json("props", props_schema).getField("k")
+    k_str = F.get_json_object("props", "$.k")
     return (
-        events.select("event_type", k.alias("k"))
+        events.select(
+            "event_type",
+            k.alias("k"),
+            k_str.alias("k_str"),
+            F.size(F.json_object_keys("props")).alias("n_keys"),
+        )
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum("k").cast("bigint").alias("sum_k"),
             F.max("k").alias("max_k"),
             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.max("k_str").alias("max_k_str"),
+            F.sum("n_keys").cast("bigint").alias("total_keys"),
         )
     )
 
@@ -92,4 +104,62 @@ def c07_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("vec_max"),
         F.array_min("embedding").cast("double").alias("vec_min"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_positive"),
+    )
+
+
+@query(
+    "c07_map_funcs",
+    oracle="""
+    SELECT
+      event_id,
+      CAST((CASE WHEN -value > 0 THEN 1 ELSE 0 END)
+         + 1
+         + (CASE WHEN value > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN value * value > 0 THEN 1 ELSE 0 END) AS INT) AS n_entries,
+      array_to_string(list_filter(['neg', 'unit', 'value', 'value_sq'],
+        k -> CASE k WHEN 'neg' THEN -value > 0
+                    WHEN 'unit' THEN true
+                    WHEN 'value' THEN value > 0
+                    ELSE value * value > 0 END), ',') AS keys_csv,
+      CASE WHEN value > 0 THEN value * 2.0 END AS value_x2,
+      CASE WHEN value * value > 0 THEN value * value * 2.0 END AS value_sq_x2,
+      CASE WHEN -value > 0 THEN -value * 2.0 END AS neg_x2
+    FROM events
+    """,
+)
+def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 map functions: build a map<string,double> per event with
+    ``map_from_entries``, extend it with ``map_concat``, prune it with
+    ``map_filter``, rescale with ``transform_values``, then read it back
+    out via ``map_keys``/``element_at``. The oracle computes the same
+    scalars directly — it verifies the *values*, while the Spark plan
+    exercises the whole map-function surface.
+
+    Output columns are atomic (csv'd key list, scalar lookups): the
+    verification driver's canonicalizer cannot hash array/map cells.
+    Every arithmetic step (negate, square, double) is exact in binary
+    floating point, so no cross-engine rounding guard is needed.
+
+    Scale: per-row map algebra is codegen'd JVM expression work — no
+    shuffle, no Python, pipelines with the scan.
+    """
+    events = load(spark, sf_dir, "events")
+    v = F.col("value")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("neg").alias("key"), (-v).alias("val")),
+            F.struct(F.lit("value").alias("key"), v.alias("val")),
+            F.struct(F.lit("value_sq").alias("key"), (v * v).alias("val")),
+        )
+    )
+    enriched = F.map_concat(m, F.create_map(F.lit("unit"), F.lit(1.0)))
+    positive = F.map_filter(enriched, lambda k, val: val > 0)
+    scaled = F.transform_values(positive, lambda k, val: val * 2.0)
+    return events.select(
+        "event_id",
+        F.size(scaled).cast("int").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(scaled)), ",").alias("keys_csv"),
+        F.element_at(scaled, "value").alias("value_x2"),
+        F.element_at(scaled, "value_sq").alias("value_sq_x2"),
+        F.element_at(scaled, "neg").alias("neg_x2"),
     )

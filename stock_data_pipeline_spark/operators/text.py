@@ -14,8 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import sql_dec_avg, sql_dec_sum
+from ..functions.exact import sql_dec_avg, sql_dec_sum, sql_trunc6, trunc6
 from ..functions.textfns import (
+    BPE_TOKEN_RE,
     EN_STOPWORDS,
     sql_stopword_count,
     sql_tokens,
@@ -23,6 +24,99 @@ from ..functions.textfns import (
     tokens,
 )
 from ..registry import query
+
+
+@query(
+    "c04_text_metrics",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+      {sql_trunc6('CAST(n_chars AS DOUBLE) / n_tokens')} AS avg_token_len,
+      {sql_trunc6('CAST(n_stop AS DOUBLE) / n_tokens')} AS stopword_ratio,
+      {sql_trunc6('CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1)')} AS cjk_score,
+      CASE
+        WHEN CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1) > 0.2 THEN 'zh'
+        WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.03 THEN 'en'
+        ELSE 'unknown'
+      END AS predicted_lang,
+      {sql_trunc6('''(
+        0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
+      )''')} AS quality_score,
+      md5(lower(norm)) AS fingerprint,
+      CAST(length(norm) AS BIGINT) AS norm_len
+    FROM (
+      SELECT doc_id, n_chars,
+             len({sql_tokens('text')}) AS n_tokens,
+             {sql_stopword_count(sql_tokens('text'))} AS n_stop,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+               AS n_cjk,
+             len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
+             regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    """,
+)
+def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: the per-document text-analysis panel, one driver-verified
+    representative for the whole family — token counts (whitespace + the
+    BPE-ish pre-tokenizer), quality score, language-ID heuristic, and the
+    canonical md5 fingerprint, all from ONE scan of ``documents``.
+
+    The narrower single-metric queries (c04_text_stats / quality_score /
+    lang_id / fingerprint / token_count_bpe) stay on the full surface for
+    the local oracle-parity sweep; this panel is the C4 row inside the
+    driver's 50-name verification window.
+
+    Scale: map-only — every metric is a built-in string/array expression
+    over scan columns (one tokenize pass reused by four metrics), so the
+    whole panel pipelines with the parquet scan in WholeStageCodegen. No
+    shuffle, no Python.
+    """
+    from ..functions.partitioning import rebalance
+
+    docs = rebalance(load(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tok).alias("n_tokens"),
+        stopword_count(tok).alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^一-鿿]", "")).alias("n_cjk"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+        norm.alias("norm"),
+    )
+    n_tokens_d = F.col("n_tokens").cast("double")
+    n_chars_d = F.col("n_chars").cast("double")
+    n_stop_d = F.col("n_stop").cast("double")
+    cjk_score = F.col("n_cjk").cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1).cast("bigint")
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        trunc6(n_chars_d / F.col("n_tokens")).alias("avg_token_len"),
+        trunc6(n_stop_d / F.col("n_tokens")).alias("stopword_ratio"),
+        trunc6(cjk_score).alias("cjk_score"),
+        F.when(cjk_score > 0.2, "zh")
+        .when(n_stop_d / F.col("n_tokens") >= 0.03, "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+        trunc6(
+            0.4 * F.least(n_tokens_d / 100.0, F.lit(1.0))
+            + 0.3 * (n_stop_d / F.col("n_tokens"))
+            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0))
+        ).alias("quality_score"),
+        F.md5(F.lower("norm")).alias("fingerprint"),
+        F.length("norm").cast("bigint").alias("norm_len"),
+    )
 
 
 @query(
@@ -37,6 +131,7 @@ from ..registry import query
     FROM documents
     GROUP BY lang
     """,
+    driver=False,
 )
 def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4a: corpus-level token statistics per language.
@@ -107,6 +202,7 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
+    driver=False,
 )
 def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4c: per-document quality score (length / stopword-density /
@@ -169,6 +265,7 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
+    driver=False,
 )
 def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4d: language-ID heuristic — EN function-word density + CJK-script
@@ -294,6 +391,7 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_len
     FROM documents
     """,
+    driver=False,
 )
 def c04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4e: canonical document fingerprint — md5 over whitespace-normalized,

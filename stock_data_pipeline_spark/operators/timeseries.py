@@ -119,6 +119,7 @@ def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
+    driver=False,
 )
 def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7a: latest event per key — the "current price per ticker" snapshot
@@ -224,6 +225,7 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s LEFT JOIN hourly h
       ON s.event_type = h.event_type AND s.bucket = h.bucket
     """,
+    driver=False,
 )
 def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B28: gap-filled hourly series — generate the dense per-key hour spine
@@ -289,6 +291,7 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     """,
+    driver=False,
 )
 def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B31: VWAP — quantity-weighted average price per entity per time
@@ -476,7 +479,7 @@ def with_indicators(events: DataFrame) -> DataFrame:
     )
 
 
-@query("b29_ema_rsi")  # sequential recurrence → no SQL oracle; verified
+@query("b29_ema_rsi", driver=False)  # sequential recurrence → no SQL oracle; verified
 # against pandas ewm ground truth in tests/test_sampling.py
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
@@ -605,6 +608,7 @@ def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dur_s IS NOT NULL
     GROUP BY user_id
     """,
+    driver=False,
 )
 def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34: time-weighted average value per key — each observation weighted
@@ -663,6 +667,7 @@ _HOUR_US = 3_600_000_000
       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
     )
     """,
+    driver=False,
 )
 def b40_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B40: per-event trailing-hour rollup — a TIME-based RANGE frame

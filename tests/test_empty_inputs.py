@@ -32,7 +32,7 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     failures = {}
-    for name, fn in registry.all_queries().items():
+    for name, fn in registry.full_queries().items():
         try:
             fn(spark, empty_sf_dir).limit(5).collect()
         except Exception as ex:  # noqa: BLE001 - collecting a report

@@ -164,3 +164,47 @@ def test_two_phase_count_distinct_equals_direct(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("want")).collect()
     }
     assert got == want
+
+
+def test_decode_image_dims_bmp_ppm_roundtrip():
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w, h in [(1, 1), (64, 48), (640, 480), (3, 200)]:
+        assert decode_image_dims(encode_bmp(w, h)) == ("bmp", w, h)
+        assert decode_image_dims(encode_ppm(w, h)) == ("ppm", w, h)
+
+
+def test_decode_image_dims_real_format_variants():
+    from stock_data_pipeline_spark.operators.multimodal import decode_image_dims
+
+    # top-down BMP (negative height) — logical height is abs()
+    bmp = bytearray(
+        b"BM" + (54 + 120).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (10).to_bytes(4, "little", signed=True)
+        + (-4).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+    )
+    assert decode_image_dims(bytes(bmp)) == ("bmp", 10, 4)
+    # PPM with a comment line between magic and dims (spec-legal)
+    assert decode_image_dims(b"P6\n# made by hand\n7 9\n255\n" + b"\x00" * 189) == (
+        "ppm", 7, 9,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image_dims(b"\x89PNG\r\n\x1a\n")
+
+
+def test_image_decode_query_dims_match_encoded(spark, sf_dir):
+    from stock_data_pipeline_spark.registry import get
+
+    rows = get("c05_image_decode").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fmt == ("bmp" if r.doc_id % 2 == 0 else "ppm")
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 48

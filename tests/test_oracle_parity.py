@@ -11,7 +11,7 @@ from stock_data_pipeline_spark import registry
 
 from .oracle import assert_matches_oracle
 
-ORACLE_NAMES = sorted(registry.all_oracles())
+ORACLE_NAMES = sorted(registry.full_oracles())
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -22,7 +22,7 @@ def test_query_matches_oracle(spark, sf_check_dir, name):
 def test_every_query_returns_rows_smoke(spark, sf_dir):
     """Every registered query (oracle or not) runs at sf0.001 and has a
     stable, non-empty schema."""
-    for name, fn in registry.all_queries().items():
+    for name, fn in registry.full_queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()

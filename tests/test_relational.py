@@ -32,8 +32,7 @@ def test_percentile_approx_ordered_and_bounded(spark, sf_check_dir):
     li = load(spark, sf_check_dir, "lineitem")
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     for r in rows:
-        p50, p95, p99 = r.price_quantiles
-        assert lo <= p50 <= p95 <= p99 <= hi
+        assert lo <= r.p50_price <= r.p95_price <= r.p99_price <= hi
 
 
 def test_broadcast_join_plan_has_broadcast(spark, sf_check_dir):
@@ -61,10 +60,11 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
     Python is reserved for the explicitly-pandas operators (fetch UDFs,
     multimodal decode, sequence packing, EMA recurrence), none of which
     are oracle-backed except c05, which is exempted below."""
-    from stock_data_pipeline_spark.registry import all_oracles
+    from stock_data_pipeline_spark.registry import full_oracles
 
-    exempt = {"c05_multimodal_features"}  # mapInPandas by design (C5)
-    for name in all_oracles():
+    # mapInPandas by design (C5 codec surface)
+    exempt = {"c05_multimodal_features", "c05_image_decode"}
+    for name in full_oracles():
         if name in exempt:
             continue
         plan = (
