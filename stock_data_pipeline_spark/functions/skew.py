@@ -46,6 +46,15 @@ def salted_join(
     Cost: ``small`` is replicated n_salts× (keep it the dimension side);
     result equals the plain join exactly (verified in tests/test_skew.py).
     """
+    # Only joins whose output is driven by the big side are salt-safe:
+    # for 'right'/'full' every UNMATCHED small-side row would be emitted
+    # once per salt replica (n_salts copies) instead of once.
+    allowed = {"inner", "left", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}; "
+            "for right/full joins swap the sides or use AQE skew handling"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     big_salted = big.withColumn(SALT_COL, salt)

@@ -429,6 +429,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    else:
+        # Exhausting max_iters without a fixed point means some component
+        # has diameter > max_iters; returning split clusters would make a
+        # dedup pass silently under-drop duplicates. Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing); raise max_iters or use "
+            "star-contraction for deep-chain graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -136,25 +136,36 @@ class IngestPipeline:
             F.count(F.lit(1)).alias("n_fetched"),
             F.count(F.col("fetch_error")).alias("n_quarantined"),
         )
-        ok = fetched.filter(F.col("fetch_error").isNull()).drop("fetch_error")
-        bad = fetched.filter(F.col("fetch_error").isNotNull())
+        # Persist before the two sink actions: the ok-write and the
+        # quarantine-write would otherwise each re-execute the mapInPandas
+        # fetch — with a real (nondeterministic, networked) fetcher the two
+        # passes could disagree on the ok/quarantine split, double-writing
+        # or dropping a row, and every symbol would be fetched twice.
+        fetched = fetched.persist()
+        try:
+            ok = fetched.filter(F.col("fetch_error").isNull()).drop(
+                "fetch_error"
+            )
+            bad = fetched.filter(F.col("fetch_error").isNotNull())
 
-        sink_schema = schemas.SINK_SCHEMAS[self.spec.name]
-        enforced = enforce_schema(ok, sink_schema)
-        time_col = sink_schema.fields[0].name
+            sink_schema = schemas.SINK_SCHEMAS[self.spec.name]
+            enforced = enforce_schema(ok, sink_schema)
+            time_col = sink_schema.fields[0].name
 
-        (
-            enforced.withColumn("ingest_date", F.to_date(F.col(time_col)))
-            .write.mode("append")
-            .partitionBy("ingest_date")
-            .parquet(self.sink_path)
-        )
-        # Quarantine is observable, append-only, and carries the error —
-        # the anti-silent-drop counterpart of the reference's bare except
-        # (stock_data_to_gcp.py:48-50).
-        bad.write.mode("append").parquet(self.quarantine_path)
+            (
+                enforced.withColumn("ingest_date", F.to_date(F.col(time_col)))
+                .write.mode("append")
+                .partitionBy("ingest_date")
+                .parquet(self.sink_path)
+            )
+            # Quarantine is observable, append-only, and carries the error —
+            # the anti-silent-drop counterpart of the reference's bare except
+            # (stock_data_to_gcp.py:48-50).
+            bad.write.mode("append").parquet(self.quarantine_path)
 
-        m = obs.get
+            m = obs.get
+        finally:
+            fetched.unpersist()
         return BatchMetrics(
             n_fetched=int(m["n_fetched"]),
             n_ok=int(m["n_fetched"]) - int(m["n_quarantined"]),

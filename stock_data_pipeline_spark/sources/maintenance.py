@@ -53,7 +53,19 @@ def merge_upsert(
     rewrite; format-native MERGE (Delta/Iceberg) replaces the directory
     swap without changing the plan shape.
     """
-    target = spark.read.parquet(target_dir).select(*updates.columns)
+    target = spark.read.parquet(target_dir)
+    # Column sets must agree exactly: silently projecting the target to
+    # the updates' columns would permanently DROP any column the updates
+    # frame lacks (data loss in a maintenance op). Same discipline as
+    # pipelines/ingest.enforce_schema: mismatch is an error, not a guess.
+    missing = set(target.columns) - set(updates.columns)
+    extra = set(updates.columns) - set(target.columns)
+    if missing or extra:
+        raise ValueError(
+            f"merge_upsert column mismatch: updates missing {sorted(missing)}, "
+            f"updates carry unknown {sorted(extra)}"
+        )
+    target = target.select(*updates.columns)
     # side=1 (update) sorts above side=0 at equal versions → update wins.
     tagged = target.withColumn("_side", F.lit(0)).unionByName(
         updates.withColumn("_side", F.lit(1))

@@ -137,3 +137,17 @@ def test_dedup_clusters_star_and_reversed_edges(spark):
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert set(out.values()) == {2}
     assert set(out) == {2, 5, 7, 8, 9}
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A 5-node chain has diameter 4; max_iters=1 cannot converge and must
+    fail loudly instead of returning split clusters."""
+    import pytest
+
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=1).collect()

@@ -115,3 +115,25 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_merge_upsert_rejects_column_mismatch(spark, tmp_path):
+    """A narrower updates frame must raise, not silently drop the target's
+    extra column from the table forever."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    narrower = spark.createDataFrame(
+        [("AAPL", 2)], "ticker string, version int"
+    )
+    with pytest.raises(ValueError, match="column mismatch"):
+        merge_upsert(spark, path, narrower, keys=["ticker"], version_col="version")
+    wider = spark.createDataFrame(
+        [("AAPL", 2, 1.0, "x")],
+        "ticker string, version int, price double, rogue string",
+    )
+    with pytest.raises(ValueError, match="column mismatch"):
+        merge_upsert(spark, path, wider, keys=["ticker"], version_col="version")
+    # table untouched by the failed merges
+    assert spark.read.parquet(path).count() == 3

@@ -208,3 +208,14 @@ def test_image_decode_query_dims_match_encoded(spark, sf_dir):
     for r in rows:
         assert r.fmt == ("bmp" if r.doc_id % 2 == 0 else "ppm")
         assert 1 <= r.width <= 64 and 1 <= r.height <= 48
+
+
+def test_salted_join_rejects_small_side_outer_joins(spark):
+    """right/full would emit every unmatched small-side row once per salt."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, d double")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", n_salts=4, how=how)
