@@ -11,16 +11,60 @@ partitions than the session's parallelism — a no-op exactly when the scan
 is already parallel. Safe on every operator whose output is
 partitioning-independent (all registered queries are, by the determinism
 contract in registry.py).
+
+The under-parallelized check reads the scan's file listing + sizes rather
+than ``df.rdd.getNumPartitions()``: materializing the RDD forces a full
+physical-planning pass on the driver per invocation, while
+``inputFiles()`` is a metadata lookup.
 """
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    raw = raw.lower().removesuffix("b")
+    return int(raw) if raw.isdigit() else 128 * 1024 * 1024
+
+
+def _estimated_scan_partitions(df: DataFrame, target: int) -> int:
+    """Estimate the scan's partition count from file count + sizes.
+
+    Mirrors Spark's file-split math (ceil(bytes / maxPartitionBytes) per
+    file, ignoring openCostInBytes packing — an under-estimate, which only
+    errs toward a harmless extra repartition). Falls back to the exact
+    (but planning-heavy) RDD partition count when the files aren't
+    locally stat-able or the frame has no file source.
+    """
+    files = df.inputFiles()
+    if len(files) >= target:
+        return len(files)
+    mpb = _max_partition_bytes(df.sparkSession)
+    est = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return df.rdd.getNumPartitions()
+        try:
+            size = os.path.getsize(parsed.path)
+        except OSError:
+            return df.rdd.getNumPartitions()
+        est += max(1, -(-size // mpb))
+        if est >= target:
+            return est
+    if not files:
+        return df.rdd.getNumPartitions()
+    return est
 
 
 def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the frame is under-parallelized."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_scan_partitions(df, target) >= target:
         return df
     return df.repartition(target)

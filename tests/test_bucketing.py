@@ -82,3 +82,35 @@ def test_bucketed_join_equals_plain_join(spark, bucketed_tables):
         )
     )
     assert got == want
+
+
+def test_registered_bucketed_join_query_is_exchange_free(spark):
+    """The driver-facing b05_bucketed_join must keep the no-shuffle plan:
+    SMJ over bucketed scans, no Exchange feeding the join."""
+    from stock_data_pipeline_spark.registry import get
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = get("b05_bucketed_join").fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    join_section = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in join_section
+
+
+def test_registered_bucketed_join_reuses_tables_across_calls(spark):
+    """Second invocation must read the already-written bucketed tables,
+    not rewrite them (idempotent within a session)."""
+    import time
+
+    from stock_data_pipeline_spark.registry import get
+
+    fn = get("b05_bucketed_join").fn
+    fn(spark, "/root/testdata/sf0.001").collect()  # ensures tables exist
+    t0 = time.perf_counter()
+    fn(spark, "/root/testdata/sf0.001").collect()
+    assert time.perf_counter() - t0 < 30  # no rewrite path

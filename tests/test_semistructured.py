@@ -1,0 +1,116 @@
+"""Semi-structured surface (C6 JSON / C7 array+map) beyond oracle parity:
+schema inference, accessor equivalence, map-algebra behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+
+
+def test_schema_of_json_infers_props_shape(spark):
+    """C6: schema_of_json — DDL inference from a sample document (the
+    exploration step before committing a typed from_json schema)."""
+    ddl = spark.range(1).select(
+        F.schema_of_json(F.lit('{"k": 42}')).alias("ddl")
+    ).first().ddl
+    assert "k" in ddl and "BIGINT" in ddl.upper()
+    # the inferred schema round-trips: from_json with it parses the sample
+    parsed = (
+        spark.createDataFrame([('{"k": 42}',)], "props string")
+        .select(F.from_json("props", ddl).getField("k").alias("k"))
+        .first()
+    )
+    assert parsed.k == 42
+
+
+def test_get_json_object_equals_typed_from_json(spark, sf_dir):
+    """The string-plucking accessor and the typed parse must agree on
+    every row of the real events table."""
+    events = load(spark, sf_dir, "events")
+    mismatch = events.select(
+        F.from_json("props", "k BIGINT").getField("k").alias("typed"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("plucked"),
+    ).filter(~F.col("typed").eqNullSafe(F.col("plucked")))
+    assert mismatch.count() == 0
+
+
+def test_json_object_keys_on_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    distinct_keys = (
+        events.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .distinct()
+        .collect()
+    )
+    assert {r.key for r in distinct_keys} == {"k"}
+
+
+def test_map_funcs_algebra_on_crafted_rows(spark):
+    """map_from_entries → map_concat → map_filter → transform_values on
+    hand-picked values where every branch (kept / dropped / overwritten)
+    is exercised."""
+    from stock_data_pipeline_spark.registry import get  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, 3.0), (2, -2.0), (3, 0.0)], "event_id long, value double"
+    )
+    v = F.col("value")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("neg").alias("key"), (-v).alias("val")),
+            F.struct(F.lit("value").alias("key"), v.alias("val")),
+        )
+    )
+    out = {
+        r.event_id: (r.n, r.keys_csv, r.value_x2)
+        for r in df.select(
+            "event_id",
+            F.size(
+                F.map_filter(
+                    F.map_concat(m, F.create_map(F.lit("unit"), F.lit(1.0))),
+                    lambda k, val: val > 0,
+                )
+            ).alias("n"),
+            F.array_join(
+                F.array_sort(
+                    F.map_keys(F.map_filter(m, lambda k, val: val > 0))
+                ),
+                ",",
+            ).alias("keys_csv"),
+            F.element_at(
+                F.transform_values(
+                    F.map_filter(m, lambda k, val: val > 0),
+                    lambda k, val: val * 2.0,
+                ),
+                "value",
+            ).alias("value_x2"),
+        ).collect()
+    }
+    assert out[1] == (2, "value", 6.0)  # value kept, neg dropped
+    assert out[2] == (2, "neg", None)  # neg kept, value dropped
+    assert out[3] == (1, "", None)  # both zero → only unit survives
+
+
+def test_map_concat_duplicate_key_policy(spark):
+    """Duplicate keys across map_concat inputs: the engine default
+    (EXCEPTION) refuses silently-ambiguous data; LAST_WIN opt-in resolves
+    to the right-most value. c07_map_funcs relies on key-disjoint inputs,
+    so neither path triggers there."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    dup = F.element_at(
+        F.map_concat(
+            F.create_map(F.lit("k"), F.lit(1.0)),
+            F.create_map(F.lit("k"), F.lit(2.0)),
+        ),
+        "k",
+    ).alias("v")
+    with pytest.raises(SparkRuntimeException, match="DUPLICATED_MAP_KEY"):
+        spark.range(1).select(dup).first()
+    old = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        assert spark.range(1).select(dup).first().v == 2.0
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
