@@ -151,3 +151,50 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iters=1).collect()
+
+
+def test_dedup_clusters_deep_chain_converges_logarithmically(spark):
+    """A 200-node chain has diameter 199; pure label propagation would
+    need ~199 rounds. Pointer jumping must close it within the default
+    max_iters=20 (~O(log n))."""
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(chain).collect()}
+    assert len(out) == 200
+    assert set(out.values()) == {1}
+
+
+def test_dedup_clusters_random_graph_matches_union_find(spark):
+    """Seeded random edges: the Spark components must equal a local
+    union-find ground truth exactly."""
+    import random
+
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(0, 400), rng.randrange(0, 400)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(400))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {n: find(n) for n in touched}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == want
