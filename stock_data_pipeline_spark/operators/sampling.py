@@ -224,3 +224,168 @@ def c09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, first-fit-decreasing within hash-partitioned groups.
     """
     return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C8c — weighted source mixing (curriculum / domain-proportion control)
+# --------------------------------------------------------------------------
+# Target keep-rates per source: the corpus-mixing move behind every
+# pretraining data recipe (upsample curated sources, downsample crawl).
+_MIX_RATES = {"web": 35, "wiki": 95, "news": 70}
+_MIX_DEFAULT = 50
+
+
+def source_mix(docs: DataFrame, rates: dict[str, int], default: int) -> DataFrame:
+    """Deterministic per-source downsample to target mixture proportions.
+
+    Same engine-independent md5 bucket as the split/sample operators, but
+    salted with a distinct prefix so mixing is statistically independent
+    of the train/val/test assignment (an unsalted reuse would correlate:
+    every kept doc would also skew toward the 'train' buckets).
+    """
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.lit(default)
+    for src, r in rates.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return docs.withColumn("_keep", b < rate)
+
+
+def _sql_mix_bucket() -> str:
+    return (
+        "(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 100)"
+    )
+
+
+@query(
+    "c08_source_mix",
+    oracle=f"""
+    SELECT
+      source,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT) AS kept_checksum,
+      floor(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) * 1000000) / 1000000 AS achieved_rate
+    FROM (
+      SELECT source, doc_id,
+             {_sql_mix_bucket()} <
+               (CASE WHEN source = 'web' THEN {_MIX_RATES['web']}
+                     WHEN source = 'wiki' THEN {_MIX_RATES['wiki']}
+                     WHEN source = 'news' THEN {_MIX_RATES['news']}
+                     ELSE {_MIX_DEFAULT} END) AS keep
+      FROM documents
+    )
+    GROUP BY source
+    """,
+    driver=False,
+)
+def c08_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8c: weighted source mixing — per-source keep-rates rebalance the
+    corpus toward a target domain mixture (35% web / 95% wiki / 70% news),
+    deterministically and engine-independently.
+
+    The achieved_rate column pins that realized proportions track the
+    targets; kept_checksum pins the exact row set. Scale: one scan, one
+    O(sources) aggregate — the mixture of a 100 TB corpus costs no
+    shuffle of the kept data.
+    """
+    from ..functions.exact import trunc6
+
+    docs = source_mix(
+        load(spark, sf_dir, "documents"), _MIX_RATES, _MIX_DEFAULT
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("kept_checksum"),
+        trunc6(
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("achieved_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C9b — context-window chunking (split long docs into overlapping windows)
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 8 tokens
+
+
+def chunk_documents(
+    docs: DataFrame, *, chunk_size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """One row per (doc, window): ``chunk_size``-token windows every
+    ``stride`` tokens — the standard long-document → context-window
+    preparation (tail chunks shorter; a start is emitted only while it
+    adds uncovered tokens).
+
+    Scale: sequence+explode+slice are all JVM expressions — the fan-out is
+    computed inside codegen with no Python and no shuffle; downstream
+    consumers group the CHUNKS, never the raw docs.
+    """
+    from ..functions.textfns import tokens
+
+    tok = tokens("text")
+    n = F.size(tok)
+    last_start = F.greatest(n - (chunk_size - stride), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunk = F.slice("tok", F.col("start"), chunk_size)
+    return (
+        docs.select(
+            "doc_id", tok.alias("tok"), n.alias("n_tokens"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("start"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.size(chunk).cast("int").alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "c09_doc_chunking",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+      CAST(start AS INT) AS start,
+      CAST(n_tokens AS INT) AS n_tokens,
+      CAST(len(tok[start : start + {CHUNK_SIZE - 1}]) AS INT) AS chunk_len,
+      array_to_string(tok[start : start + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, tok, len(tok) AS n_tokens,
+             unnest(generate_series(
+               1, greatest(len(tok) - {CHUNK_SIZE - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE})) AS start
+      FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
+    )
+    """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
+)
+def c09_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9b: context-window chunking — every document split into 32-token
+    windows with 8-token overlap (stride 24), the long-document
+    preparation step feeding tokenize/pack. Fully SQL-expressible, so the
+    whole fan-out is oracle-verified including the reassembled window
+    text."""
+    return chunk_documents(load(spark, sf_dir, "documents"))
