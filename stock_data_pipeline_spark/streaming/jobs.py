@@ -278,6 +278,64 @@ def stream_running_ema(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
     )
 
 
+def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
+    """The same per-key running EMA on the ``transformWithStateInPandas``
+    API (Spark 4's arbitrary-state successor to applyInPandasWithState):
+    typed ValueState handles, explicit processor lifecycle, and the path
+    that gains timers/TTL/state-schema-evolution going forward.
+
+    Semantics are asserted identical to :func:`stream_running_ema` in
+    tests/test_streaming.py — one snapshot row per key per micro-batch,
+    O(keys) state (the same three scalars, now in a ValueState cell).
+
+    Runtime requirements: the RocksDB state store provider and the
+    ``protobuf`` package (the API's Python-runner wire format). protobuf
+    is not installed in this container, so the parity test import-skips
+    here; :func:`stream_running_ema` remains the in-container production
+    path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    one_minus = 1.0 - alpha
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ema_acc", "num double, den double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            num, den, n = (
+                self._state.get() if self._state.exists() else (0.0, 0.0, 0)
+            )
+            batch = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for v in batch["value"]:
+                num = float(v) + one_minus * num
+                den = 1.0 + one_minus * den
+                n += 1
+            self._state.update((num, den, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ema": [num / den]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EmaProcessor(),
+            outputStructType="user_id bigint, n_events bigint, ema double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, *, checkpoint: str, output_mode: str = "append"
 ):

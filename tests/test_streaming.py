@@ -343,3 +343,67 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_ema_equals_classic(spark, sf_dir, events_dir, tmp_path):
+    """The transformWithStateInPandas twin must produce the same final
+    per-key EMA snapshots as the applyInPandasWithState operator / the
+    batch EMA. Requires the RocksDB state store (the new API's backend)
+    and protobuf (the API's Python runner wire format — absent from this
+    container, so the test skips here and runs wherever protobuf exists)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState Python runner needs protobuf",
+    )
+    from stock_data_pipeline_spark.operators.timeseries import with_indicators
+    from stock_data_pipeline_spark.streaming.jobs import stream_running_ema_tws
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out = str(tmp_path / "tws_out")
+    try:
+        q = (
+            stream_running_ema_tws(read_event_stream(spark, events_dir))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
+
+    snapshots = spark.read.parquet(out)
+    snapshots.createOrReplaceTempView("tws_snapshots")
+    final = {
+        r.user_id: (r.n_events, r.ema)
+        for r in spark.sql(
+            """SELECT user_id, n_events, ema FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM tws_snapshots) WHERE rn = 1"""
+        ).collect()
+    }
+    events = load(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.ema)
+        for r in with_indicators(events)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max_by("ema", "ts").alias("ema"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, ema) in want.items():
+        assert final[uid][0] == n
+        assert final[uid][1] == pytest.approx(ema, rel=1e-9)
