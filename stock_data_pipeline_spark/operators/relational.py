@@ -879,3 +879,66 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B41 — promo revenue share (TPC-H Q14 shape; completes `part` coverage)
+# --------------------------------------------------------------------------
+@query(
+    "b41_promo_revenue",
+    oracle=f"""
+    SELECT
+      p.p_brand,
+      COUNT(*) AS n_items,
+      {sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) END", 4)}
+        AS promo_revenue,
+      {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS total_revenue,
+      floor(
+        COALESCE({sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) END", 4)}, 0.0)
+        / {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+        * 1000000) / 1000000 AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY p.p_brand
+    """,
+    driver=False,
+)
+def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41 (TPC-H Q14 shape): promotional revenue share per brand —
+    conditional aggregation over a fact ⋈ dimension join.
+
+    Scale: part is a dimension (millions of rows at 100 TB) — broadcast,
+    so the only shuffle is the O(brands) final aggregate; the shipdate
+    range predicate pushes into the lineitem scan. Decimal-exact sums and
+    a floor-truncated ratio keep the share engine-identical.
+    """
+    from ..functions.exact import trunc6
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(promo_rev, 4).alias("promo_revenue"),
+            dec_sum(rev, 4).alias("total_revenue"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "promo_revenue",
+            "total_revenue",
+            trunc6(
+                F.coalesce(F.col("promo_revenue"), F.lit(0.0))
+                / F.col("total_revenue")
+            ).alias("promo_share"),
+        )
+    )
