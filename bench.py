@@ -66,11 +66,13 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    # Two timed passes, keep the per-query MIN: single-shot local timings
-    # swing ±25% with machine noise; the min is the steady-state number and
-    # makes round-over-round comparisons meaningful.
+    # Three timed passes, keep the per-query MIN: single-shot local
+    # timings swing ±25% with machine noise (whole-run swings of ±15%
+    # observed between back-to-back identical runs); the min is the
+    # steady-state number and makes round-over-round comparisons
+    # meaningful.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE_QUERIES:
             fn = registry.get(name).fn
             t0 = time.perf_counter()
