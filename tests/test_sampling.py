@@ -98,3 +98,66 @@ def test_rsi_bounds_and_warmup_null(spark, sf_dir):
     assert first["rsi"].isna().all()  # no delta on the first row of a key
     rest = got["rsi"].dropna()
     assert ((rest >= 0.0) & (rest <= 100.0)).all()
+
+
+def test_chunking_covers_every_token_with_exact_overlap(spark, sf_dir):
+    """Chunk invariants on real data: (1) concatenating each doc's chunks
+    at stride offsets reconstructs the full token sequence — no token
+    lost, none duplicated outside the overlap; (2) consecutive full
+    chunks overlap by exactly CHUNK_SIZE - CHUNK_STRIDE tokens."""
+    from stock_data_pipeline_spark.operators.sampling import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    chunks = {}
+    for r in chunk_documents(docs).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    assert set(chunks) == set(raw)
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        want_tokens = raw[doc_id].strip().lower().split()
+        if not want_tokens:
+            want_tokens = [""]
+        # starts advance by exactly the stride
+        for i, r in enumerate(rows):
+            assert r.start == 1 + i * CHUNK_STRIDE
+        # reconstruction: first chunk + the non-overlapping tail of each
+        # subsequent chunk = the original token sequence
+        rebuilt = rows[0].chunk_text.split(" ") if rows[0].chunk_text else [""]
+        for r in rows[1:]:
+            toks = r.chunk_text.split(" ")
+            rebuilt.extend(toks[CHUNK_SIZE - CHUNK_STRIDE:])
+        assert rebuilt == want_tokens, doc_id
+        # every chunk except possibly the last is full-size
+        for r in rows[:-1]:
+            assert r.chunk_len == CHUNK_SIZE
+
+
+def test_source_mix_is_independent_of_split_assignment(spark, sf_dir):
+    """The mix bucket is salted, so kept docs must not correlate with the
+    train/val/test buckets: the kept fraction inside 'train' and outside
+    it should both track the target rate (within a loose tolerance)."""
+    from stock_data_pipeline_spark.operators.sampling import (
+        _MIX_DEFAULT,
+        _MIX_RATES,
+        source_mix,
+        with_split,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = with_split(load(spark, sf_dir, "documents"))
+    mixed = source_mix(docs, _MIX_RATES, _MIX_DEFAULT)
+    rows = mixed.groupBy("source", "split").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("kept"),
+    ).collect()
+    for r in rows:
+        if r.n < 30:
+            continue  # too small for a rate estimate
+        target = _MIX_RATES.get(r.source, _MIX_DEFAULT) / 100.0
+        assert abs(r.kept / r.n - target) < 0.25, (r.source, r.split)
