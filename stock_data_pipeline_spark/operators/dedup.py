@@ -21,7 +21,7 @@ from __future__ import annotations
 import random
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -77,6 +77,56 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count("*").alias("n_copies"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "c01_dedup_keep_best",
+    oracle="""
+    SELECT fingerprint, keeper_doc_id, keeper_chars, n_copies FROM (
+      SELECT
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+        doc_id AS keeper_doc_id,
+        CAST(n_chars AS BIGINT) AS keeper_chars,
+        COUNT(*) OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        ) AS n_copies,
+        ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+          ORDER BY n_chars DESC, doc_id ASC
+        ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    driver=False,
+)
+def c01_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1b: exact dedup with a QUALITY keeper rule — within each content
+    group keep the longest document (ties to smallest doc_id), the usual
+    pretraining policy when near-identical copies differ in completeness
+    (truncated mirrors, boilerplate-stripped variants).
+
+    Scale: one shuffle on the uniform hash key; the rn=1 filter compiles
+    to WindowGroupLimit (per-partition top-1 before the exchange), so no
+    per-group sort materializes. Deterministic: the order key includes
+    the unique doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    sized = docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        sized.withColumn("n_copies", F.count("*").over(Window.partitionBy("fingerprint")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+            "n_copies",
         )
     )
 

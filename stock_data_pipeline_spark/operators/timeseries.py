@@ -199,6 +199,45 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B7c — tolerance-bounded as-of join (stale quotes must NOT match)
+# --------------------------------------------------------------------------
+@query(
+    "b07_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END
+             AS asof_click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.value END
+             AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    driver=False,
+)
+def b07_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7c: as-of join with a staleness tolerance — the latest prior click
+    matches only if it is at most 2 hours old at purchase time (kdb's
+    ``wj`` / QuestDB ``ASOF ... TOLERANCE`` semantics: a quote that
+    predates the trade by a day is stale data, not a match).
+
+    Same one-shuffle carry-forward as b07_asof_join; the tolerance is a
+    pure post-window predicate, so the plan (and its 100 TB behavior) is
+    identical — no extra join, no range explosion.
+    """
+    base = b07_asof_join(spark, sf_dir)
+    fresh = F.col("asof_click_ts") >= F.col("ts") - F.expr("INTERVAL 2 HOURS")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("asof_click_ts")).alias("asof_click_ts"),
+        F.when(fresh, F.col("asof_click_value")).alias("asof_click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B28 — time-bucket gap fill (hypertable-style continuous aggregate)
 # --------------------------------------------------------------------------
 @query(
