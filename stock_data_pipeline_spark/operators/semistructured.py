@@ -42,9 +42,13 @@ def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verified query carries exactly the two that matter.
 
     Scale: JSON parse is per-row CPU, no shuffle added; the aggregate is
-    the usual map-side-combined hash agg.
+    the usual map-side-combined hash agg. The scan is widened via
+    :func:`rebalance` (a no-op on real multi-file inputs) so the
+    double-parse runs on every core instead of one test-parquet task.
     """
-    events = load(spark, sf_dir, "events")
+    from ..functions.partitioning import rebalance
+
+    events = rebalance(load(spark, sf_dir, "events"))
     props_schema = T.StructType([T.StructField("k", T.LongType())])
     k = F.from_json("props", props_schema).getField("k")
     k_str = F.get_json_object("props", "$.k")
