@@ -389,3 +389,46 @@ def c09_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole fan-out is oracle-verified including the reassembled window
     text."""
     return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C8d — deterministic global shuffle (reproducible training-data ordering)
+# --------------------------------------------------------------------------
+_SHUFFLE_SEED = "seed42:"
+
+
+def shuffled(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Attach a seeded deterministic shuffle key and sort by it.
+
+    Training runs need the corpus in a *reproducible* pseudorandom order —
+    ``rand()`` reshuffles per run and per retry, so the standard trick is
+    ordering by a seeded hash of the record key. ``ORDER BY`` compiles to
+    a range exchange + per-partition sort (sample-based range partitioner
+    → balanced output files), which scales to any corpus size; changing
+    the seed string yields an independent permutation per epoch.
+    """
+    shuffle_key = F.md5(
+        F.concat(F.lit(_SHUFFLE_SEED), F.col(key).cast("string"))
+    ).alias("shuffle_key")
+    return docs.select(F.col(key), shuffle_key).orderBy("shuffle_key")
+
+
+@query(
+    "c08_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+    driver=False,
+)
+def c08_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8d: seeded deterministic corpus shuffle — the verified query
+    materializes the head of the permutation (a TakeOrdered, no global
+    sort on the driver); the production path (:func:`shuffled`) writes
+    the full range-partitioned ordering. md5 is engine-independent, so
+    the permutation is identical in Spark and the oracle, unlike
+    ``rand(seed)`` whose stream is engine-private."""
+    return shuffled(load(spark, sf_dir, "documents")).limit(100)

@@ -530,3 +530,95 @@ def c04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
     eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
     return decontaminate(train, eval_set)
+
+
+# --------------------------------------------------------------------------
+# C4i — repetition-based quality filter (Gopher-style repetition rules)
+# --------------------------------------------------------------------------
+_TTR_MIN = 0.45  # keep docs with type-token ratio >= this
+_TOP_BG_MAX = 0.06  # ...and most-frequent-bigram share <= this
+
+
+@query(
+    "c04_repetition_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bgs
+      FROM w
+    ), e AS (
+      SELECT doc_id, n_words, n_distinct, unnest(bgs) AS bg FROM m
+    ), c AS (
+      SELECT doc_id, n_words, n_distinct, bg, COUNT(*) AS c
+      FROM e GROUP BY ALL
+    ), a AS (
+      SELECT doc_id, n_words, n_distinct,
+             MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+      FROM c GROUP BY doc_id, n_words, n_distinct
+    )
+    SELECT doc_id, n_words, n_distinct,
+           {sql_trunc6('n_distinct * 1.0 / n_words')} AS ttr,
+           {sql_trunc6('top_bigram_n * 1.0 / n_bigrams')} AS top_bigram_frac,
+           ({sql_trunc6('n_distinct * 1.0 / n_words')} >= {_TTR_MIN}
+            AND {sql_trunc6('top_bigram_n * 1.0 / n_bigrams')} <= {_TOP_BG_MAX})
+             AS keep
+    FROM a
+    """,
+    driver=False,
+)
+def c04_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4i: repetition-based quality filtering, the Gopher repetition
+    rules (Rae et al. 2021 §A1.1) adapted to single-line documents —
+    type-token ratio (distinct words / words) and the share of all word
+    bigrams taken by the single most frequent bigram. Low TTR or a
+    dominant bigram marks boilerplate/spam; ``keep`` applies both
+    thresholds. Docs too short to form a bigram drop out in both engines
+    (explode/unnest of an empty list).
+
+    Scale: TTR is pure codegen (``array_distinct`` on the word array, no
+    shuffle). The bigram mode needs per-(doc, bigram) counts — an
+    explode + two hash aggregates keyed by doc_id(+bigram), so every
+    shuffle key is document-local and uniformly distributed; state per
+    doc is O(distinct bigrams), never global. Both ratios are
+    floor-truncated (functions/exact.py::trunc6) before the threshold
+    compare so the keep flag is bit-identical cross-engine.
+    """
+    from ..functions.partitioning import rebalance
+
+    docs = rebalance(load(spark, sf_dir, "documents"))
+    m = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "transform(slice(ws, 1, size(ws) - 1),"
+            " (x, i) -> concat(x, ' ', ws[i + 1]))"
+        ).alias("bgs"),
+    )
+    counts = (
+        m.select("doc_id", "n_words", "n_distinct", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "n_words", "n_distinct", "bg")
+        .count()
+    )
+    agg = counts.groupBy("doc_id", "n_words", "n_distinct").agg(
+        F.max("count").alias("top_bigram_n"),
+        F.sum("count").alias("n_bigrams"),
+    )
+    ttr = trunc6(F.col("n_distinct") / F.col("n_words"))
+    top_frac = trunc6(F.col("top_bigram_n") / F.col("n_bigrams"))
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        ttr.alias("ttr"),
+        top_frac.alias("top_bigram_frac"),
+        ((ttr >= _TTR_MIN) & (top_frac <= _TOP_BG_MAX)).alias("keep"),
+    )
