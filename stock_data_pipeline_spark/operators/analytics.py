@@ -648,3 +648,57 @@ def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return two_phase_count_distinct(events, "event_type", "user_id")
+
+
+# --------------------------------------------------------------------------
+# B42 — shipping-priority top-k (TPC-H Q3 shape: 3-way join + agg + top-k)
+# --------------------------------------------------------------------------
+@query(
+    "b42_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {sql_dec_sum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    driver=False,
+)
+def b42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: the TPC-H Q3 shape — urgent-segment orders taken before the
+    cutoff whose lineitems shipped after it, ranked by pending revenue.
+
+    Scale: the customer filter broadcasts into orders (dimension-sized
+    after the segment cut); the surviving orders broadcast into the
+    lineitem scan, so the fact table is never shuffled before its
+    aggregate; the aggregate is orderkey-grain (map-side partials), and
+    the final ranking is a TakeOrdered top-10, never a global sort. Ties
+    broken by (o_orderdate, l_orderkey) for cross-engine determinism.
+    """
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

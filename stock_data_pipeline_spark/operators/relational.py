@@ -670,6 +670,45 @@ def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B15c — mergeable HLL sketches (Datasketches), the re-aggregation path
+# --------------------------------------------------------------------------
+@query("b15_hll_union", driver=False)  # sketch internals → no SQL oracle;
+# mergeability + error bounds asserted in tests/test_relational.py
+def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15c: persistable distinct-count sketches — ``hll_sketch_agg`` per
+    event type, then ``hll_union_agg`` to roll the partial sketches up to
+    a corpus total WITHOUT rescanning rows. This is the continuous-
+    aggregate pattern at 100 TB: store one ~KB sketch per (day, type)
+    partition, answer any distinct-users rollup by unioning sketches.
+    ``approx_count_distinct`` (b15_approx_aggregates) gives numbers only;
+    the Datasketches form is what makes incremental refresh possible
+    (sources/maintenance.py uses the same mergeable-partial-state idea).
+
+    Output is atomic (estimates as BIGINT); the sketch binaries never
+    leave the plan. Union-of-partials equals the direct whole-corpus
+    sketch exactly (HLL insertion is deterministic and merge is
+    lossless at fixed lgConfigK) — asserted in tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "n_events",
+    )
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
+    return per_type.unionByName(total)
+
+
+# --------------------------------------------------------------------------
 # B16 — null handling
 # --------------------------------------------------------------------------
 @query(

@@ -95,3 +95,87 @@ def test_aqe_coalesces_oversized_shuffle_partitions(spark, sf_check_dir):
         assert df.rdd.getNumPartitions() < 20
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_hll_union_mergeability_and_error(spark, sf_check_dir):
+    """Union-of-partial-sketches must equal the direct whole-corpus sketch
+    (lossless merge), and every estimate must be within HLL error bounds
+    of the exact distinct count."""
+    rows = {
+        r.event_type: r for r in get("b15_hll_union").fn(spark, sf_check_dir).collect()
+    }
+    ev = load(spark, sf_check_dir, "events")
+
+    direct_total = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("e")
+    ).first().e
+    assert rows["__all__"].approx_users == direct_total
+
+    exact_total = ev.agg(F.countDistinct("user_id").alias("e")).first().e
+    assert abs(rows["__all__"].approx_users - exact_total) / exact_total < 0.05
+
+    exact_per = {
+        r.event_type: r.e
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    for etype, exact in exact_per.items():
+        assert abs(rows[etype].approx_users - exact) / exact < 0.05, etype
+    assert rows["__all__"].n_events == sum(r.n_events for k, r in rows.items() if k != "__all__")
+
+
+def test_runtime_bloom_filter_prunes_large_join(spark, sf_check_dir):
+    """100 TB join pruning: with broadcast off (both sides 'big'), the
+    optimizer injects a runtime bloom filter built from the selective side
+    into the fact-side scan (`might_contain` below the SortMergeJoin), so
+    non-matching fact rows die before the shuffle. Thresholds are lowered
+    test-locally because the trigger is scan-size-based; on a real cluster
+    the defaults (10 GB application side) fire on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load(spark, sf_check_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_check_dir, "lineitem")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        qe = joined._jdf.queryExecution()
+        assert "might_contain" in qe.optimizedPlan().toString()
+        phys = qe.executedPlan().toString()
+        assert "SortMergeJoin" in phys and "might_contain" in phys
+        pruned = {r.o_orderpriority: r["count"] for r in joined.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        load(spark, sf_check_dir, "lineitem")
+        .join(
+            load(spark, sf_check_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert pruned == {r.o_orderpriority: r["count"] for r in plain.collect()}
