@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -432,3 +432,84 @@ def c08_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the permutation is identical in Spark and the oracle, unlike
     ``rand(seed)`` whose stream is engine-private."""
     return shuffled(load(spark, sf_dir, "documents")).limit(100)
+
+
+# --------------------------------------------------------------------------
+# C8e — token-budget fill (take documents per source up to a token budget)
+# --------------------------------------------------------------------------
+_BUDGET_SEED = "budget42:"
+TOKEN_BUDGET = 600
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    *,
+    budget: int = TOKEN_BUDGET,
+    key: str = "doc_id",
+    group: str = "source",
+) -> DataFrame:
+    """Per-``group`` greedy fill: walk documents in seeded-hash order and
+    keep them while the running token total stays within ``budget`` —
+    the "N tokens of web, M tokens of code" recipe step of assembling a
+    pretraining mix. The seeded md5 order makes the selected set a
+    deterministic function of (corpus, seed, budget): re-runs, retries,
+    and repartitioning all pick the identical documents.
+
+    Scale: one hash exchange on ``group`` + a per-group sort for the
+    cumulative sum. Sources are few and huge at 100 TB, so this exact
+    variant is for curated/small mixes; for whole-corpus mixes compute
+    per-source token totals first (one tiny aggregate) and convert the
+    budget to a keep-rate over the same hash key (:func:`source_mix`) —
+    rate filtering needs no per-group sort at all.
+    """
+    from ..functions.textfns import n_tokens
+
+    sample_key = F.md5(
+        F.concat(F.lit(_BUDGET_SEED), F.col(key).cast("string"))
+    )
+    w = Window.partitionBy(group).orderBy("sample_key")
+    return (
+        docs.select(
+            group,
+            key,
+            n_tokens("text").alias("n_tokens"),
+            sample_key.alias("sample_key"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            group,
+            key,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
+@query(
+    "c08_token_budget",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             len({{tokens}}) AS n_tokens,
+             md5('{_BUDGET_SEED}' || CAST(doc_id AS VARCHAR)) AS sample_key
+      FROM documents
+    ), cum AS (
+      SELECT *,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY sample_key
+             ) AS cum_tokens
+      FROM base
+    )
+    SELECT source, doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+    """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
+    driver=False,
+)
+def c08_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8e: deterministic token-budget fill — up to 600 tokens of
+    documents per source, selected in seeded-hash order (the data-mix
+    assembly step between source weighting and sequence packing)."""
+    return token_budget_sample(load(spark, sf_dir, "documents"))

@@ -161,3 +161,65 @@ def test_source_mix_is_independent_of_split_assignment(spark, sf_dir):
             continue  # too small for a rate estimate
         target = _MIX_RATES.get(r.source, _MIX_DEFAULT) / 100.0
         assert abs(r.kept / r.n - target) < 0.25, (r.source, r.split)
+
+
+def test_token_budget_respected_and_partition_invariant(spark, sf_check_dir):
+    from stock_data_pipeline_spark.operators.sampling import (
+        TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_check_dir, "documents")
+    picked = token_budget_sample(docs)
+    per_source = picked.groupBy("source").agg(
+        F.max("cum_tokens").alias("total"), F.count("*").alias("n")
+    )
+    rows = per_source.collect()
+    assert rows, "no source filled any documents"
+    for r in rows:
+        assert r.total <= TOKEN_BUDGET, (r.source, r.total)
+    # Deterministic under physical layout: a repartitioned corpus yields
+    # the identical selected set (seeded hash order, not task order).
+    again = token_budget_sample(docs.repartition(13))
+    a = {(r.source, r.doc_id) for r in picked.collect()}
+    b = {(r.source, r.doc_id) for r in again.collect()}
+    assert a == b
+
+
+def test_token_budget_selects_a_prefix_of_hash_order(spark, sf_check_dir):
+    """The kept set per source must be a PREFIX of the seeded-hash
+    ordering — i.e. greedy fill, not an arbitrary subset summing under
+    budget."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.sampling import (
+        TOKEN_BUDGET,
+        _BUDGET_SEED,
+        token_budget_sample,
+    )
+
+    docs = load(spark, sf_check_dir, "documents")
+    picked = {
+        (r.source, r.doc_id) for r in token_budget_sample(docs).collect()
+    }
+    ordered = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.md5(
+                F.concat(F.lit(_BUDGET_SEED), F.col("doc_id").cast("string"))
+            ).alias("k"),
+        )
+        .orderBy("source", "k")
+        .collect()
+    )
+    seen_cut = set()
+    for r in ordered:
+        if (r.source, r.doc_id) not in picked:
+            seen_cut.add(r.source)
+        else:
+            assert r.source not in seen_cut, (
+                f"non-prefix pick in source {r.source}: {r.doc_id}"
+            )
