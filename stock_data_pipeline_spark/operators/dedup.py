@@ -519,3 +519,114 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster table a dedup pass drops rows against (keeper = min doc_id)."""
     docs = load(spark, sf_dir, "documents")
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD))
+
+
+# --------------------------------------------------------------------------
+# C2f — exact substring-duplicate spans (duplicated token windows)
+# --------------------------------------------------------------------------
+SPAN_TOKENS = 16
+
+
+def duplicate_span_stats(docs: DataFrame, *, window: int = SPAN_TOKENS) -> DataFrame:
+    """Per-document duplicated-span statistics: how much of each document
+    consists of ``window``-token runs that occur more than once anywhere
+    in the corpus. This is the window-hash formulation of exact substring
+    dedup (the suffix-array pass of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): every length-``window``
+    token run is hashed, and a run is duplicated iff its hash occurs >1
+    time corpus-wide (within- or cross-document).
+
+    Scale: the fan-out is sequence+explode inside codegen (no Python);
+    positions collapse to per-(doc, hash) counts before any shuffle, the
+    global occurrence count is one hash-keyed aggregate over that
+    collapsed frame, and the dup flag comes back via a hash-keyed
+    equi-join (inverted index) — never an all-pairs compare. State is
+    O(distinct windows), the same budget as the shingle index the
+    Jaccard/MinHash operators already carry.
+    """
+    tok = tokens("text")
+    wins = (
+        docs.select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= window)
+        .select(
+            "doc_id",
+            "tok",
+            F.explode(
+                F.sequence(F.lit(1), F.size("tok") - (window - 1))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("tok", F.col("start"), window), " ")
+            ).alias("h"),
+        )
+    )
+    counted = wins.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    totals = counted.groupBy("h").agg(F.sum("c").alias("total"))
+    per_doc = (
+        counted.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("total") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("int").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("int").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                trunc6(F.col("n_dup") / F.col("n_windows")),
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "c02_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tokens}} AS tok FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               tok[start : start + {SPAN_TOKENS - 1}], ' ')) AS h
+      FROM (
+        SELECT doc_id, tok,
+               unnest(generate_series(1, len(tok) - {SPAN_TOKENS - 1})) AS start
+        FROM toks WHERE len(tok) >= {SPAN_TOKENS}
+      )
+    ), counted AS (
+      SELECT doc_id, h, COUNT(*) AS c FROM wins GROUP BY doc_id, h
+    ), totals AS (
+      SELECT h, SUM(c) AS total FROM counted GROUP BY h
+    ), per_doc AS (
+      SELECT doc_id, SUM(c) AS n_windows,
+             SUM(CASE WHEN total > 1 THEN c ELSE 0 END) AS n_dup
+      FROM counted JOIN totals USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_windows, 0) AS INT) AS n_windows,
+           CAST(COALESCE(n_dup, 0) AS INT) AS n_dup_windows,
+           CASE WHEN n_windows > 0 THEN
+             floor(CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE)
+                   * 1000000) / 1000000
+           END AS dup_frac
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """.replace(
+        "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
+    ),
+    driver=False,
+)
+def c02_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2f: exact duplicated-span detection — per-doc count and fraction
+    of 16-token windows whose content occurs more than once corpus-wide
+    (window-hash formulation of suffix-array substring dedup)."""
+    return duplicate_span_stats(load(spark, sf_dir, "documents"))

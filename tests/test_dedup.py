@@ -198,3 +198,43 @@ def test_dedup_clusters_random_graph_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_duplicate_spans_planted_and_clean(spark):
+    from stock_data_pipeline_spark.operators.dedup import duplicate_span_stats
+
+    span = " ".join(f"w{i}" for i in range(16))  # the shared 16-token run
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    clean = " ".join(f"c{i}" for i in range(20))
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {span}"),   # 9 windows, last is the span
+            (2, f"{span} {uniq_b}"),   # 9 windows, first is the span
+            (3, clean),                # 5 windows, all unique
+            (4, short),                # < 16 tokens -> no windows
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(df).collect()}
+    assert out[1].n_windows == 9 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 9 and out[2].n_dup_windows == 1
+    assert out[3].n_windows == 5 and out[3].n_dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].dup_frac is None
+    assert abs(out[1].dup_frac - 1 / 9) < 1e-6
+
+
+def test_duplicate_spans_within_document_repeat_counts(spark):
+    """A run repeated inside ONE document is a duplicate too (total
+    occurrences > 1), matching suffix-array semantics."""
+    from stock_data_pipeline_spark.operators.dedup import duplicate_span_stats
+
+    span = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, f"{span} {span}")], "doc_id long, text string"
+    )
+    row = duplicate_span_stats(df).collect()[0]
+    # 17 windows total; the two clean copies of the span hash equal.
+    assert row.n_windows == 17
+    assert row.n_dup_windows >= 2
