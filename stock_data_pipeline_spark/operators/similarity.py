@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import trunc6
 from ..functions.partitioning import rebalance
 from ..registry import query
 
@@ -407,3 +408,73 @@ def c03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_fraction=0.25,
         index=c03_ivf_cached_index(spark, sf_dir),
     )
+
+
+# --------------------------------------------------------------------------
+# C3e — embedding normalization + int8 quantization (index storage prep)
+# --------------------------------------------------------------------------
+_Q_SCALE = 127
+
+
+def quantize_embeddings(vecs: DataFrame, col: str = "embedding") -> DataFrame:
+    """L2 norm + symmetric int8 quantization of unit-normalized values —
+    the storage/serving preparation in front of the ANN index: int8
+    vectors are 4× smaller than float32 (64 dims: 256 B → 64 B/vector,
+    ~6.4 TB → 1.6 TB per 100 B vectors), and cosine against them needs
+    only the int dot product because the norm is carried alongside.
+
+    q_i = floor(x_i / ‖x‖ · 127) ∈ [-128, 127]. All math is double-IEEE
+    on float32 inputs — deterministic per engine and, because both
+    engines fold the squared sum in array order, byte-identical across
+    Spark and the DuckDB oracle. Pure higher-order built-ins: no Python,
+    no shuffle — a map-only pass that scales with the scan.
+    """
+    xd = F.transform(col, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate("xd", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = F.transform(
+        "xd",
+        lambda x: F.floor(x / F.col("norm") * _Q_SCALE)
+        .cast("int")
+        .cast("string"),
+    )
+    return (
+        vecs.select("vec_id", xd.alias("xd"))
+        .withColumn("norm", norm)
+        .select(
+            "vec_id",
+            trunc6(F.col("norm")).alias("norm6"),
+            F.when(F.col("norm") > 0, F.array_join(q, ",")).alias("q8"),
+        )
+    )
+
+
+@query(
+    "c03_embedding_quantize",
+    oracle=f"""
+    WITH xd AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+               AS norm
+      FROM xd
+    )
+    SELECT vec_id,
+           floor(norm * 1000000) / 1000000 AS norm6,
+           CASE WHEN norm > 0 THEN
+             array_to_string(list_transform(
+               v, x -> CAST(CAST(floor(x / norm * {_Q_SCALE}) AS INT)
+                            AS VARCHAR)), ',')
+           END AS q8
+    FROM n
+    """,
+    driver=False,
+)
+def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3e: per-vector L2 norm + int8-quantized unit vector (emitted as a
+    comma-joined string so the differential harness can sort/hash rows)."""
+    return quantize_embeddings(load(spark, sf_dir, "embeddings"))

@@ -108,3 +108,32 @@ def test_identical_vector_is_nearest_neighbor(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = ann_lsh_topk(emb, emb.filter("vec_id = 0"), k=1, n_planes=4, n_tables=6).collect()
     assert out and out[0].vec_id == 1 and out[0].cos_sim == 1.0
+
+
+def test_quantized_embeddings_reconstruct_cosine(spark, sf_check_dir):
+    """int8 codes must stay in range and reconstruct the unit vector to
+    within the quantization step (dequantized self-cosine > 0.99)."""
+    import numpy as np
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load(spark, sf_check_dir, "embeddings")
+    joined = (
+        quantize_embeddings(emb)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("q8", "embedding", "norm6")
+        .limit(50)
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        q = np.array([int(v) for v in r.q8.split(",")], dtype=np.float64)
+        assert q.min() >= -128 and q.max() <= 127
+        x = np.array(r.embedding, dtype=np.float64)
+        x /= np.linalg.norm(x)
+        deq = q / 127.0
+        cos = float(deq @ x / (np.linalg.norm(deq) * np.linalg.norm(x)))
+        assert cos > 0.99, cos
