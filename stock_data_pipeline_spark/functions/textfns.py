@@ -71,3 +71,27 @@ def sql_word_shingles(tokens_expr: str, k: int = 3) -> str:
         f"range(1, greatest(len({tokens_expr}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string({tokens_expr}[i:i+{k - 1}], ' ')))"
     )
+
+
+def quality_expr(n_tokens: Column, n_stop: Column, n_chars: Column) -> Column:
+    """Pretraining-quality heuristic ∈ [0, 1]: length, stopword density,
+    and average word length, weighted 0.4/0.3/0.3. Shared by the per-doc
+    scoring query (c04_quality_score) and the corpus-prep pipeline
+    (c09_prep_pipeline) so both gates score identically."""
+    nt = n_tokens.cast("double")
+    ns = n_stop.cast("double")
+    nc = n_chars.cast("double")
+    return (
+        0.4 * F.least(nt / 100.0, F.lit(1.0))
+        + 0.3 * (ns / n_tokens)
+        + 0.3 * F.least(nc / n_tokens / 10.0, F.lit(1.0))
+    )
+
+
+def sql_quality_expr(n_tokens: str, n_stop: str, n_chars: str) -> str:
+    """DuckDB spelling of :func:`quality_expr`."""
+    return (
+        f"(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (CAST({n_stop} AS DOUBLE) / {n_tokens})"
+        f" + 0.3 * least(CAST({n_chars} AS DOUBLE) / {n_tokens} / 10.0, 1.0))"
+    )

@@ -513,3 +513,126 @@ def c08_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents per source, selected in seeded-hash order (the data-mix
     assembly step between source weighting and sequence packing)."""
     return token_budget_sample(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C9c — end-to-end corpus-prep pipeline (the operators composed)
+# --------------------------------------------------------------------------
+_PREP_MIN_TOKENS = 20
+_PREP_MIN_QUALITY = 0.35
+
+
+def prep_pipeline(
+    docs: DataFrame,
+    *,
+    min_tokens: int = _PREP_MIN_TOKENS,
+    min_quality: float = _PREP_MIN_QUALITY,
+) -> DataFrame:
+    """The standard pretraining corpus-prep chain as ONE lazy plan:
+    score → quality gate → exact dedup (keep-min per fingerprint) →
+    train/val/test split. Demonstrates that the Tier C operators compose
+    into the pipeline a user actually runs, with Catalyst fusing the
+    whole thing: scoring and gating live in the scan stage (filters
+    before any exchange), dedup is the only shuffle (hash on the
+    16-byte fingerprint), and split assignment is a map-side hash.
+
+    Stage order matters at 100 TB: the quality gate runs BEFORE dedup so
+    rejected documents never enter the fingerprint exchange.
+    """
+    from ..functions.exact import trunc6
+    from ..functions.textfns import quality_expr, stopword_count, tokens
+
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).alias("n_tokens"),
+        stopword_count(tok).alias("n_stop"),
+        "n_chars",
+        F.md5(
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+        ).alias("fingerprint"),
+    ).withColumn(
+        "quality_score",
+        trunc6(
+            quality_expr(F.col("n_tokens"), F.col("n_stop"), F.col("n_chars"))
+        ),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "n_stop", "n_chars")
+    )
+    return with_split(deduped).select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "quality_score",
+        "fingerprint",
+    )
+
+
+@query(
+    "c09_prep_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len({{tokens}}) AS n_tokens,
+             {{stops}} AS n_stop,
+             n_chars,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), gated AS (
+      SELECT *,
+             floor({{quality}} * 1000000) / 1000000 AS quality_score
+      FROM scored
+      WHERE n_tokens >= {_PREP_MIN_TOKENS}
+    ), quality_gated AS (
+      SELECT * FROM gated WHERE quality_score >= {_PREP_MIN_QUALITY}
+    ), deduped AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM quality_gated
+    )
+    SELECT doc_id, source,
+           CASE
+             WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(n_tokens AS INT) AS n_tokens,
+           quality_score, fingerprint
+    FROM (
+      SELECT *,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100) AS bucket
+      FROM deduped WHERE rn = 1
+    )
+    """.replace(
+        "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
+    ).replace(
+        "{stops}",
+        # sql_stopword_count over the same token list
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " t -> t IN ('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is',"
+        " 'it', 'for')))",
+    ).replace(
+        "{quality}",
+        "(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
+        " + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)"
+        " + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0))",
+    ),
+    driver=False,
+)
+def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9c: the end-to-end corpus-prep composite — quality scoring, the
+    token/quality gate, exact dedup, and split assignment fused into one
+    Catalyst plan (one shuffle, on the fingerprint)."""
+    return prep_pipeline(load(spark, sf_dir, "documents"))

@@ -18,6 +18,8 @@ from ..functions.exact import sql_dec_avg, sql_dec_sum, sql_trunc6, trunc6
 from ..functions.textfns import (
     BPE_TOKEN_RE,
     EN_STOPWORDS,
+    quality_expr,
+    sql_quality_expr,
     sql_stopword_count,
     sql_tokens,
     stopword_count,
@@ -190,11 +192,8 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS avg_token_len,
       floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000) / 1000000
         AS stopword_ratio,
-      floor((
-        0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
-        + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
-      ) * 1000000) / 1000000 AS quality_score
+      floor({sql_quality_expr('n_tokens', 'n_stop', 'n_chars')}
+            * 1000000) / 1000000 AS quality_score
     FROM (
       SELECT doc_id, n_chars,
              len({sql_tokens('text')}) AS n_tokens,
@@ -224,7 +223,6 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).alias("n_tokens"),
         stopword_count(tok).alias("n_stop"),
     )
-    n_tokens_d = F.col("n_tokens").cast("double")
     n_chars_d = F.col("n_chars").cast("double")
     n_stop_d = F.col("n_stop").cast("double")
 
@@ -237,9 +235,7 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(n_chars_d / F.col("n_tokens")).alias("avg_token_len"),
         trunc6(n_stop_d / F.col("n_tokens")).alias("stopword_ratio"),
         trunc6(
-            0.4 * F.least(n_tokens_d / 100.0, F.lit(1.0))
-            + 0.3 * (n_stop_d / F.col("n_tokens"))
-            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0))
+            quality_expr(F.col("n_tokens"), F.col("n_stop"), F.col("n_chars"))
         ).alias("quality_score"),
     )
 

