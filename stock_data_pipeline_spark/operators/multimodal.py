@@ -175,15 +175,51 @@ def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
 
 
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal but fully valid 8-bit RGB PNG (IHDR + one IDAT + IEND),
+    built with stdlib zlib only — deterministic pixels, correct CRCs."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"  # filter type None per scanline
+        + bytes((seed + y + x) % 256 for x in range(3 * width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
     """Real image decode: (format, width, height) from the file header.
 
-    BMP: little-endian i32 dims at fixed offsets 18/22 of the
-    BITMAPINFOHEADER (height may be negative for top-down rows — the
-    logical height is its absolute value). P6 PPM: ASCII dims after the
-    magic, comment lines allowed. Raises ValueError on anything else —
-    unknown formats must go to quarantine, not silently pass.
+    PNG: big-endian u32 dims at offsets 16/20 (the IHDR chunk directly
+    follows the 8-byte signature in any valid PNG). BMP: little-endian
+    i32 dims at fixed offsets 18/22 of the BITMAPINFOHEADER (height may
+    be negative for top-down rows — the logical height is its absolute
+    value). P6 PPM: ASCII dims after the magic, comment lines allowed.
+    Raises ValueError on anything else — unknown formats must go to
+    quarantine, not silently pass.
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        if payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: IHDR not first chunk")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return ("png", width, height)
     if payload[:2] == b"BM" and len(payload) >= 26:
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
@@ -205,7 +241,7 @@ def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
             i = j
         if len(fields) == 2:
             return ("ppm", int(fields[0]), int(fields[1]))
-    raise ValueError("unsupported image format (expected BMP or P6 PPM)")
+    raise ValueError("unsupported image format (expected PNG, BMP, or P6 PPM)")
 
 
 IMAGE_SCHEMA = "doc_id bigint, fmt string, width int, height int, img_bytes int"

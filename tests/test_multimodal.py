@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from stock_data_pipeline_spark.catalog import load
@@ -219,3 +220,36 @@ def test_salted_join_rejects_small_side_outer_joins(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", n_salts=4, how=how)
+
+
+def test_decode_image_dims_png_roundtrip_and_validity():
+    import struct
+    import zlib
+
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+        encode_png,
+    )
+
+    for w, h in [(1, 1), (13, 7), (64, 48)]:
+        payload = encode_png(w, h, seed=3)
+        assert decode_image_dims(payload) == ("png", w, h)
+        # The file must be a VALID png, not just a recognizable header:
+        # walk the chunks, verify every CRC, and inflate the scanlines.
+        i, idat = 8, b""
+        while i < len(payload):
+            (length,) = struct.unpack(">I", payload[i : i + 4])
+            tag = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[i + 8 + length : i + 12 + length]
+            )
+            assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), tag
+            if tag == b"IDAT":
+                idat += body
+            i += 12 + length
+        assert tag == b"IEND"
+        raw = zlib.decompress(idat)
+        assert len(raw) == h * (1 + 3 * w)  # filter byte + RGB per line
+    with pytest.raises(ValueError):
+        decode_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"XXXX" + b"\x00" * 8)
