@@ -407,3 +407,51 @@ def test_transform_with_state_ema_equals_classic(spark, sf_dir, events_dir, tmp_
     for uid, (n, ema) in want.items():
         assert final[uid][0] == n
         assert final[uid][1] == pytest.approx(ema, rel=1e-9)
+
+
+def test_dedup_ingest_across_batches_and_replay(spark, tmp_path):
+    """Cross-batch exact dedup through the sink: overlapping document
+    batches land exactly once, and a replayed foreachBatch call appends
+    nothing (idempotence without a batch-id partition)."""
+    from stock_data_pipeline_spark.streaming.jobs import (
+        run_dedup_ingest,
+        write_batch_deduped,
+    )
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    sink = str(tmp_path / "corpus_sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "alpha  beta gamma ")],
+        schema,
+    )  # doc 3 is a whitespace-variant dup of doc 1
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(landing))
+    q = run_dedup_ingest(stream, sink, checkpoint=ckpt)
+    q.awaitTermination(300)
+
+    first = spark.read.parquet(sink).collect()
+    assert sorted(r.doc_id for r in first) == [1, 2]  # min-doc_id keeper
+
+    b2 = spark.createDataFrame(
+        [(4, "delta epsilon"), (5, "zeta eta theta")], schema
+    )  # doc 4 duplicates doc 2 from the PREVIOUS batch
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+    q = run_dedup_ingest(stream, sink, checkpoint=ckpt)
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 5]
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))
+
+    # Replay: re-delivering batch 2 appends nothing.
+    write_batch_deduped(b2, 99, sink)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(sink).collect()
+    ) == [1, 2, 5]
