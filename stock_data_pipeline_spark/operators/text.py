@@ -618,3 +618,75 @@ def c04_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         ((ttr >= _TTR_MIN) & (top_frac <= _TOP_BG_MAX)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4j — winnowing fingerprints (MOSS local document fingerprinting)
+# --------------------------------------------------------------------------
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+def winnow_fingerprints(
+    docs: DataFrame, *, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """One row per (doc, selected fingerprint): the winnowing scheme of
+    Schleimer/Wilkerson/Aiken (MOSS, SIGMOD 2003) — hash every k-token
+    gram, slide a window of w consecutive hashes, keep each window's
+    minimum. Guarantees any shared run of k+w-1 tokens yields at least
+    one shared fingerprint, while storing only ~2/(w+1) of the hashes —
+    the sub-linear index behind plagiarism/overlap detection at corpus
+    scale.
+
+    Scale: gram hashing and window minima are higher-order expressions
+    over the token array — the whole selection runs inside codegen with
+    no shuffle; only the ~m/w selected fingerprints are exploded. The
+    downstream overlap join is an equi-join on the fingerprint (same
+    inverted-index shape as c02/c04_decontaminate), never all-pairs.
+    """
+    n = F.size("tok")
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx, lambda i: F.md5(F.array_join(F.slice("tok", i, k), " "))
+    )
+    base = docs.select("doc_id", tokens("text").alias("tok")).select(
+        "doc_id", grams.alias("grams")
+    )
+    m = F.size("grams")
+    win_idx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    selected = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice("grams", j, w)))
+    )
+    return base.select(
+        "doc_id", F.explode(selected).alias("fingerprint")
+    )
+
+
+@query(
+    "c04_winnowing",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(tok) - {WINNOW_K - 1}, 0) + 1),
+               i -> md5(array_to_string(tok[i:i+{WINNOW_K - 1}], ' '))
+             ) AS g
+      FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
+    )
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(g) - {WINNOW_W - 1}, 0) + 1),
+             j -> list_min(g[j:j+{WINNOW_W - 1}])))) AS fingerprint
+    FROM grams
+    """.replace(
+        "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
+    ),
+    driver=False,
+)
+def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4j: winnowing (MOSS) document fingerprints — per-window minimum
+    of k-gram hashes, the guaranteed-overlap sub-linear fingerprint set."""
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))

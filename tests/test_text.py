@@ -105,3 +105,34 @@ def test_decontaminate_finds_planted_overlap(spark):
     )
     rows = decontaminate(train, eval_set, k=5, min_shared=3).collect()
     assert [(r.train_id, r.eval_id) for r in rows] == [(10, 900)]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """MOSS guarantee: any shared run of k+w-1 (=8) tokens yields at
+    least one shared fingerprint; disjoint-vocabulary docs share none;
+    the selected set is sub-linear in the gram count."""
+    from stock_data_pipeline_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 a4 a5 a6 {run} a7 a8"),
+            (2, f"b1 b2 {run} b3 b4 b5 b6 b7 b8"),
+            (3, " ".join(f"c{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 8-token run yielded no shared fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # Density: winnowing keeps far fewer than all grams (30-token doc
+    # has 26 grams / 23 windows; distinct minima are a fraction).
+    assert len(by_doc[3]) < 26 / 2
