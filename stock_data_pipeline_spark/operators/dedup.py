@@ -512,11 +512,53 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     )
 
 
-@query("c02_dedup_clusters")  # iterative fixpoint → no SQL oracle; planted
-# component shapes asserted in tests/test_dedup.py
+@query(
+    "c02_dedup_clusters",
+    # Connected components ARE SQL-expressible when the edge set is (the
+    # exact Jaccard pairs above): transitive closure via recursive CTE,
+    # cluster id = min reachable node. UNION-distinct recursion terminates
+    # because the reachable-label state space is finite.
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    """,
+)
 def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2e: connected components over the exact near-dup pairs — the
-    cluster table a dedup pass drops rows against (keeper = min doc_id)."""
+    cluster table a dedup pass drops rows against (keeper = min doc_id).
+
+    The oracle computes the same components by transitive closure
+    (recursive CTE, min reachable id); the Spark side uses pointer-jumping
+    label propagation because closure materializes O(Σ comp²) state —
+    fine for an sf0.01 oracle, not for a 100 TB corpus."""
     docs = load(spark, sf_dir, "documents")
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD))
 
