@@ -66,6 +66,56 @@ def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c06_variant",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS sum_k,
+      CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+        AS BIGINT) AS n_distinct_k,
+      CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    GROUP BY event_type
+    """,
+    driver=False,
+)
+def c06_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b: the Spark 4 VariantType path — ``parse_json`` shreds the
+    document into Variant's binary encoding ONCE, then every accessor
+    (``variant_get`` typed extraction, ``try_variant_get`` safe probe of
+    a missing path) reads the shredded value without re-parsing. This is
+    the 100 TB answer for ad-hoc JSON: string re-parsing per accessor
+    (``get_json_object``) pays the full parse per column pulled, while
+    Variant pays it once per row and supports columnar shredding in
+    Parquet readers. The oracle computes the same aggregates from
+    DuckDB's JSON accessors.
+
+    Scale: map-side expression work + one hash aggregate; no Python, no
+    extra shuffle beyond the groupBy.
+    """
+    from ..functions.partitioning import rebalance
+
+    events = rebalance(load(spark, sf_dir, "events"))
+    v = F.parse_json("props")
+    with_fields = events.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.absent", "bigint").alias("absent"),
+    )
+    return with_fields.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_absent"),
+    )
+
+
+@query(
     "c07_array_funcs",
     oracle="""
     SELECT

@@ -45,6 +45,44 @@ def test_json_object_keys_on_events(spark, sf_dir):
     assert {r.key for r in distinct_keys} == {"k"}
 
 
+def test_variant_typed_extraction_and_inference(spark):
+    """C6b: VariantType behavior beyond the oracle — schema_of_variant
+    infers the shredded shape, variant_get enforces the requested type
+    (cast failure -> error, try_variant_get -> null), and to_json
+    round-trips the document."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [('{"k": 7, "tag": "x"}',)], "props string"
+    ).select(F.parse_json("props").alias("v"))
+    row = df.select(
+        F.schema_of_variant("v").alias("ddl"),
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.variant_get("v", "$.tag", "string").alias("tag"),
+        F.try_variant_get("v", "$.tag", "bigint").alias("tag_as_int"),
+        F.to_json("v").alias("round_trip"),
+    ).first()
+    assert "k" in row.ddl and "BIGINT" in row.ddl.upper()
+    assert (row.k, row.tag) == (7, "x")
+    assert row.tag_as_int is None  # safe accessor: bad cast -> null
+    assert '"k":7' in row.round_trip.replace(" ", "")
+    with pytest.raises(SparkRuntimeException):  # strict accessor raises
+        df.select(F.variant_get("v", "$.tag", "bigint")).first()
+
+
+def test_variant_extraction_equals_string_accessors(spark, sf_dir):
+    """parse_json+variant_get must agree with get_json_object on every
+    row of the real events table (same contract the oracle checks in
+    aggregate, asserted here row-level)."""
+    events = load(spark, sf_dir, "events")
+    mismatch = events.select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("shredded"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("plucked"),
+    ).filter(~F.col("shredded").eqNullSafe(F.col("plucked")))
+    assert mismatch.count() == 0
+
+
 def test_map_funcs_algebra_on_crafted_rows(spark):
     """map_from_entries → map_concat → map_filter → transform_values on
     hand-picked values where every branch (kept / dropped / overwritten)
