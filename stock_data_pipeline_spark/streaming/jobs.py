@@ -23,12 +23,15 @@ from pyspark.sql import types as T
 from ..catalog import load
 from ..registry import query
 
-# On-disk schema: ts is TIMESTAMP(NANOS) parquet → int64 under
-# nanosAsLong; read_event_stream converts to TIMESTAMP_NTZ on ingest.
+# On-disk schema: ts is TIMESTAMP(MICROS) parquet without timezone →
+# TIMESTAMP_NTZ; read_event_stream casts it to event-time TIMESTAMP (LTZ)
+# for watermarks (session tz pinned UTC, so the cast is wall-clock
+# identity). Earlier driver drops stored ts as TIMESTAMP(NANOS)/int64 —
+# the batch path (catalog._normalize) stays type-defensive for that.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -201,7 +204,7 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
     # Watermarks only accept TIMESTAMP (LTZ) event time, not NTZ; with the
     # session tz pinned UTC the wall-clock values match the batch catalog.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_session_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:

@@ -78,7 +78,7 @@ def test_streaming_dedup_replay(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     deduped = dedup_replayed(events, watermark="1 minute")
     q = run_stream_to_memory(
         deduped, "dedup_out", checkpoint=str(tmp_path / "ckpt2")
@@ -130,7 +130,7 @@ def test_stateful_running_ema_across_restarts(spark, sf_dir, tmp_path):
         stage = tmp_path / f"stage_{name}"
         df.select(
             "event_id",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
             "user_id",
             "event_type",
             "value",
