@@ -876,7 +876,7 @@ _Q18_MIN_QTY = 150
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_MIN_QTY}
+      HAVING {sql_dec_sum('l_quantity')} > {_Q18_MIN_QTY}
     )
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,

@@ -346,20 +346,24 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    # Collapse to per-(doc, token) counts FIRST: one tokenize+explode pass
-    # and one corpus-sized shuffle; doc_freq and term_freq then derive
-    # from the collapsed (much smaller) frame instead of re-scanning and
-    # re-tokenizing the corpus once each.
+    # ONE tokenize+explode pass over the corpus. Spark does not share a
+    # subplan referenced from both sides of a join, so the previous
+    # doc_freq⋈term_freq formulation re-scanned and re-tokenized the whole
+    # corpus once per branch. Instead: collapse to per-(doc, token) counts
+    # (the only corpus-sized shuffle), aggregate once to the (token,
+    # source) grain, then derive the token-level document frequency as a
+    # window SUM over that vocabulary-sized frame — each doc has exactly
+    # one source, so per-(token, source) distinct-doc counts sum to df.
     tok_doc = toks.groupBy("doc_id", "source", "token").agg(
         F.count("*").alias("tf_doc")
     )
-    doc_freq = tok_doc.groupBy("token").agg(F.count("*").alias("df"))
-    corpus = docs.agg(F.count("*").alias("n_docs"))
-    term_freq = tok_doc.groupBy("source", "token").agg(
-        F.sum("tf_doc").alias("tf")
+    ts = tok_doc.groupBy("token", "source").agg(
+        F.count("*").alias("df_part"),
+        F.sum("tf_doc").alias("tf"),
     )
+    corpus = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        term_freq.join(doc_freq, "token")
+        ts.withColumn("df", F.sum("df_part").over(Window.partitionBy("token")))
         .crossJoin(corpus)
         .select(
             "source",
