@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -706,6 +706,49 @@ def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
     return per_type.unionByName(total)
+
+
+@query(
+    "b15_topk_sketch",
+    oracle="""
+    SELECT user_id, n, user_rank FROM (
+      SELECT user_id, COUNT(*) AS n,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS user_rank
+      FROM events GROUP BY user_id
+    ) WHERE user_rank <= 20
+    """,
+    driver=False,
+)
+def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15d: mergeable heavy-hitters — ``approx_top_k_accumulate`` builds
+    one bounded sketch per event-type partition, ``approx_top_k_combine``
+    merges the partial states WITHOUT rescanning rows, and
+    ``approx_top_k_estimate`` reads the merged state. Same
+    store-partials / merge-on-read shape as b15_hll_union: at 100 TB keep
+    one ~100 KB sketch per (day, type) partition and answer "top users
+    overall" by combining sketches. The sketch tracks 65 536 items; while
+    the distinct-key count stays below that the estimates are EXACT
+    (sketch degradation only begins past capacity), which is what lets a
+    plain GROUP BY/ORDER BY oracle verify this query at test scale. Final
+    ranking re-sorts with an explicit (count DESC, user_id ASC) tie-break
+    because the sketch's own tie order is unspecified.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("approx_top_k_accumulate(user_id, 65536)").alias("sk")
+    )
+    merged = per_type.agg(F.expr("approx_top_k_combine(sk, 65536)").alias("sk"))
+    est = merged.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 65536)")).alias("e")
+    ).select(
+        F.col("e.item").alias("user_id"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        est.withColumn("user_rank", F.row_number().over(w))
+        .filter(F.col("user_rank") <= 20)
+    )
 
 
 # --------------------------------------------------------------------------

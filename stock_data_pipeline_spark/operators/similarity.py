@@ -106,7 +106,10 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # C3b — random-hyperplane LSH bucketed ANN (the scale path)
 # --------------------------------------------------------------------------
-@query("c03_ann_lsh")
+# driver=False: ANN family's driver representative is c03_ann_ivf (both are
+# rows-only no_oracle checks; recall bounds are pytest-asserted for each) —
+# the freed window slot carries the oracle-backed c06_variant instead.
+@query("c03_ann_lsh", driver=False)
 def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b: approximate top-k via random-hyperplane LSH.
 

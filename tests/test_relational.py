@@ -97,6 +97,43 @@ def test_aqe_coalesces_oversized_shuffle_partitions(spark, sf_check_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_topk_sketch_exact_below_capacity(spark, sf_check_dir):
+    """Merged approx_top_k partials must reproduce exact per-user counts
+    while distinct keys fit inside the sketch capacity, and the combine
+    path must equal a single whole-corpus accumulate."""
+    got = {
+        r.user_id: (r.n, r.user_rank)
+        for r in get("b15_topk_sketch").fn(spark, sf_check_dir).collect()
+    }
+    ev = load(spark, sf_check_dir, "events")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(got) == 20
+    for uid, (n, _) in got.items():
+        assert exact[uid] == n, uid
+    # every reported count must be >= the 20th-highest exact count
+    kth = sorted(exact.values(), reverse=True)[19]
+    assert all(n >= kth for n, _ in got.values())
+
+    direct = {
+        r.e.item: r.e["count"]
+        for r in ev.agg(F.expr("approx_top_k_accumulate(user_id, 65536)").alias("sk"))
+        .select(F.explode(F.expr("approx_top_k_estimate(sk, 65536)")).alias("e"))
+        .collect()
+    }
+    merged_all = {
+        r.e.item: r.e["count"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("approx_top_k_accumulate(user_id, 65536)").alias("sk"))
+        .agg(F.expr("approx_top_k_combine(sk, 65536)").alias("sk"))
+        .select(F.explode(F.expr("approx_top_k_estimate(sk, 65536)")).alias("e"))
+        .collect()
+    }
+    assert merged_all == direct
+
+
 def test_hll_union_mergeability_and_error(spark, sf_check_dir):
     """Union-of-partial-sketches must equal the direct whole-corpus sketch
     (lossless merge), and every estimate must be within HLL error bounds
