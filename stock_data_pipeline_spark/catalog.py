@@ -14,6 +14,7 @@ query builder goes through :func:`load` so that
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,7 +65,13 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 # (8 conf round trips + a parquet footer read + plan construction ≈
 # 100-200 ms of pure driver overhead per load). This is ordinary catalog
 # behavior — table metadata is resolved once per (session, table).
-_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# Keyed by the LIVE SESSION OBJECT (weak), not applicationId: sibling
+# sessions from ``spark.newSession()`` share an appId but have separate
+# SQLConf, and a DataFrame executes under the conf of the session that
+# BUILT it — an appId-keyed memo would silently answer one session's
+# query under another session's timezone.
+_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]"
+_LOAD_MEMO = weakref.WeakKeyDictionary()
 
 # On a memo hit the full conf re-apply is skipped after probing these two
 # sentinels (the confs a host session most plausibly flips mid-run; the
@@ -90,13 +97,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    cached = _LOAD_MEMO.get(key)
+    try:
+        per_session = _LOAD_MEMO.setdefault(spark, {})
+    except TypeError:  # session object not weak-referenceable
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
     if cached is not None and _confs_intact(spark):
         return cached
     apply_runtime_confs(spark)
     df = _normalize(name, spark.read.parquet(table_path(sf_dir, name)))
-    _LOAD_MEMO[key] = df
+    per_session[key] = df
     return df
 
 

@@ -50,6 +50,17 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
         if df is None:
             df = fn(spark, sf_dir)
             per_session[key] = df
+        else:
+            # A memo hit skips catalog.load, so a hostile conf.set since
+            # the plan was built would otherwise go unhealed at EXECUTION
+            # time (session tz applies to LTZ casts when the job runs,
+            # not when the plan is constructed). Same sentinel probe the
+            # catalog uses: cheap when intact, full re-pin when not.
+            from .catalog import _confs_intact
+            from .session import apply_runtime_confs
+
+            if not _confs_intact(spark):
+                apply_runtime_confs(spark)
         return df
 
     wrapper.__name__ = fn.__name__

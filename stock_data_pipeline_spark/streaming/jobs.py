@@ -187,6 +187,57 @@ def b19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
 
 
+_RECURSIVE_SESSION_SQL = """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS rn
+      FROM events
+    ),
+    walk(user_id, rn, ts, session_seq) AS (
+      SELECT user_id, rn, ts, CAST(1 AS BIGINT) AS session_seq
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             w.session_seq + CASE WHEN o.ts > w.ts + INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END
+      FROM ordered o
+      JOIN walk w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM walk
+    GROUP BY user_id, session_seq
+"""
+
+
+@query("b19_sessionize_recursive", oracle=_RECURSIVE_SESSION_SQL, driver=False)
+def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 twin on the Spark 4 recursive-CTE surface (WITH RECURSIVE,
+    UNION ALL): walk each user's event chain in ts order, bumping the
+    session counter when the 30-minute gap is exceeded. The IDENTICAL SQL
+    text runs on DuckDB as the oracle.
+
+    Deliberately ``driver=False``/non-headline: recursion is the
+    SQL-surface demonstration, not the scale path — each recursion level
+    is a self-join, and depth equals the longest per-user chain, so the
+    window formulation in :func:`sessionize` (one shuffle, any chain
+    length) is what runs at 100 TB. Recursion on acyclic chains only:
+    Spark rejects UNION-distinct recursion
+    ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so cyclic-graph closure
+    (c02_dedup_clusters) stays on iterative pointer-jumping.
+    """
+    from ..catalog import register_views
+
+    # depth = longest per-user event chain; default limit is 100
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SESSION_SQL)
+
+
 # --------------------------------------------------------------------------
 # Streaming runners (used by tests and as production entry points)
 # --------------------------------------------------------------------------
