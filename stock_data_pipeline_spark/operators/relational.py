@@ -737,12 +737,27 @@ def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = ev.groupBy("event_type").agg(
         F.expr("approx_top_k_accumulate(user_id, 65536)").alias("sk")
     )
-    merged = per_type.agg(F.expr("approx_top_k_combine(sk, 65536)").alias("sk"))
-    est = merged.select(
-        F.explode(F.expr("approx_top_k_estimate(sk, 65536)")).alias("e")
-    ).select(
-        F.col("e.item").alias("user_id"),
-        F.col("e.count").cast("bigint").alias("n"),
+    # approx_top_k_combine's buffer hits `scala.MatchError: null` when its
+    # input relation is EMPTY (zero groups upstream). Seed the combine
+    # with one NULL-item sketch so it always sees >=1 state; the null item
+    # can never collide with a real key and is dropped after estimation.
+    seed = spark.sql(
+        "SELECT approx_top_k_accumulate(CAST(NULL AS BIGINT), 65536) AS sk"
+    )
+    merged = (
+        per_type.select("sk")
+        .unionByName(seed)
+        .agg(F.expr("approx_top_k_combine(sk, 65536)").alias("sk"))
+    )
+    est = (
+        merged.select(
+            F.explode(F.expr("approx_top_k_estimate(sk, 65536)")).alias("e")
+        )
+        .filter(F.col("e.item").isNotNull())
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
     )
     w = Window.orderBy(F.desc("n"), F.asc("user_id"))
     return (

@@ -8,12 +8,47 @@ no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load
 from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# A13 (declarative twin) — news-DOM headline extraction via from_xml
+# --------------------------------------------------------------------------
+# from_xml's schema describes the ROOT element's children: the <ul> body
+# is an array of <li>, each holding one <a>. Attributes surface with the
+# default `_` attributePrefix; element text is `_VALUE`.
+_NEWS_DOM_SCHEMA = (
+    "li ARRAY<STRUCT<a: STRUCT<_href: STRING, _VALUE: STRING>>>"
+)
+
+
+def parse_news_dom(html_col: Column | str) -> Column:
+    """Parse a well-formed news-list DOM fragment
+    (``<ul><li><a href="...">Title</a></li>...</ul>``) into an
+    ``array<struct<href,title>>`` — the declarative, JVM-side twin of the
+    reference's XPath headline scrape (news_data_to_gcp.py:54-59; A13).
+
+    The Python fetcher path (sources/fetch.py::fetch_news_batch) exists
+    for ragged real-world HTML; THIS path is what runs when the landing
+    zone stores raw snippets and extraction should stay inside
+    whole-stage codegen: ``from_xml`` (Spark 4) parses once per row, the
+    accessor projects typed fields, and a later ``explode`` fans out to
+    one row per headline with zero Python in the plan.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    parsed = F.from_xml(c, _NEWS_DOM_SCHEMA)
+    return F.transform(
+        parsed["li"],
+        lambda li: F.struct(
+            li["a"]["_href"].alias("href"),
+            li["a"]["_VALUE"].alias("title"),
+        ),
+    )
 
 
 @query(

@@ -152,3 +152,48 @@ def test_map_concat_duplicate_key_policy(spark):
         assert spark.range(1).select(dup).first().v == 2.0
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+
+
+def test_parse_news_dom_extracts_headlines(spark):
+    """A13 declarative twin: from_xml DOM parse fans one page-snippet row
+    out to one row per headline, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.semistructured import parse_news_dom
+
+    pages = [
+        ("AAPL",
+         '<ul><li><a href="http://n/a1">AAPL beats</a></li>'
+         '<li><a href="http://n/a2">AAPL guides up</a></li></ul>'),
+        ("MSFT", '<ul><li><a href="http://n/m1">MSFT ships</a></li></ul>'),
+        ("EMPT", "<ul></ul>"),
+    ]
+    df = spark.createDataFrame(pages, "symbol string, html string")
+    out = (
+        df.select("symbol", F.explode(parse_news_dom("html")).alias("h"))
+        .select("symbol", F.col("h.href").alias("href"), F.col("h.title").alias("title"))
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        ("AAPL", "http://n/a1", "AAPL beats"),
+        ("AAPL", "http://n/a2", "AAPL guides up"),
+        ("MSFT", "http://n/m1", "MSFT ships"),
+    ]
+    # zero Python in the extraction plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_parse_news_dom_malformed_rows_null_not_crash(spark):
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.semistructured import parse_news_dom
+
+    df = spark.createDataFrame(
+        [("ok", '<ul><li><a href="u">t</a></li></ul>'), ("bad", "<ul><li>no close")],
+        "tag string, html string",
+    )
+    out = df.select("tag", parse_news_dom("html").alias("hs")).collect()
+    got = {r.tag: r.hs for r in out}
+    assert got["ok"] and got["ok"][0].title == "t"
+    assert got["bad"] is None or got["bad"] == []
