@@ -540,3 +540,138 @@ def run_dedup_ingest(docs: DataFrame, sink_dir: str, *, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Continuous corpus ingestion with cross-batch NEAR-dedup (MinHash/LSH)
+# --------------------------------------------------------------------------
+_LSH_INDEX_SCHEMA = "doc_id BIGINT, band INT, bucket BIGINT"
+
+
+def write_batch_near_deduped(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    index_dir: str,
+    *,
+    threshold: float = 0.5,
+) -> None:
+    """foreachBatch body: land one micro-batch of documents with BOTH
+    exact and near-duplicate suppression against the full ingest history.
+
+    Stages (all lazily composed, two actions per batch):
+
+    1. Exact pass — within-batch min-doc_id keeper per normalized
+       fingerprint, then a fingerprint anti-join against the sink (this
+       is also what makes crash-replays of the same batch idempotent:
+       the near-dup probe alone cannot catch a replay because a pair
+       needs two distinct doc_ids).
+    2. Near pass — :func:`operators.dedup.probe_near_dup_batch` computes
+       MinHash signatures for the BATCH ONLY and probes the append-only
+       (doc_id, band, bucket) index table at ``index_dir``. Verified
+       pairs feed connected components
+       (:func:`operators.dedup.dedup_clusters`): a cluster touching any
+       already-ingested doc drops all its new members (the corpus is
+       append-only — first ingested wins); an all-new cluster keeps its
+       min doc_id.
+    3. Survivors' rows append to the sink; survivors' bucket rows append
+       to the index — dropped docs never pollute the index.
+
+    Scale: the corpus is never re-signatured — per batch the expensive
+    shingle+min-agg pass touches only new docs; the probe is a
+    bucket-keyed equi-join with the small batch side broadcast by AQE;
+    cluster propagation runs on the (tiny) verified-pair graph. The
+    "state" — fingerprints, texts, index — lives in the sink tables
+    themselves, exactly as durable as the data, no streaming state store.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.dedup import dedup_clusters, probe_near_dup_batch
+
+    spark = batch_df.sparkSession
+
+    # -- 1. exact pass (within-batch + vs sink) ---------------------------
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        batch_df.withColumn("fingerprint", _norm_fingerprint())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        corpus = spark.read.parquet(sink_dir)
+    except AnalysisException:
+        corpus = None
+    if corpus is not None:
+        batch = batch.join(corpus.select("fingerprint"), "fingerprint", "left_anti")
+    # two probe passes + cluster iteration re-read the exact-pass output;
+    # localCheckpoint cuts the replayed window+anti-join lineage
+    batch = batch.localCheckpoint(eager=False)
+
+    # -- 2. near pass (vs index + within batch) ---------------------------
+    index = (
+        spark.read.schema(_LSH_INDEX_SCHEMA).parquet(index_dir)
+        if _dir_has_data(spark, index_dir)
+        else spark.createDataFrame([], _LSH_INDEX_SCHEMA)
+    )
+    texts = batch.select("doc_id", "text")
+    if corpus is not None:
+        texts = corpus.select("doc_id", "text").unionByName(texts)
+    pairs, new_buckets = probe_near_dup_batch(
+        batch, index, texts, threshold=threshold
+    )
+    new_ids = batch.select("doc_id")
+    clustered = dedup_clusters(pairs)  # (doc_id, cluster_id) for paired docs
+    cluster_has_old = (
+        clustered.join(new_ids, "doc_id", "left_anti")
+        .select("cluster_id")
+        .distinct()
+        .withColumn("_has_old", F.lit(True))
+    )
+    new_clustered = clustered.join(new_ids, "doc_id")  # new docs in any pair
+    keeper = Window.partitionBy("cluster_id").orderBy("doc_id")
+    drops = (
+        new_clustered.join(cluster_has_old, "cluster_id", "left")
+        .withColumn("_rn", F.row_number().over(keeper))
+        .filter(F.col("_has_old").isNotNull() | (F.col("_rn") > 1))
+        .select("doc_id")
+    )
+    survivors = batch.join(drops, "doc_id", "left_anti")
+
+    # -- 3. append survivors + their index rows ---------------------------
+    survivors.write.mode("append").parquet(sink_dir)
+    new_buckets.join(drops, "doc_id", "left_anti").write.mode("append").parquet(
+        index_dir
+    )
+    new_buckets.unpersist()
+
+
+def _dir_has_data(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def run_near_dedup_ingest(
+    docs: DataFrame,
+    sink_dir: str,
+    index_dir: str,
+    *,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Continuous corpus ingestion with exact AND near-duplicate
+    suppression (see :func:`write_batch_near_deduped`)."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_near_deduped(
+                bdf, bid, sink_dir, index_dir, threshold=threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -455,3 +455,78 @@ def test_dedup_ingest_across_batches_and_replay(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(sink).collect()
     ) == [1, 2, 5]
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dedup_ingest_cross_batch(spark, tmp_path):
+    """Continuous corpus ingestion with exact AND near-dup suppression:
+    cross-batch near-dups drop, within-batch clusters keep min doc_id,
+    exact replays are idempotent, dropped docs never enter the index."""
+    from stock_data_pipeline_spark.streaming.jobs import write_batch_near_deduped
+
+    sink = str(tmp_path / "corpus")
+    index = str(tmp_path / "lsh_index")
+
+    base = ("spark shuffle partition broadcast join window aggregate "
+            "column row schema parquet bucket sort merge hash " * 4)
+    b1 = [
+        (1, base + "alpha bravo charlie"),
+        (2, "totally different tiny text about nothing in particular "
+            "with many unique words one two three four five six seven " * 3),
+        (3, "third document body with its own distinct vocabulary "
+            "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3),
+    ]
+    write_batch_near_deduped(_mk_docs(spark, b1), 0, sink, index)
+    assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {1, 2, 3}
+
+    b2 = [
+        (10, base + "alpha bravo delta"),              # near-dup of doc 1 -> drop
+        (11, "genuinely novel content nowhere else present foo bar baz "
+             "qux quux corge grault garply waldo fred plugh xyzzy " * 3),  # keep
+        (12, "twin texts example same words repeated here exactly "
+             "november oscar papa quebec romeo sierra tango uniform " * 3),  # keep (min of 12/13)
+        (13, "twin texts example same words repeated here exactly "
+             "november oscar papa quebec romeo sierra tango whiskey " * 3),  # near-dup of 12 -> drop
+        (14, b1[1][1]),                                # exact copy of doc 2 -> drop
+    ]
+    write_batch_near_deduped(_mk_docs(spark, b2), 1, sink, index)
+    got = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert got == {1, 2, 3, 11, 12}
+
+    # dropped docs must not pollute the index
+    idx_ids = {r.doc_id for r in spark.read.parquet(index).select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 3, 11, 12}
+
+    # replaying batch 2 (crash-retry) adds nothing: exact pass catches it
+    write_batch_near_deduped(_mk_docs(spark, b2), 1, sink, index)
+    assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {1, 2, 3, 11, 12}
+
+
+def test_near_dedup_ingest_streaming_wiring(spark, tmp_path):
+    """run_near_dedup_ingest drains a file-source landing zone with
+    availableNow and produces the near-deduped corpus + index."""
+    from stock_data_pipeline_spark.streaming.jobs import run_near_dedup_ingest
+
+    land = tmp_path / "landing"; land.mkdir()
+    doc_text = ("streaming ingest corpus document with enough words to "
+                "shingle properly alpha bravo charlie delta echo foxtrot " * 3)
+    _mk_docs(spark, [(1, doc_text), (2, doc_text + " tail variation golf")]).coalesce(1)\
+        .write.parquet(str(tmp_path / "stage"))
+    import shutil
+    part = next(p for p in (tmp_path / "stage").iterdir() if p.suffix == ".parquet")
+    shutil.copy(part, land / "b0.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(land))
+    q = run_near_dedup_ingest(
+        stream, str(tmp_path / "corpus"), str(tmp_path / "idx"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    # docs 1 and 2 are near-dups of each other: min doc_id kept
+    assert {r.doc_id for r in out.collect()} == {1}
