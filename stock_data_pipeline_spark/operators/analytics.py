@@ -702,3 +702,80 @@ def b42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+# --------------------------------------------------------------------------
+# B44 — one-pass table profiling (the ANALYZE/data-quality surface)
+# --------------------------------------------------------------------------
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+# counts-only group: strings and timestamps (min/max stay NULL — no
+# cross-engine-stable double encoding for them)
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "b44_table_profile",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name, COUNT(*) AS n,
+            CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(MIN({c}) AS DOUBLE) AS min_val,
+            CAST(MAX({c}) AS DOUBLE) AS max_val
+            FROM orders''' for c in _PROFILE_NUM_COLS
+    )}
+    UNION ALL
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS column_name, COUNT(*) AS n,
+            CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(NULL AS DOUBLE) AS min_val,
+            CAST(NULL AS DOUBLE) AS max_val
+            FROM orders''' for c in _PROFILE_STR_COLS
+    )}
+    """,
+    driver=False,
+)
+def b44_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: per-column profiling — row/null/distinct counts plus numeric
+    min/max — the ANALYZE-style data-quality summary a warehouse user
+    runs before trusting a table (and the stats a cost-based optimizer
+    wants).
+
+    Scale: ONE scan, one aggregate row carrying every statistic
+    (count-distincts expand to the standard multi-count rewrite), then a
+    constant-width ``stack`` unpivot to the long (column, stats) layout.
+    The oracle spells it as per-column UNION ALL scans — same result,
+    deliberately different plan, which is exactly what a differential
+    check wants.
+    """
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_NUM_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+        ]
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+        ]
+    wide = orders.agg(F.count("*").alias("n"), *aggs)
+    stack_args = []
+    for c in _PROFILE_NUM_COLS:
+        stack_args.append(
+            f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        )
+    for c in _PROFILE_STR_COLS:
+        stack_args.append(
+            f"'{c}', {c}__nn, {c}__nd, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+    n_cols = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
+    return wide.selectExpr(
+        "n",
+        f"stack({n_cols}, {', '.join(stack_args)}) "
+        "AS (column_name, n_null, n_distinct, min_val, max_val)",
+    ).select("column_name", "n", "n_null", "n_distinct", "min_val", "max_val")
