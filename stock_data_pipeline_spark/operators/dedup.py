@@ -584,13 +584,10 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     )
 
 
-@query(
-    "c02_dedup_clusters",
-    # Connected components ARE SQL-expressible when the edge set is (the
-    # exact Jaccard pairs above): transitive closure via recursive CTE,
-    # cluster id = min reachable node. UNION-distinct recursion terminates
-    # because the reachable-label state space is finite.
-    oracle=f"""
+# Shared oracle prefix: exact-Jaccard edge set -> transitive closure via
+# recursive CTE (UNION-distinct terminates: finite reachable-label space),
+# cluster id = min reachable node.
+_CLOSURE_CTE = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
       FROM documents
@@ -620,6 +617,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
       SELECT e.src AS node, r.label AS label
       FROM edges e JOIN reach r ON r.node = e.dst
     )
+"""
+
+
+@query(
+    "c02_dedup_clusters",
+    # Connected components ARE SQL-expressible when the edge set is (the
+    # exact Jaccard pairs above): see _CLOSURE_CTE.
+    oracle=_CLOSURE_CTE
+    + """
     SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
     """,
 )
@@ -633,6 +639,41 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine for an sf0.01 oracle, not for a 100 TB corpus."""
     docs = load(spark, sf_dir, "documents")
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD))
+
+
+@query(
+    "c02_near_dedup_corpus",
+    oracle=_CLOSURE_CTE
+    + """
+    , clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    driver=False,
+)
+def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g: the DEDUPED CORPUS itself — the query every upstream operator
+    in the C2 family exists to serve. Near-dup pairs → connected
+    components → every non-keeper (doc_id ≠ its cluster's min) is
+    anti-joined away; singletons pass through untouched.
+
+    Scale: pairs and clusters are candidate-sized, so the only
+    corpus-sized work is the final LEFT ANTI hash join on doc_id — the
+    drop set broadcasts at any realistic duplicate rate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    )
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
 
 
 # --------------------------------------------------------------------------
