@@ -380,6 +380,44 @@ def ann_ivf_topk(
     return _exact_rerank(candidates, corpus, queries, k)
 
 
+def save_ivf_index(
+    index: "tuple[DataFrame, list[list[float]]]", path: str
+) -> None:
+    """Persist an IVF index as two parquet tables: the (vec_id, cell)
+    assignments partitioned BY CELL (a probe reads only its n_probe
+    partitions — partition pruning does the candidate restriction at the
+    file level), and the n_cells×dim centroid table (a few KB).
+
+    This is the cross-session / cross-job half of build-once-query-many:
+    the quantizer training and the corpus assignment pass run in the
+    offline build job; every search job afterwards just reads the index.
+    """
+    assigned, centers = index
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> "tuple[DataFrame, list[list[float]]]":
+    """Load a persisted IVF index. Assignments stay a lazy parquet scan
+    (cell-partitioned, so probes prune); only the centroid table — by
+    construction n_cells rows — is collected to the driver, same bounded
+    footprint as training."""
+    assigned = spark.read.parquet(f"{path}/assignments").select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centers = [list(map(float, r.centroid)) for r in rows]
+    return assigned, centers
+
+
 # Built index per (session, corpus): IVF practice is build-once,
 # query-many — the quantizer training and the corpus assignment pass are
 # index-construction cost, amortized across every subsequent search. The

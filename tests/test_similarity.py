@@ -137,3 +137,44 @@ def test_quantized_embeddings_reconstruct_cosine(spark, sf_check_dir):
         deq = q / 127.0
         cos = float(deq @ x / (np.linalg.norm(deq) * np.linalg.norm(x)))
         assert cos > 0.99, cos
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted IVF index: a fresh session loading from parquet must
+    answer queries identically to the in-memory index, and the
+    assignments layout must be cell-partitioned for probe pruning."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    built = ivf_index(emb, n_cells=8)
+    save_ivf_index(built, str(tmp_path / "ivf"))
+
+    # layout: one partition dir per cell
+    dirs = {p.name for p in (tmp_path / "ivf" / "assignments").iterdir()
+            if p.name.startswith("cell=")}
+    assert len(dirs) >= 2
+
+    sib = spark.newSession()  # "another job": no shared cache or lineage
+    loaded = load_ivf_index(sib, str(tmp_path / "ivf"))
+    assert loaded[1] == built[1]  # centroids exact (float64 both ways)
+
+    def run(session, index):
+        e = load(session, sf, "embeddings")
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        return sorted(
+            (r.query_id, r.vec_id, r.sim_rank)
+            for r in ann_ivf_topk(e, q, k=5, n_cells=8, index=index).collect()
+        )
+
+    assert run(sib, loaded) == run(spark, built)
