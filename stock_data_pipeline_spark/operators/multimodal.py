@@ -203,6 +203,27 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def encode_jpeg_shell(width: int, height: int) -> bytes:
+    """Structurally well-formed baseline-JPEG prefix: SOI + JFIF APP0 +
+    SOF0 carrying real dimensions + EOI. NOT a pixel-decodable image (no
+    DQT/DHT/SOS entropy data) — it exists to exercise the segment-scan
+    path of :func:`decode_image_dims` the way a real camera file would.
+    """
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + bytes(
+        [0, 1, 0, 1, 0, 0]
+    )
+    # SOF0: len(17) precision(8) height width ncomp(3) + 3×(id,sampling,qt)
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
 def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
     """Real image decode: (format, width, height) from the file header.
 
@@ -211,9 +232,33 @@ def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
     i32 dims at fixed offsets 18/22 of the BITMAPINFOHEADER (height may
     be negative for top-down rows — the logical height is its absolute
     value). P6 PPM: ASCII dims after the magic, comment lines allowed.
-    Raises ValueError on anything else — unknown formats must go to
-    quarantine, not silently pass.
+    JPEG: walk the marker segments to the first SOFn frame header
+    (big-endian height/width at byte 3 of the segment body) — the same
+    scan fast image pipelines use to get dimensions WITHOUT entropy
+    decoding. Raises ValueError on anything else — unknown formats must
+    go to quarantine, not silently pass.
     """
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI before any frame header
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    break
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", width, height)
+            i += 2 + seg_len
+        raise ValueError("corrupt JPEG: no SOF frame header found")
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         if payload[12:16] != b"IHDR":
             raise ValueError("corrupt PNG: IHDR not first chunk")
@@ -241,7 +286,9 @@ def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
             i = j
         if len(fields) == 2:
             return ("ppm", int(fields[0]), int(fields[1]))
-    raise ValueError("unsupported image format (expected PNG, BMP, or P6 PPM)")
+    raise ValueError(
+        "unsupported image format (expected JPEG, PNG, BMP, or P6 PPM)"
+    )
 
 
 IMAGE_SCHEMA = "doc_id bigint, fmt string, width int, height int, img_bytes int"

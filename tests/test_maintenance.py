@@ -137,3 +137,31 @@ def test_merge_upsert_rejects_column_mismatch(spark, tmp_path):
         merge_upsert(spark, path, wider, keys=["ticker"], version_col="version")
     # table untouched by the failed merges
     assert spark.read.parquet(path).count() == 3
+
+
+def test_append_sink_schema_evolution_mergeschema(spark, tmp_path):
+    """Operational reality at 100 TB: a new nullable measure column starts
+    arriving mid-stream. Parquet append + mergeSchema read must surface
+    the superset schema with NULLs for pre-evolution rows — the Spark
+    analog of the reference's BigQuery schema autodetect-on-append."""
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "sink")
+    v1 = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
+    )
+    v1.write.mode("append").parquet(sink)
+    v2 = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("price"),
+        (F.col("id") * 10).alias("volume"),  # new column mid-stream
+    )
+    v2.write.mode("append").parquet(sink)
+
+    out = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert set(out.columns) == {"k", "price", "volume"}
+    assert out.count() == 20
+    nulls = out.filter(F.col("volume").isNull()).select("k").collect()
+    assert {r.k for r in nulls} == set(range(10))
+    # and the evolved rows carry real values
+    assert out.filter(F.col("k") == 15).first().volume == 150

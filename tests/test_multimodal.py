@@ -253,3 +253,23 @@ def test_decode_image_dims_png_roundtrip_and_validity():
         assert len(raw) == h * (1 + 3 * w)  # filter byte + RGB per line
     with pytest.raises(ValueError):
         decode_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"XXXX" + b"\x00" * 8)
+
+
+def test_jpeg_sof_dimension_scan():
+    """JPEG dims come from the SOFn segment scan, wherever it sits."""
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+        encode_jpeg_shell,
+    )
+
+    for w, h in [(1, 1), (640, 480), (65535, 2)]:
+        assert decode_image_dims(encode_jpeg_shell(w, h)) == ("jpeg", w, h)
+    # SOI but no frame header -> quarantine, not a silent zero
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image_dims(b"\xff\xd8\xff\xd9")
+    # progressive marker (SOF2) parses the same frame-header layout
+    shell = bytearray(encode_jpeg_shell(33, 44))
+    shell[shell.index(b"\xff\xc0") + 1] = 0xC2
+    assert decode_image_dims(bytes(shell)) == ("jpeg", 33, 44)
