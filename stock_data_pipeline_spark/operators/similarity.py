@@ -12,6 +12,8 @@ JVM-side, no Python in the scoring loop.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -421,18 +423,24 @@ def load_ivf_index(
 # Built index per (session, corpus): IVF practice is build-once,
 # query-many — the quantizer training and the corpus assignment pass are
 # index-construction cost, amortized across every subsequent search. The
-# assignment table (~5 B/vector) is persisted; the key includes the Spark
-# application id so a cached frame can never outlive its session.
-_IVF_INDEX_CACHE: dict = {}
+# assignment table (~5 B/vector) is persisted; keyed by the LIVE SESSION
+# object (weak — same rationale as catalog._LOAD_MEMO: sibling sessions
+# share an applicationId but a cached frame belongs to the session that
+# built it, and entries must die with their session).
+_IVF_INDEX_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]"
+_IVF_INDEX_CACHE = weakref.WeakKeyDictionary()
 
 
 def c03_ivf_cached_index(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_INDEX_CACHE:
+    try:
+        per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable
+        per_session = {}
+    if sf_dir not in per_session:
         emb = load(spark, sf_dir, "embeddings")
         assigned, centers = ivf_index(emb, train_fraction=0.25)
-        _IVF_INDEX_CACHE[key] = (assigned.persist(), centers)
-    return _IVF_INDEX_CACHE[key]
+        per_session[sf_dir] = (assigned.persist(), centers)
+    return per_session[sf_dir]
 
 
 @query("c03_ann_ivf")
