@@ -1039,3 +1039,42 @@ def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B45 — ANSI-safe arithmetic (try_* surface for dirty data)
+# --------------------------------------------------------------------------
+@query(
+    "b45_try_arithmetic",
+    oracle="""
+    SELECT
+      event_id,
+      CASE WHEN user_id % 10 = 0 THEN NULL
+           ELSE CAST(event_id AS DOUBLE) / (user_id % 10) END AS safe_ratio,
+      TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+      TRY_CAST(CAST(user_id AS VARCHAR) AS DOUBLE) AS good_cast,
+      str_split(event_type, 'i')[3] AS oob_element
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+    driver=False,
+)
+def b45_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: the ANSI-mode safety surface. Spark 4 runs ANSI on by default,
+    so a division by zero, an invalid cast, or an out-of-bounds element
+    access is a JOB-KILLING error — correct for catching bugs, wrong for
+    a 100 TB scan where one dirty row must not fail the batch. The
+    ``try_*`` family degrades exactly those rows to NULL (which then
+    flows to the B16 null-handling / quarantine machinery) while every
+    clean row keeps full ANSI semantics. The oracle mirrors each
+    NULL-on-failure case with DuckDB's TRY_CAST / guarded CASE /
+    1-based-NULL-OOB list access.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.try_divide(F.col("event_id"), F.col("user_id") % 10).alias("safe_ratio"),
+        F.col("event_type").try_cast("double").alias("bad_cast"),
+        F.col("user_id").cast("string").try_cast("double").alias("good_cast"),
+        F.try_element_at(F.split("event_type", "i"), F.lit(3)).alias("oob_element"),
+    )
