@@ -605,8 +605,15 @@ def write_batch_near_deduped(
         corpus = None
     if corpus is not None:
         batch = batch.join(corpus.select("fingerprint"), "fingerprint", "left_anti")
-    # two probe passes + cluster iteration re-read the exact-pass output;
-    # localCheckpoint cuts the replayed window+anti-join lineage
+    # CORRECTNESS, not just lineage-trimming: the sink-append below happens
+    # between two actions that both consume `batch` (survivor write, then
+    # index write). Without pinning, the second action would re-run the
+    # fingerprint anti-join against the sink WE JUST APPENDED TO — every
+    # batch row would vanish, emptying `drops` and letting dropped docs'
+    # buckets into the index. The lazy localCheckpoint materializes on the
+    # first action (dedup_clusters' internal counts, before any write), so
+    # later actions replay the pinned pre-append snapshot. It also cuts
+    # the re-evaluated window+anti-join lineage, but that's the bonus.
     batch = batch.localCheckpoint(eager=False)
 
     # -- 2. near pass (vs index + within batch) ---------------------------
