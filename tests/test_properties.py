@@ -97,3 +97,29 @@ def test_exact_dedup_fingerprint_groups_cover_all_docs(spark, texts):
     )
     assert sum(r.n for r in out) == len(texts)
     assert all(0 <= r.keeper < len(texts) for r in out)
+
+
+@settings(**_SETTINGS)
+@given(values=amounts)
+def test_dec_sum_matches_duckdb_spelling_on_adversarial_values(spark, values):
+    """The Spark dec_sum expression and the DuckDB sql_dec_sum spelling
+    must agree on ANY doubles — including .xx5 rounding boundaries —
+    because both reduce to the same IEEE ops: x*100.0, +0.5, floor,
+    integer sum, /100.0. Python floats ARE IEEE doubles, so the local
+    recompute is a third independent implementation of the contract."""
+    import math
+
+    import duckdb
+
+    from stock_data_pipeline_spark.functions.exact import sql_dec_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got_spark = df.agg(dec_sum("v").alias("s")).collect()[0].s
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    got_duck = con.execute(f"SELECT {sql_dec_sum('v')} FROM t").fetchone()[0]
+
+    want = sum(math.floor(v * 100.0 + 0.5) for v in values) / 100.0
+    assert got_spark == got_duck == want
