@@ -636,3 +636,69 @@ def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/quality gate, exact dedup, and split assignment fused into one
     Catalyst plan (one shuffle, on the fingerprint)."""
     return prep_pipeline(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C8e — quantile bucketization (feature discretization for training prep)
+# --------------------------------------------------------------------------
+@query(
+    "c08_quantile_bucketize",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5)  AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN value <= q1 THEN 0
+                WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events, cuts
+    GROUP BY event_type,
+           CASE WHEN value <= q1 THEN 0
+                WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2
+                ELSE 3 END
+    """,
+    driver=False,
+)
+def c08_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8e: discretize a numeric feature into corpus-quantile buckets —
+    the standard feature-engineering step before stratified balancing or
+    per-bucket quota sampling of training data.
+
+    Cutpoints use EXACT interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the equivalence b15_exact_percentiles
+    pins), computed as a 1-row aggregate that broadcasts into a map-side
+    CASE — the corpus scans twice (once for cutpoints, once for
+    assignment) but never shuffles rows; both aggregates are map-side
+    partial. At 100 TB swap the exact percentile for
+    ``approx_percentile`` and the plan shape is unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.5)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select("event_type", "value", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
