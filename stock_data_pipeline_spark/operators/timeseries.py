@@ -238,6 +238,96 @@ def b07_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B7d — nearest-direction as-of join (pandas merge_asof direction='nearest')
+# --------------------------------------------------------------------------
+@query(
+    "b07_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.ts, p.value,
+                  b.ts AS back_ts, b.value AS back_value,
+                  f.ts AS fwd_ts,  f.value AS fwd_value
+           FROM p
+           ASOF LEFT JOIN c b ON p.user_id = b.user_id AND p.ts >= b.ts
+           ASOF LEFT JOIN c f ON p.user_id = f.user_id AND p.ts <= f.ts
+         )
+    SELECT event_id, user_id, ts, value,
+      CASE WHEN fwd_ts IS NULL THEN back_ts
+           WHEN back_ts IS NULL THEN fwd_ts
+           WHEN ts - back_ts <= fwd_ts - ts THEN back_ts
+           ELSE fwd_ts END AS near_click_ts,
+      CASE WHEN fwd_ts IS NULL THEN back_value
+           WHEN back_ts IS NULL THEN fwd_value
+           WHEN ts - back_ts <= fwd_ts - ts THEN back_value
+           ELSE fwd_value END AS near_click_value
+    FROM j
+    """,
+    driver=False,
+)
+def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7d: nearest-neighbor as-of — each purchase matches the click
+    closest in time in EITHER direction (pandas ``merge_asof
+    direction='nearest'``), ties broken toward the prior click.
+
+    Same single union-and-carry pass as b07_asof_join, run through two
+    windows over the one sorted exchange: the ascending window carries
+    the last prior click forward, the descending window carries the next
+    future click backward (at equal ts the click sorts before the
+    purchase in BOTH directions, so an exact-time click is visible to
+    each). Nearest-pick is a row-local CASE. Still exactly ONE shuffle on
+    the key — the naive formulation is two range joins. Oracle: DuckDB's
+    bidirectional ASOF (>= and <=) plus the same CASE.
+    """
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("side"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("side"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_both = (
+        tagged.withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("back_value", F.last("click_value", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.last("click_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("fwd_value", F.last("click_value", ignorenulls=True).over(w_fwd))
+        .filter(F.col("side") == 1)
+    )
+    # interval comparison, not cast("long"): the long cast truncates to
+    # whole seconds and mis-breaks ties at microsecond precision
+    back_wins = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull()
+        & (F.col("ts") - F.col("back_ts") <= F.col("fwd_ts") - F.col("ts"))
+    )
+    return with_both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(back_wins, F.col("back_ts")).otherwise(F.col("fwd_ts")).alias(
+            "near_click_ts"
+        ),
+        F.when(back_wins, F.col("back_value"))
+        .otherwise(F.col("fwd_value"))
+        .alias("near_click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B28 — time-bucket gap fill (hypertable-style continuous aggregate)
 # --------------------------------------------------------------------------
 @query(
