@@ -309,18 +309,8 @@ def ivf_index(
     # Column objects: each lit is a py4j round trip, and the literal is
     # rebuilt for assignment AND probing — ~2k driver→JVM calls per query
     # that a single expr() string parse replaces (~0.5 s saved per stage
-    # at any scale; it's pure driver overhead).
-    dists = F.expr(
-        f"transform({_centroid_sql(centers_list)}, c -> "
-        "aggregate(zip_with(embedding, c, (x, y) -> "
-        "(cast(x as double) - y) * (cast(x as double) - y)), "
-        "cast(0.0 as double), (acc, v) -> acc + v))"
-    )
-    assigned = feats.select(
-        "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
-    )
-    return assigned, centers_list
+    # at any scale; it's pure driver overhead). See assign_to_cells.
+    return assign_to_cells(feats, centers_list), centers_list
 
 
 def ann_ivf_topk(
@@ -403,6 +393,44 @@ def save_ivf_index(
         [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def assign_to_cells(
+    vectors: DataFrame, centers: list[list[float]]
+) -> DataFrame:
+    """(vec_id, cell) for ``vectors`` against a FIXED centroid list — the
+    map-side argmin expression shared by index build and incremental
+    ingest. No shuffle, no Python."""
+    dists = F.expr(
+        f"transform({_centroid_sql(centers)}, c -> "
+        "aggregate(zip_with(embedding, c, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    return vectors.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )
+
+
+def append_ivf_batch(spark: SparkSession, new_vectors: DataFrame, path: str) -> None:
+    """Incremental IVF maintenance for one ingest batch: assign the NEW
+    vectors against the PERSISTED centroids (loaded once — n_cells rows)
+    and append their (vec_id, cell) rows to the cell-partitioned
+    assignment table. No retraining, no rescan of existing assignments —
+    per batch the cost is one map-side argmin pass over the batch.
+
+    The quantizer is deliberately frozen: IVF practice retrains the
+    coarse centroids OFFLINE when drift makes cells imbalanced (monitor
+    with a per-cell count over the manifest-cheap assignments table),
+    because retraining invalidates every existing assignment. Frozen
+    centroids keep incremental assignment exactly equal to what a full
+    rebuild with the same centroids would produce (asserted in tests).
+    """
+    _, centers = load_ivf_index(spark, path)
+    assign_to_cells(new_vectors, centers).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/assignments")
 
 
 def load_ivf_index(

@@ -178,3 +178,43 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
         )
 
     assert run(sib, loaded) == run(spark, built)
+
+
+def test_incremental_ivf_assignment_equals_rebuild(spark, tmp_path):
+    """Appending a batch against frozen persisted centroids must produce
+    exactly the assignments a full pass with the same centroids would,
+    and loaded queries must see the new vectors."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        append_ivf_batch,
+        assign_to_cells,
+        ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+
+    save_ivf_index(ivf_index(old, n_cells=8), str(tmp_path / "ivf"))
+    append_ivf_batch(spark, new, str(tmp_path / "ivf"))
+
+    assigned, centers = load_ivf_index(spark, str(tmp_path / "ivf"))
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    want = {r.vec_id: r.cell for r in assign_to_cells(emb, centers).collect()}
+    assert got == want  # incremental == full pass under frozen centroids
+
+    # queries against the grown index can now return NEW vectors
+    q = emb.filter(F.col("vec_id") == 1)
+    hits = {
+        r.vec_id
+        for r in ann_ivf_topk(
+            emb, q, k=10, n_cells=8, index=(assigned, centers)
+        ).collect()
+    }
+    assert hits & {r.vec_id for r in new.select("vec_id").collect()}
