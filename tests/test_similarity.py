@@ -218,3 +218,38 @@ def test_incremental_ivf_assignment_equals_rebuild(spark, tmp_path):
         ).collect()
     }
     assert hits & {r.vec_id for r in new.select("vec_id").collect()}
+
+
+def test_cosine_pandas_matches_jvm_path(spark, sf_dir):
+    """The Arrow-vectorized cosine must agree with the JVM
+    higher-order-function cosine to double precision on real pairs."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_pandas_scores,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = q.crossJoin(
+        F.broadcast(
+            emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+        )
+    )
+    jvm = {
+        (r.query_id, r.vec_id): r.c
+        for r in pairs.select(
+            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("c")
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in cosine_pandas_scores(pairs).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for k, v in jvm.items():
+        assert abs(arrow[k] - v) < 1e-12, k
