@@ -55,3 +55,28 @@ def test_quarantine_batch_never_fails_whole_scan(spark, tmp_path):
     good, bad = read_csv_quarantined(spark, str(p), TICKER_SCHEMA)
     assert good.count() + bad.count() == 3
     assert all(r.Price is None or isinstance(r.Price, float) for r in good.collect())
+
+
+def test_corrupt_parquet_file_skipped_not_fatal(spark, tmp_path):
+    """A truncated/garbage parquet file inside a scan directory must not
+    kill the batch when ignoreCorruptFiles is on — at 100 TB one bad
+    object is a certainty, and the default fail-fast is the right
+    debugging posture but the wrong production one. Both modes checked."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    sink = tmp_path / "scan"
+    sink.mkdir()
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(sink))
+    (sink / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    # default: fail fast (and loudly)
+    with pytest.raises(Exception):
+        spark.read.parquet(str(sink)).count()
+
+    out = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(sink)).count()
+    )
+    assert out == 100
