@@ -694,3 +694,79 @@ def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4j: winnowing (MOSS) document fingerprints — per-window minimum
     of k-gram hashes, the guaranteed-overlap sub-linear fingerprint set."""
     return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C4k — per-document unigram log-likelihood (LM-based quality signal)
+# --------------------------------------------------------------------------
+@query(
+    "c04_unigram_logprob",
+    oracle=f"""
+    WITH td AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    freq AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS c FROM td GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM td)
+    SELECT
+      td.doc_id,
+      CAST(SUM(td.cnt) AS BIGINT) AS n_tokens,
+      {sql_trunc6(
+          "(" + sql_dec_sum(
+              "td.cnt * -ln(CAST(freq.c AS DOUBLE) / tot.n)", 6
+          ) + " / SUM(td.cnt))"
+      )} AS avg_neg_logprob
+    FROM td JOIN freq ON td.token = freq.token CROSS JOIN tot
+    GROUP BY td.doc_id
+    """,
+    driver=False,
+)
+def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4k: mean negative log-likelihood of each document under the
+    corpus's own unigram LM — the classical model-based quality filter
+    (gibberish and boilerplate-repetition outliers score far from the
+    corpus mode; cf. the perplexity gates in CCNet/Gopher-style
+    pipelines, here with the corpus itself as the LM so no external
+    model ships).
+
+    Scale: ONE tokenize+explode pass collapsed to per-(doc, token)
+    counts, then PERSISTED — frequency table, corpus total, and the
+    scoring join all reuse the collapsed index instead of re-tokenizing
+    (same persist-the-index shape as MinHash LSH; ~tokens/2 rows, two
+    ints each). The scoring join is keyed on token against the
+    vocabulary-sized frequency table; -ln weights accumulate through
+    dec_sum so the score is partition-order-independent.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.exact import dec_sum
+    from ..functions.partitioning import rebalance
+
+    docs = load(spark, sf_dir, "documents")
+    td = (
+        rebalance(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = td.groupBy("token").agg(F.sum("cnt").cast("bigint").alias("c"))
+    tot = td.agg(F.sum("cnt").cast("bigint").alias("n"))
+    neg_logprob = F.col("cnt") * -F.log(
+        F.col("c").cast("double") / F.col("n")
+    )
+    return (
+        td.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            trunc6(dec_sum(neg_logprob, 6) / F.sum("cnt")).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
