@@ -32,6 +32,31 @@ def _max_partition_bytes(spark) -> int:
     return int(raw) if raw.isdigit() else 128 * 1024 * 1024
 
 
+def session_parallelism(spark) -> int:
+    """Target task parallelism for the session.
+
+    Classic: ``sparkContext.defaultParallelism``. Spark Connect clients
+    have no SparkContext, so fall back to the shuffle-partition conf —
+    the same order of magnitude, and only used to decide whether a widen
+    is worthwhile."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Connect client
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _rdd_partitions_or(df: DataFrame, default: int) -> int:
+    """Exact RDD partition count, or ``default`` where ``.rdd`` does not
+    exist (Spark Connect). The callers use this when file sizes are not
+    stat-able; returning ``default`` (= the target) makes ``rebalance`` a
+    NO-OP there — the conservative choice, since a blind repartition of
+    an unknown-size source is the catastrophic path at scale."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - Connect client
+        return default
+
+
 def _estimated_scan_partitions(df: DataFrame, target: int) -> int:
     """Estimate the scan's partition count from file count + sizes.
 
@@ -49,22 +74,22 @@ def _estimated_scan_partitions(df: DataFrame, target: int) -> int:
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme not in ("file", ""):
-            return df.rdd.getNumPartitions()
+            return _rdd_partitions_or(df, target)
         try:
             size = os.path.getsize(parsed.path)
         except OSError:
-            return df.rdd.getNumPartitions()
+            return _rdd_partitions_or(df, target)
         est += max(1, -(-size // mpb))
         if est >= target:
             return est
     if not files:
-        return df.rdd.getNumPartitions()
+        return _rdd_partitions_or(df, target)
     return est
 
 
 def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the frame is under-parallelized."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    target = min_partitions or session_parallelism(df.sparkSession)
     if _estimated_scan_partitions(df, target) >= target:
         return df
     return df.repartition(target)

@@ -593,9 +593,9 @@ def with_indicators(events: DataFrame) -> DataFrame:
     # (bytes are small, compute isn't); a user-specified partition count
     # both satisfies the groupBy distribution (no second exchange) and is
     # exempt from coalescing. Measured 2.2× on local[32].
-    n_part = min(
-        N_INDICATOR_SHARDS, events.sparkSession.sparkContext.defaultParallelism
-    )
+    from ..functions.partitioning import session_parallelism
+
+    n_part = min(N_INDICATOR_SHARDS, session_parallelism(events.sparkSession))
     return (
         events.select("user_id", "event_id", "ts", "value")
         .withColumn("_shard", shard)
