@@ -246,3 +246,46 @@ def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(scaled, "value_sq").alias("value_sq_x2"),
         F.element_at(scaled, "neg").alias("neg_x2"),
     )
+
+
+@query(
+    "c06_xml_extract",
+    oracle="""
+    SELECT doc_id,
+           'https://news.example/' || CAST(doc_id AS VARCHAR) || '/' ||
+             CAST(item AS VARCHAR) AS href,
+           source || ' headline ' || CAST(item AS VARCHAR) AS title
+    FROM documents, (SELECT unnest([0, 1]) AS item)
+    WHERE doc_id % 7 = 0
+    """,
+    driver=False,
+)
+def c06_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6c: the declarative XML/DOM extraction path, driver-checkable —
+    each row renders a well-formed news-list snippet from its own
+    columns, ``parse_news_dom`` (from_xml) parses it back, and the
+    exploded (href, title) rows must equal what the oracle derives
+    directly from the columns. The render step exists to make the PARSER
+    the thing under differential test; in production the snippet column
+    is the landed raw HTML (see A13 / sources/fetch.py).
+
+    Scale: render + parse + explode are all row-local JVM expressions —
+    map-only, no Python, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    li = (
+        "<li><a href=\"https://news.example/%s/%s\">%s headline %s</a></li>"
+    )
+    html = F.format_string(
+        f"<ul>{li}{li}</ul>",
+        F.col("doc_id"), F.lit(0), F.col("source"), F.lit(0),
+        F.col("doc_id"), F.lit(1), F.col("source"), F.lit(1),
+    )
+    return (
+        docs.select("doc_id", F.explode(parse_news_dom(html)).alias("h"))
+        .select(
+            "doc_id",
+            F.col("h.href").alias("href"),
+            F.col("h.title").alias("title"),
+        )
+    )
