@@ -475,6 +475,34 @@ def append_ivf_batch(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     ).parquet(f"{path}/assignments")
 
 
+def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
+    """Per-cell occupancy of an IVF assignment table plus the imbalance
+    signal that schedules offline retraining: ``share`` (fraction of the
+    corpus in the cell) and ``skew`` (cell count / ideal uniform count).
+    One count aggregate over the ~5 B/vector assignments — cheap enough
+    to run after every :func:`append_ivf_batch`.
+
+    Retrain policy (documented, not automated — retraining invalidates
+    every assignment so it is an operator decision): when ``max(skew)``
+    grows past ~4, probes of hot cells rerank a growing slice of the
+    corpus and the n_probe/n_cells cost model drifts; rebuild with
+    :func:`ivf_index` and :func:`save_ivf_index` offline.
+    """
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    totals = counts.agg(
+        F.sum("n_vectors").alias("total"), F.count("*").alias("n_cells")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n_vectors",
+        (F.col("n_vectors") / F.col("total")).alias("share"),
+        (
+            F.col("n_vectors")
+            / (F.col("total") / F.col("n_cells"))
+        ).alias("skew"),
+    )
+
+
 def load_ivf_index(
     spark: SparkSession, path: str
 ) -> "tuple[DataFrame, list[list[float]]]":

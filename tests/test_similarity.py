@@ -253,3 +253,19 @@ def test_cosine_pandas_matches_jvm_path(spark, sf_dir):
     assert set(jvm) == set(arrow)
     for k, v in jvm.items():
         assert abs(arrow[k] - v) < 1e-12, k
+
+
+def test_ivf_cell_stats_flags_imbalance(spark):
+    """Occupancy shares sum to 1 and a planted hot cell surfaces with
+    skew >> 1 (the retrain trigger signal)."""
+    from stock_data_pipeline_spark.operators.similarity import ivf_cell_stats
+
+    rows = [(i, 0) for i in range(90)] + [(100 + i, c) for c in (1, 2) for i in range(5)]
+    assigned = spark.createDataFrame(
+        [(v, c) for v, c in rows], "vec_id long, cell int"
+    )
+    stats = {r.cell: r for r in ivf_cell_stats(assigned).collect()}
+    assert abs(sum(r.share for r in stats.values()) - 1.0) < 1e-12
+    assert stats[0].n_vectors == 90
+    assert stats[0].skew > 2.5  # 90 of 100 in one of 3 cells
+    assert stats[1].skew < 1.0
