@@ -770,3 +770,46 @@ def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C4l — corpus length distribution (log2-bucket histogram)
+# --------------------------------------------------------------------------
+@query(
+    "c04_length_histogram",
+    oracle=f"""
+    SELECT
+      CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT) AS log2_bucket,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+      CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+    FROM (SELECT len({sql_tokens('text')}) AS n_tok FROM documents)
+    GROUP BY CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT)
+    """,
+    driver=False,
+)
+def c04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4l: document-length distribution in log2 buckets — the first
+    chart anyone makes of a training corpus (too-short and too-long
+    tails drive the chunking/filter thresholds in c09/c04).
+
+    Scale: map-only token count + one tiny hash aggregate (≤ ~40
+    buckets); identical-double ln/floor arithmetic on integer token
+    counts keeps the bucketing engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    bucket = F.floor(
+        F.log(F.greatest(n_tok, F.lit(1)).cast("double")) / F.log(F.lit(2.0))
+    ).cast("bigint")
+    return (
+        docs.select(n_tok.alias("n_tok"), bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+    )
