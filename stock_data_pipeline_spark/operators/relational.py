@@ -472,6 +472,44 @@ def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only.unionByName(both)
 
 
+@query(
+    "b12_set_ops_all",
+    oracle="""
+    SELECT 'both_all' AS side, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_surplus' AS side, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    driver=False,
+)
+def b12_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12b: MULTISET set ops — ``intersectAll`` keeps min(multiplicity)
+    copies per value, ``exceptAll`` keeps the count difference; the
+    distinct-variant twin of b12_set_ops, exercised on a key column that
+    genuinely repeats (one row per event, not per user).
+
+    Scale: same hash-shuffle-both-sides shape as the distinct variants,
+    but the exchange carries full multiplicity — at 100 TB pre-aggregate
+    to (key, count) and reconstruct when multiplicities are large; here
+    the raw form IS the test of the operator.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersectAll(purchases).select(
+        F.lit("both_all").alias("side"), "user_id"
+    )
+    surplus = clicks.exceptAll(purchases).select(
+        F.lit("click_surplus").alias("side"), "user_id"
+    )
+    return both.unionByName(surplus)
+
+
 # --------------------------------------------------------------------------
 # B13 — rollup / cube (grouping sets)
 # --------------------------------------------------------------------------
