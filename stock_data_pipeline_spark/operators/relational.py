@@ -1116,3 +1116,38 @@ def b45_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").try_cast("double").alias("good_cast"),
         F.try_element_at(F.split("event_type", "i"), F.lit(3)).alias("oob_element"),
     )
+
+
+# --------------------------------------------------------------------------
+# B46 — correlated LATERAL subquery (per-row dependent top-k)
+# --------------------------------------------------------------------------
+_LATERAL_TOPK_SQL = """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           l.l_linenumber, l.l_extendedprice
+    FROM orders o JOIN LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC
+      LIMIT 2
+    ) l ON TRUE
+    WHERE o.o_orderkey % 50 = 0
+"""
+
+
+@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=False)
+def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: LATERAL correlated subquery — the two most expensive line
+    items PER ORDER, written as a per-row dependent subquery. The
+    IDENTICAL SQL text runs on DuckDB as the oracle.
+
+    Catalyst decorrelates this into the same plan the window formulation
+    produces (join + per-key rank, WindowGroupLimit pruning) — it never
+    executes one subquery per outer row, which is what makes LATERAL
+    usable at 100 TB. The surface matters because analysts write the
+    correlated form; the engine's job is making it the fast form.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
