@@ -289,3 +289,42 @@ def c06_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.title").alias("title"),
         )
     )
+
+
+@query(
+    "c07_inline_zip",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding[1:4], 1) - 1 AS INT) AS pos,
+           CAST(unnest(embedding[1:4]) AS DOUBLE) AS val,
+           CAST(generate_subscripts(embedding[1:4], 1) - 1 AS INT) * 10 + label
+             AS tag
+    FROM embeddings
+    """,
+    driver=False,
+)
+def c07_inline_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b: struct-array construction and fan-out — ``arrays_zip`` pairs
+    each (bounded) embedding prefix with its position, ``inline``
+    explodes the struct array to one typed row per element, and a
+    derived column proves the zipped fields stay aligned. Oracle: DuckDB
+    zips lockstep unnest + generate_subscripts over the same prefix
+    (WITH ORDINALITY is unimplemented there).
+
+    Scale: pure codegen fan-out (bounded ×4 here; unbounded inline is the
+    same plan), no shuffle, no Python.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    prefix = F.slice("embedding", 1, 4)
+    zipped = F.arrays_zip(
+        F.transform(prefix, lambda x: x.cast("double")),
+        F.sequence(F.lit(0), F.size(prefix) - 1),
+    )
+    return emb.select(
+        "vec_id", "label", F.inline(zipped)
+    ).select(
+        "vec_id",
+        F.col("1").cast("int").alias("pos"),
+        F.col("0").alias("val"),
+        (F.col("1").cast("int") * 10 + F.col("label")).alias("tag"),
+    )
