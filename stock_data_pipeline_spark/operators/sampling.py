@@ -702,3 +702,74 @@ def c08_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C9e — deterministic shard-interleaved read order (data-loader order)
+# --------------------------------------------------------------------------
+_N_INTERLEAVE_SHARDS = 4
+
+
+@query(
+    "c09_interleave_order",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id,
+        CAST((CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_N_INTERLEAVE_SHARDS}) AS INT) AS shard,
+        md5('order:' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    ),
+    seqd AS (
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY shard ORDER BY ord_key ASC, doc_id ASC
+        ) - 1 AS BIGINT) AS seq
+      FROM sharded
+    )
+    SELECT doc_id, shard, seq,
+           seq * {_N_INTERLEAVE_SHARDS} + shard AS global_order
+    FROM seqd
+    """,
+    driver=False,
+)
+def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9e: the canonical data-loader read order over sharded exports —
+    each shard is internally shuffled by a seeded content hash, and the
+    global training order round-robins across shards
+    (``global_order = seq·n_shards + shard``), so no source/shard runs
+    in a long contiguous block. Engine-independent: both the shard
+    assignment (the export layout of sources/export.py) and the
+    within-shard order derive from md5 of the doc id, so a reader in ANY
+    engine reconstructs the identical curriculum.
+
+    Scale: one shuffle (the per-shard window); at a fixed shard count
+    the rank state is O(rows/shard) per task and the order is stable
+    under any input partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shard = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % _N_INTERLEAVE_SHARDS
+    ord_key = F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.asc("ord_key"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            shard.cast("int").alias("shard"),
+            ord_key.alias("ord_key"),
+        )
+        .withColumn("seq", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(
+            "doc_id",
+            "shard",
+            "seq",
+            (F.col("seq") * _N_INTERLEAVE_SHARDS + F.col("shard")).alias(
+                "global_order"
+            ),
+        )
+    )
