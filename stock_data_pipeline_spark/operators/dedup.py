@@ -785,3 +785,40 @@ def c02_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16-token windows whose content occurs more than once corpus-wide
     (window-hash formulation of suffix-array substring dedup)."""
     return duplicate_span_stats(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# LSH banding calculator — pick (bands, rows) for a target threshold
+# --------------------------------------------------------------------------
+def lsh_tuning(
+    threshold: float, k: int = 32
+) -> "tuple[int, int, float]":
+    """Choose the (bands, rows) factorization of a ``k``-permutation
+    MinHash signature whose S-curve threshold best matches ``threshold``.
+
+    The probability two docs with Jaccard ``s`` share at least one band
+    bucket is ``1 - (1 - s^r)^b``; its inflection sits near
+    ``(1/b)^(1/r)``. Scanning the divisor pairs of ``k`` and minimizing
+    the distance of that inflection to the target keeps candidate
+    generation aligned with the verification threshold — bands too wide
+    flood the verifier with false candidates, too narrow and recall
+    collapses BEFORE verification can save it (verification only ever
+    removes pairs). Returns ``(bands, rows, inflection)``.
+
+    Driver-side arithmetic over ≤ a few dozen divisor pairs — use it to
+    parameterize :func:`minhash_lsh_pairs` / :func:`lsh_bucket_index`
+    when the dedup threshold changes, instead of hand-tuning.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, k + 1):
+        if k % rows:
+            continue
+        bands = k // rows
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        score = abs(inflection - threshold)
+        if best is None or score < best[3]:
+            best = (bands, rows, inflection, score)
+    bands, rows, inflection, _ = best
+    return bands, rows, inflection

@@ -282,3 +282,27 @@ def test_incremental_lsh_probe_equals_full_recompute(spark, doc_df):
     # the appended index rows cover exactly the new docs
     new_ids = {r.doc_id for r in new_buckets.select("doc_id").distinct().collect()}
     assert new_ids == {r.doc_id for r in batch2.select("doc_id").collect()}
+
+
+def test_lsh_tuning_matches_thresholds():
+    """The chosen banding's S-curve inflection must track the requested
+    threshold monotonically, and the (8, 4) default must be what the
+    calculator picks near the engine's 0.1-0.2 operating range."""
+    import pytest
+
+    from stock_data_pipeline_spark.operators.dedup import lsh_tuning
+
+    b_lo, r_lo, t_lo = lsh_tuning(0.15)
+    assert (b_lo, r_lo) == (8, 4) or t_lo == pytest.approx(0.15, abs=0.25)
+    # higher target threshold -> fewer/wider bands (higher inflection)
+    prev = 0.0
+    for target in (0.1, 0.3, 0.5, 0.7, 0.9):
+        _, _, infl = lsh_tuning(target)
+        assert infl >= prev - 1e-9
+        prev = infl
+    # factorization is always exact
+    for target in (0.05, 0.33, 0.62, 0.95):
+        bands, rows, _ = lsh_tuning(target)
+        assert bands * rows == 32
+    with pytest.raises(ValueError):
+        lsh_tuning(0.0)
