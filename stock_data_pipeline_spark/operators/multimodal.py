@@ -494,3 +494,23 @@ def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("window_rms", F.col("n_windows") - 1).alias("rms_last"),
         F.array_max("window_rms").alias("rms_max"),
     )
+
+
+def payload_format(col: "str | F.Column") -> "F.Column":
+    """JVM-side magic-byte format sniffing for a binary payload column —
+    the dispatch step of a mixed-modality pipeline (route JPEGs to the
+    image decoder, PCM to the DSP pass, quarantine the rest) executed as
+    a codegen CASE over the first bytes, so filtering and partitioning
+    by modality never leave the JVM. The Python decoders
+    (:func:`decode_image_dims`) stay for the per-format parsing; THIS
+    keeps the corpus-wide scan that decides who parses what on the fast
+    path. Returns 'jpeg' | 'png' | 'bmp' | 'ppm' | 'unknown'.
+    """
+    b = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(F.substring(b, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
+        .when(F.substring(b, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(F.substring(b, 1, 2) == F.lit(b"BM"), "bmp")
+        .when(F.substring(b, 1, 2) == F.lit(b"P6"), "ppm")
+        .otherwise("unknown")
+    )

@@ -273,3 +273,30 @@ def test_jpeg_sof_dimension_scan():
     shell = bytearray(encode_jpeg_shell(33, 44))
     shell[shell.index(b"\xff\xc0") + 1] = 0xC2
     assert decode_image_dims(bytes(shell)) == ("jpeg", 33, 44)
+
+
+def test_payload_format_sniffing_is_jvm_side(spark):
+    """Magic-byte dispatch agrees with the Python decoders on every
+    format and stays out of Python in the plan."""
+    from stock_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_jpeg_shell,
+        encode_png,
+        encode_ppm,
+        payload_format,
+    )
+
+    rows = [
+        ("jpeg", encode_jpeg_shell(4, 3)),
+        ("png", encode_png(4, 3)),
+        ("bmp", encode_bmp(4, 3)),
+        ("ppm", encode_ppm(4, 3)),
+        ("unknown", b"GIF89a not supported"),
+        ("unknown", b""),
+    ]
+    df = spark.createDataFrame(rows, "want string, payload binary")
+    out = df.select("want", payload_format("payload").alias("got"))
+    for r in out.collect():
+        assert r.want == r.got, r
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
