@@ -779,3 +779,37 @@ def b44_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({n_cols}, {', '.join(stack_args)}) "
         "AS (column_name, n_null, n_distinct, min_val, max_val)",
     ).select("column_name", "n", "n_null", "n_distinct", "min_val", "max_val")
+
+
+# --------------------------------------------------------------------------
+# B9++ — numeric RANGE window frame (value-distance neighborhood)
+# --------------------------------------------------------------------------
+_NUMERIC_RANGE_SQL = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w
+                AS DOUBLE) AS near_spread
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice
+      RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING
+    )
+"""
+
+
+@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL, driver=False)
+def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9++: RANGE frame bounded by VALUE distance (±1000 of each order's
+    own total) rather than row count or time — the price-neighborhood /
+    similar-size-cohort window. Identical SQL text runs on DuckDB.
+
+    Complements b09 (ROWS frame) and b40 (time RANGE): the three frame
+    kinds exhaust Spark's window-frame surface. Scale: one shuffle on the
+    partition key; the frame is evaluated over the per-key sort with a
+    sliding two-pointer, not a per-row rescan.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NUMERIC_RANGE_SQL)
