@@ -813,3 +813,51 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_NUMERIC_RANGE_SQL)
+
+
+@query(
+    "b48_share_of_total",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           floor(o_totalprice / (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                 AS DECIMAL(18,0))) OVER (PARTITION BY o_orderpriority)
+                 AS DOUBLE) / 100.0) * 1000000) / 1000000
+             AS share_of_priority,
+           (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS DECIMAL(18,0)))
+                 OVER (PARTITION BY o_orderpriority) AS DOUBLE) / 100.0)
+             AS priority_total
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    """,
+    driver=False,
+)
+def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: ratio-to-report — each order's share of its priority class's
+    total, the denominator computed as an unframed partition window (no
+    self-join back to an aggregate). The window SUM uses the same
+    fixed-point accumulation as dec_sum (floor-scaled DECIMAL(18,0)):
+    a plain double window SUM is summation-order-dependent and the two
+    engines order partitions differently, so the low bits — and then the
+    trunc6 boundary — would diverge. Identical SQL text both engines.
+
+    Scale: one shuffle on the partition key; both window aggregates share
+    one sort. The naive formulation (groupBy total + rejoin) is two
+    shuffles and a join.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               floor(o_totalprice / (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0
+                     + 0.5) AS DECIMAL(18,0))) OVER (PARTITION BY
+                     o_orderpriority) AS DOUBLE) / 100.0) * 1000000) / 1000000
+                 AS share_of_priority,
+               (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                     AS DECIMAL(18,0))) OVER (PARTITION BY o_orderpriority)
+                     AS DOUBLE) / 100.0) AS priority_total
+        FROM orders
+        WHERE o_orderkey % 40 = 0
+        """
+    )
