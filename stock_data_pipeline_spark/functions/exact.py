@@ -34,6 +34,13 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     float ops that remain (one multiply+add per row, one divide per
     group) are IEEE-deterministic and spelled identically in the DuckDB
     oracle (:func:`sql_dec_sum`).
+
+    Rounding semantics: ``floor(x·10ˢ + 0.5)`` rounds ties toward
+    +infinity, which differs from DECIMAL's HALF_UP (away from zero) for
+    NEGATIVE values at the .xx5 boundary (-2.005 → -2.00 here, -2.01
+    under HALF_UP). Fine for sums of measured quantities (and all current
+    call sites are non-negative); if away-from-zero tie-breaking matters,
+    use ``floor(abs(x)·m + 0.5)·sign(x)`` on both engines instead.
     """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)

@@ -707,7 +707,9 @@ def c08_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # C9e — deterministic shard-interleaved read order (data-loader order)
 # --------------------------------------------------------------------------
-_N_INTERLEAVE_SHARDS = 4
+# Shared with sources/export.py so the read order computed here maps 1:1
+# onto the exported shard directories (same hash, same modulus).
+from ..sources.export import DEFAULT_N_SHARDS as _N_INTERLEAVE_SHARDS
 
 
 @query(

@@ -36,6 +36,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # let the catalog convert to TIMESTAMP_NTZ at µs precision (lossless for
     # this corpus — ns remainders are zero; see catalog._normalize).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Recursive-CTE depth = longest per-key chain (b19_sessionize_recursive
+    # walks one event per level; the default 100 fails past ~99 events per
+    # user). Pinned here — not conf.set inside the query — so the setting
+    # is owned by the same pin/heal machinery as every other conf instead
+    # of leaking into the host session as a query side effect.
+    "spark.sql.cteRecursionLevelLimit": "100000",
 }
 
 

@@ -31,6 +31,12 @@ from ..functions.textfns import tokens
 
 SHARD_COL = "_shard"
 
+# One shard-count constant shared by the JSONL export layout and the
+# interleaved-read-order query (operators/sampling.py c09_interleave_order):
+# same md5 hash + same modulus means a shard id computed by the reader
+# corresponds 1:1 to an exported shard directory.
+DEFAULT_N_SHARDS = 8
+
 
 def with_shard(docs: DataFrame, *, n_shards: int) -> DataFrame:
     """Stable shard id in [0, n_shards): md5 of the doc_id string."""
@@ -43,7 +49,7 @@ def with_shard(docs: DataFrame, *, n_shards: int) -> DataFrame:
 
 
 def export_jsonl_shards(
-    docs: DataFrame, path: str, *, n_shards: int = 8
+    docs: DataFrame, path: str, *, n_shards: int = DEFAULT_N_SHARDS
 ) -> DataFrame:
     """Write ``docs`` as ``{path}/shards/`` JSONL (one file per shard,
     ``_shard`` as the partition directory) plus ``{path}/manifest``

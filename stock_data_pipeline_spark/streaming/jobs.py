@@ -232,8 +232,9 @@ def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..catalog import register_views
 
-    # depth = longest per-user event chain; default limit is 100
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    # Recursion depth limit is pinned in session.RUNTIME_CONFS (which
+    # register_views→load re-applies on any session), not set here: a
+    # query must not mutate host-session conf as a side effect.
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SESSION_SQL)
 
@@ -574,8 +575,18 @@ def write_batch_near_deduped(
        already-ingested doc drops all its new members (the corpus is
        append-only — first ingested wins); an all-new cluster keeps its
        min doc_id.
-    3. Survivors' rows append to the sink; survivors' bucket rows append
-       to the index — dropped docs never pollute the index.
+    3. Survivors' bucket rows append to the index FIRST, then survivors'
+       rows append to the sink — dropped docs never pollute the index.
+       Crash-safety of the two non-atomic appends: if the crash lands
+       between them, replay re-runs the whole batch (the fingerprint
+       anti-join removes nothing because the sink append never happened),
+       the ghost index rows are inert during the re-run (a bucket
+       collision needs two DISTINCT doc_ids), and the idempotent
+       doc_id anti-join below skips re-appending them. The reverse order
+       would lose the batch's index rows forever: replay's fingerprint
+       anti-join would drop every row, so the index append would write
+       nothing and future cross-batch near-dup recall against those docs
+       would silently degrade.
 
     Scale: the corpus is never re-signatured — per batch the expensive
     shingle+min-agg pass touches only new docs; the probe is a
@@ -646,11 +657,17 @@ def write_batch_near_deduped(
     )
     survivors = batch.join(drops, "doc_id", "left_anti")
 
-    # -- 3. append survivors + their index rows ---------------------------
-    survivors.write.mode("append").parquet(sink_dir)
-    new_buckets.join(drops, "doc_id", "left_anti").write.mode("append").parquet(
-        index_dir
+    # -- 3. append index rows, THEN survivors (crash-safe order) ----------
+    # Index first: a crash before the sink append replays the batch, and
+    # the doc_id anti-join vs the pre-append index snapshot makes the
+    # index append idempotent (no duplicate bucket rows on replay).
+    (
+        new_buckets.join(drops, "doc_id", "left_anti")
+        .join(index.select("doc_id").distinct(), "doc_id", "left_anti")
+        .write.mode("append")
+        .parquet(index_dir)
     )
+    survivors.write.mode("append").parquet(sink_dir)
     new_buckets.unpersist()
 
 

@@ -24,17 +24,16 @@ from stock_data_pipeline_spark.catalog import load
 from stock_data_pipeline_spark.functions.exact import dec_sum
 
 REPLICAS = 8
-SF_DIR = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="module")
-def li_big(spark):
-    li = load(spark, SF_DIR, "lineitem")
+def li_big(spark, sf_stress_dir):
+    li = load(spark, sf_stress_dir, "lineitem")
     return reduce(lambda a, b: a.unionAll(b), [li] * REPLICAS)
 
 
-def test_group_agg_scales_exactly(spark, li_big):
-    li = load(spark, SF_DIR, "lineitem")
+def test_group_agg_scales_exactly(spark, sf_stress_dir, li_big):
+    li = load(spark, sf_stress_dir, "lineitem")
 
     def rollup(df):
         return {
@@ -58,10 +57,10 @@ def test_group_agg_scales_exactly(spark, li_big):
         assert bs == pytest.approx(REPLICAS * s, abs=1e-6)
 
 
-def test_large_join_scales_linearly_no_fact_broadcast(spark, li_big):
-    orders = load(spark, SF_DIR, "orders")
+def test_large_join_scales_linearly_no_fact_broadcast(spark, sf_stress_dir, li_big):
+    orders = load(spark, sf_stress_dir, "orders")
     base_n = (
-        load(spark, SF_DIR, "lineitem")
+        load(spark, sf_stress_dir, "lineitem")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .count()
     )
