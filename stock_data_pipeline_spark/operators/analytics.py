@@ -172,7 +172,7 @@ LIMIT 10
 """
 
 
-@query("b24_sql_api", oracle=_Q3_SQL, driver=False)
+@query("b24_sql_api", oracle=_Q3_SQL)
 def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the engine's tables as temp views + ANSI SQL
     through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
@@ -291,7 +291,6 @@ def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY window_start, event_type
     """,
-    driver=False,
 )
 def b03_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2h duration / 1h slide): every event lands in two
@@ -374,7 +373,6 @@ from ..functions.textfns import BPE_TOKEN_RE as _TOKEN_RE  # noqa: E402
     FROM documents
     GROUP BY lang
     """,
-    driver=False,
 )
 def c04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letters / digits / single
@@ -462,6 +460,7 @@ def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
+    driver=False,
 )
 def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: the TPC-H Q1 pricing summary — 8 simultaneous aggregates over a
@@ -798,7 +797,7 @@ _NUMERIC_RANGE_SQL = """
 """
 
 
-@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL, driver=False)
+@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL)
 def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9++: RANGE frame bounded by VALUE distance (±1000 of each order's
     own total) rather than row count or time — the price-neighborhood /
@@ -829,7 +828,6 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 40 = 0
     """,
-    driver=False,
 )
 def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B48: ratio-to-report — each order's share of its priority class's

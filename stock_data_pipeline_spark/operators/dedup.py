@@ -225,7 +225,7 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 # C2b — MinHash + LSH banding (approximate near-dup at scale)
 # --------------------------------------------------------------------------
-@query("c02_minhash_lsh")
+@query("c02_minhash_lsh", driver=False)
 def c02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2b: MinHash(k=32) + LSH(8 bands × 4 rows) candidate generation,
     then exact Jaccard verification on candidates only.
@@ -410,7 +410,7 @@ def probe_near_dup_batch(
 # --------------------------------------------------------------------------
 # C2c — SimHash (64-bit, stored as two 32-bit halves) + chunk blocking
 # --------------------------------------------------------------------------
-@query("c02_simhash")
+@query("c02_simhash", driver=False)
 def c02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2c: 64-bit SimHash near-dup pairs with Hamming distance ≤ 3.
 
@@ -652,7 +652,6 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
     """,
-    driver=False,
 )
 def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2g: the DEDUPED CORPUS itself — the query every upstream operator
@@ -778,7 +777,6 @@ def duplicate_span_stats(docs: DataFrame, *, window: int = SPAN_TOKENS) -> DataF
     """.replace(
         "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
     ),
-    driver=False,
 )
 def c02_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2f: exact duplicated-span detection — per-doc count and fraction

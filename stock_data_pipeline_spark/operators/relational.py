@@ -200,6 +200,7 @@ _BUCKETED_READY: set[str] = set()
     WHERE o.o_totalprice > 1000.0
     GROUP BY o.o_orderpriority
     """,
+    driver=False,
 )
 def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 on the 100 TB growth path: identical semantics to b05_large_join,
@@ -450,6 +451,7 @@ def b11_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       INTERSECT
       SELECT DISTINCT s_nationkey AS x FROM supplier)
     """,
+    driver=False,
 )
 def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: EXCEPT / INTERSECT / UNION ALL over two key sets.
@@ -485,7 +487,6 @@ def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT ALL
       SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
-    driver=False,
 )
 def b12_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12b: MULTISET set ops — ``intersectAll`` keeps min(multiplicity)
@@ -549,7 +550,6 @@ def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    driver=False,
 )
 def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13b: CUBE — all 2² grouping combinations in one pass."""
@@ -572,6 +572,7 @@ def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    driver=False,
 )
 def b13_rollup_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13: one driver-verified representative for rollup/cube/grouping
@@ -641,7 +642,7 @@ def b14_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B15 — approximate aggregates (no SQL oracle: HLL/GK sketches are
 # engine-specific; correctness is bounded-error, checked in pytest)
 # --------------------------------------------------------------------------
-@query("b15_approx_aggregates")
+@query("b15_approx_aggregates", driver=False)
 def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15: approx_count_distinct (HyperLogLog++) + approx percentiles.
 
@@ -755,7 +756,6 @@ def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ) WHERE user_rank <= 20
     """,
-    driver=False,
 )
 def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15d: mergeable heavy-hitters — ``approx_top_k_accumulate`` builds
@@ -1135,7 +1135,7 @@ _LATERAL_TOPK_SQL = """
 """
 
 
-@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=False)
+@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL)
 def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B46: LATERAL correlated subquery — the two most expensive line
     items PER ORDER, written as a per-row dependent subquery. The

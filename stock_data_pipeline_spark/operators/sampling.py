@@ -217,7 +217,7 @@ def pack_sequences(
     )
 
 
-@query("c09_sequence_packing")  # order-dependent heuristic → no SQL oracle;
+@query("c09_sequence_packing", driver=False)  # order-dependent heuristic → no SQL oracle;
 # invariants (exactly-once, budget) are asserted in tests/test_sampling.py
 def c09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9: sequence packing — batch documents into fixed token budgets for
@@ -629,7 +629,6 @@ def prep_pipeline(
         " + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)"
         " + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0))",
     ),
-    driver=False,
 )
 def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9c: the end-to-end corpus-prep composite — quality scoring, the

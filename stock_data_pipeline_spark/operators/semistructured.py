@@ -209,6 +209,7 @@ def c07_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN -value > 0 THEN -value * 2.0 END AS neg_x2
     FROM events
     """,
+    driver=False,
 )
 def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 map functions: build a map<string,double> per event with

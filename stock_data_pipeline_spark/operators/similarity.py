@@ -541,7 +541,7 @@ def c03_ivf_cached_index(spark: SparkSession, sf_dir: str):
     return per_session[sf_dir]
 
 
-@query("c03_ann_ivf")
+@query("c03_ann_ivf", driver=False)
 def c03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3c: IVF-partitioned approximate nearest neighbors (16 cells,
     probe 4) over a build-once cached index. No SQL oracle (k-means isn't

@@ -61,6 +61,7 @@ from ..registry import query
       FROM documents
     )
     """,
+    driver=False,
 )
 def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: the per-document text-analysis panel, one driver-verified
@@ -163,6 +164,7 @@ def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY freq DESC, token ASC
     LIMIT 20
     """,
+    driver=False,
 )
 def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4b: global top-20 token frequencies (explode → count → top-k).
@@ -201,7 +203,6 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=False,
 )
 def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4c: per-document quality score (length / stopword-density /
@@ -261,7 +262,6 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=False,
 )
 def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4d: language-ID heuristic — EN function-word density + CJK-script
@@ -444,6 +444,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
     FROM documents
     """,
+    driver=False,
 )
 def c04_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4g: PII redaction — emails/phones scrubbed to placeholders with

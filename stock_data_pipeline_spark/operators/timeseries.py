@@ -81,6 +81,7 @@ def flagship_event_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type, date_trunc('day', ts)
     """,
+    driver=False,
 )
 def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: OHLCV bars — the resample of 2-min ticks into daily bars that the
@@ -155,6 +156,7 @@ def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    driver=False,
 )
 def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7b: as-of join — for every purchase, the most recent click by the
@@ -264,7 +266,6 @@ def b07_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE fwd_value END AS near_click_value
     FROM j
     """,
-    driver=False,
 )
 def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7d: nearest-neighbor as-of — each purchase matches the click
@@ -468,6 +469,7 @@ def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts <= p.ts
     GROUP BY p.event_id, p.user_id, p.ts
     """,
+    driver=False,
 )
 def b30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30: interval join — per purchase, count/sum the same user's clicks
