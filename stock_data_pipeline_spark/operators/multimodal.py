@@ -416,22 +416,69 @@ def resize_payloads(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_resize_payload, RESIZE_SCHEMA)
 
 
-@query("c05_resize_thumbnail")  # byte-slice output isn't SQL-expressible in
-# the oracle dialect; checked against an in-process recompute in
-# tests/test_multimodal.py
-def c05_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5c: resize/thumbnail plumbing — every payload downsampled to a
-    32-byte strided thumbnail, the image-resample fan-in shape.
+_TEXT_THUMB_SCHEMA = (
+    "doc_id bigint, orig_bytes int, thumb_bytes int, thumb_sha256 string"
+)
 
-    The registered projection reports the thumbnail by digest + size (the
-    raw ``thumb`` binary stays on :func:`resize_payloads` — the driver's
-    canonicalizer can't hash binary cells)."""
-    return resize_payloads(load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "orig_bytes",
-        F.octet_length("thumb").cast("int").alias("thumb_bytes"),
-        "thumb_sha256",
-    )
+
+def _text_thumbnail(
+    batches: Iterator[pd.DataFrame], *, out_chars: int = THUMB_BYTES
+) -> Iterator[pd.DataFrame]:
+    """Character-strided thumbnail digest (same FFD shape as
+    :func:`_resize_payload`, but over codepoints so the sha256 has an
+    exact cross-engine SQL spelling for ANY text encoding)."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "orig_bytes", "thumb_bytes", "thumb_sha256")}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            if n <= out_chars:
+                thumb = text
+            else:
+                thumb = "".join(text[i * n // out_chars] for i in range(out_chars))
+            tb = thumb.encode("utf-8")
+            rows["doc_id"].append(doc_id)
+            rows["orig_bytes"].append(len(text.encode("utf-8")))
+            rows["thumb_bytes"].append(len(tb))
+            rows["thumb_sha256"].append(hashlib.sha256(tb).hexdigest())
+        yield pd.DataFrame(rows).astype(
+            {"orig_bytes": "int32", "thumb_bytes": "int32"}
+        )
+
+
+@query(
+    "c05_resize_thumbnail",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+      CAST(octet_length(encode(thumb)) AS INT) AS thumb_bytes,
+      sha256(thumb) AS thumb_sha256
+    FROM (
+      SELECT doc_id, text,
+        CASE WHEN length(text) <= {THUMB_BYTES} THEN text
+        ELSE array_to_string(list_transform(range(0, {THUMB_BYTES}),
+               i -> substr(text, (i * length(text)) // {THUMB_BYTES} + 1, 1)),
+             '')
+        END AS thumb
+      FROM documents)
+    """,
+)
+def c05_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5c: resize/thumbnail plumbing — every document downsampled to a
+    32-sample strided thumbnail reported by digest + size, the
+    image-resample fan-in shape in Arrow-batched Python.
+
+    Defined over CHARACTERS (codepoint stride, sha256 of the utf-8
+    re-encoding) rather than raw payload bytes so the digest has an exact
+    DuckDB spelling — ``sha256(VARCHAR)`` hashes the utf-8 bytes in both
+    engines, making the oracle hold even for non-ASCII corpora. The
+    byte-domain variant (strided BLOB pick, the true media path) stays on
+    :func:`resize_payloads`, recompute-checked in tests/test_multimodal.py
+    (the oracle dialect cannot slice or hash BLOBs).
+
+    Scale: map-only Arrow-batched Python, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_text_thumbnail, _TEXT_THUMB_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -476,24 +523,99 @@ def audio_energy(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_audio_energy, AUDIO_SCHEMA)
 
 
-@query("c05_audio_energy")  # windowed byte-RMS isn't expressible in the
-# oracle dialect (no BLOB slicing); checked against an in-process recompute
-# in tests/test_multimodal.py
-def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5d: audio-style windowed RMS energy per payload — the DSP
-    feature-extraction plumbing over opaque media bytes.
+_SIGNAL_SCHEMA = (
+    "doc_id bigint, n_windows int, energy_sum bigint,"
+    " rms_first double, rms_last double, rms_max double"
+)
 
-    The registered projection flattens the RMS array to scalar picks
-    (first/last/max) — the driver's canonicalizer can't hash array cells;
-    the full per-window array stays on :func:`audio_energy`."""
-    feats = audio_energy(load(spark, sf_dir, "documents"))
-    return feats.select(
-        "doc_id",
-        "n_windows",
-        F.get("window_rms", F.lit(0)).alias("rms_first"),
-        F.get("window_rms", F.col("n_windows") - 1).alias("rms_last"),
-        F.array_max("window_rms").alias("rms_max"),
+
+def _codepoint_energy(
+    batches: Iterator[pd.DataFrame], *, window: int = AUDIO_WINDOW
+) -> Iterator[pd.DataFrame]:
+    """Windowed RMS over CODEPOINT values, unrounded.
+
+    Exactness: window sums of squared codepoints are integers < 2^53
+    (exact in float64 under any summation order), /64 is a power-of-two
+    divide (exact), and IEEE sqrt is correctly rounded — so every emitted
+    double is bit-identical to the SQL oracle's, no rounding needed.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "n_windows", "energy_sum", "rms_first",
+                 "rms_last", "rms_max")}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            x = np.array([ord(c) for c in text], dtype=np.float64)
+            rows["doc_id"].append(doc_id)
+            if len(x) == 0:
+                rows["n_windows"].append(0)
+                rows["energy_sum"].append(0)
+                rows["rms_first"].append(None)
+                rows["rms_last"].append(None)
+                rows["rms_max"].append(None)
+                continue
+            pad = (-len(x)) % window
+            frames = np.pad(x, (0, pad)).reshape(-1, window)
+            rms = np.sqrt((frames * frames).mean(axis=1))
+            rows["n_windows"].append(frames.shape[0])
+            rows["energy_sum"].append(int((x * x).sum()))
+            rows["rms_first"].append(float(rms[0]))
+            rows["rms_last"].append(float(rms[-1]))
+            rows["rms_max"].append(float(rms.max()))
+        yield pd.DataFrame(rows).astype(
+            {"n_windows": "int32", "energy_sum": "int64"}
+        )
+
+
+_AUDIO_ORACLE = f"""
+    WITH cps AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(range(1, length(text) + 1),
+                       i -> ascii(substr(text, i, 1))) AS cp
+      FROM documents
     )
+    SELECT doc_id,
+      CAST(CEIL(n / {AUDIO_WINDOW}.0) AS INT) AS n_windows,
+      CAST(COALESCE(list_sum(list_transform(cp, x -> x * x)), 0) AS BIGINT)
+        AS energy_sum,
+      CASE WHEN n = 0 THEN NULL ELSE
+        sqrt(CAST(list_sum(list_transform(cp[1:{AUDIO_WINDOW}], x -> x * x))
+             AS DOUBLE) / {AUDIO_WINDOW}.0) END AS rms_first,
+      CASE WHEN n = 0 THEN NULL ELSE
+        sqrt(CAST(list_sum(list_transform(
+          cp[(CAST(CEIL(n / {AUDIO_WINDOW}.0) AS BIGINT) - 1)
+             * {AUDIO_WINDOW} + 1 : n], x -> x * x))
+             AS DOUBLE) / {AUDIO_WINDOW}.0) END AS rms_last,
+      CASE WHEN n = 0 THEN NULL ELSE
+        list_max(list_transform(
+          range(0, CAST(CEIL(n / {AUDIO_WINDOW}.0) AS BIGINT)),
+          w -> sqrt(CAST(list_sum(list_transform(
+                 cp[w * {AUDIO_WINDOW} + 1 :
+                    least((w + 1) * {AUDIO_WINDOW}, n)], x -> x * x))
+               AS DOUBLE) / {AUDIO_WINDOW}.0))) END AS rms_max
+    FROM cps
+"""
+
+
+@query("c05_audio_energy", oracle=_AUDIO_ORACLE)
+def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5d: audio-style windowed RMS energy — the DSP feature-extraction
+    plumbing (frame → energy → aggregate) in Arrow-batched Python.
+
+    Defined over CODEPOINT values (the text-as-signal reading of the
+    payload) so every emitted double is bit-exact against the DuckDB
+    oracle: integer squared sums are exact in float64, /64 is a
+    power-of-two divide, IEEE sqrt is correctly rounded — no rounding
+    tolerance anywhere. ``energy_sum`` additionally pins the whole-signal
+    integer digest per row. The byte-domain variant (uint8 PCM reading,
+    per-window arrays) stays on :func:`audio_energy`, recompute-checked
+    in tests/test_multimodal.py.
+
+    Scale: map-only Arrow-batched Python, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_codepoint_energy, _SIGNAL_SCHEMA)
 
 
 def payload_format(col: "str | F.Column") -> "F.Column":
