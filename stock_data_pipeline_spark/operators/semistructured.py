@@ -8,6 +8,8 @@ no Python UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -23,7 +25,8 @@ from ..registry import query
 # is an array of <li>, each holding one <a>. Attributes surface with the
 # default `_` attributePrefix; element text is `_VALUE`.
 _NEWS_DOM_SCHEMA = (
-    "li ARRAY<STRUCT<a: STRUCT<_href: STRING, _VALUE: STRING>>>"
+    "li ARRAY<STRUCT<a: STRUCT<_href: STRING, _VALUE: STRING>,"
+    " time: STRUCT<_class: STRING, _VALUE: STRING>>>"
 )
 
 
@@ -47,6 +50,7 @@ def parse_news_dom(html_col: Column | str) -> Column:
         lambda li: F.struct(
             li["a"]["_href"].alias("href"),
             li["a"]["_VALUE"].alias("title"),
+            li["time"]["_VALUE"].alias("published"),
         ),
     )
 
@@ -290,6 +294,61 @@ def c06_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.title").alias("title"),
         )
     )
+
+
+def _landed_news_oracle() -> str:
+    from ..sources.landed import FIXTURE_NEWS_DIR
+
+    glob = os.path.join(FIXTURE_NEWS_DIR, "*.html")
+    return f"""
+    WITH pages AS (
+      SELECT content FROM read_text('{glob}')
+    ), ex AS (
+      SELECT
+        regexp_extract(content, '<meta name="ticker" content="([A-Z.]+)"', 1)
+          AS ticker,
+        regexp_extract_all(
+          regexp_extract(content,
+            '(?s)(<ul class="LatestNews-list">.*?</ul>)', 1),
+          '(?s)<li class="LatestNews-item">.*?</li>') AS items
+      FROM pages
+    ), exploded AS (
+      SELECT ticker,
+             CAST(generate_subscripts(items, 1) - 1 AS INT) AS item_idx,
+             unnest(items) AS item
+      FROM ex
+    )
+    SELECT ticker, item_idx,
+      regexp_extract(item, 'href="([^"]*)"', 1) AS href,
+      regexp_extract(item, '(?s)<a[^>]*>(.*?)</a>', 1) AS title,
+      strptime(regexp_extract(item, '<time[^>]*>([^<]*)</time>', 1),
+               '%B %d, %Y') AS news_date
+    FROM exploded
+    """
+
+
+@query("a13_news_dom", oracle=_landed_news_oracle())
+def a13_news_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 on landed data: batch extraction over a landing directory of
+    raw scraped HTML pages (fixtures/landed_news — CNBC-quote-page shaped,
+    including one truncated page that must quarantine, not crash).
+
+    Pipeline: wholetext file scan → regexp isolates the news-list
+    fragment (the full page is NOT well-formed XML; the fragment is) →
+    ``parse_news_dom`` (from_xml) parses typed (href, title, published)
+    → posexplode fans out one row per headline → the date string parses
+    with the reference's exact format ("%B %d, %Y",
+    news_data_to_gcp.py:58). The oracle re-derives every row from the
+    same files via DuckDB ``read_text`` + regexes — two independent
+    DOM-extraction implementations must agree.
+
+    The ``sf_dir`` argument is unused: the landing directory is the
+    source, which is the point — A13's input is scraped files, not
+    warehouse tables. Scale: scan + row-local codegen expressions only.
+    """
+    from ..sources.landed import landed_news_items, read_landed_news_pages
+
+    return landed_news_items(read_landed_news_pages(spark))
 
 
 @query(

@@ -12,7 +12,7 @@ from stock_data_pipeline_spark import registry
 # One driver-facing name required per family prefix. Families whose single
 # representative is a merged query list that name explicitly.
 REQUIRED_DRIVER_FAMILIES = [
-    "a10", "b01", "b02", "b03", "b04", "b05", "b06", "b07", "b08", "b09",
+    "a10", "a13", "b01", "b02", "b03", "b04", "b05", "b06", "b07", "b08", "b09",
     "b10", "b11", "b12", "b13", "b14", "b15", "b16", "b17", "b18", "b19",
     "c01", "c02", "c03", "c04", "c05", "c06", "c07", "c08", "c09",
     "flagship",
