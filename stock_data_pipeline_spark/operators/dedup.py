@@ -173,6 +173,55 @@ def c02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
 
 
+_PRUNE_MAX_DF = 20
+
+
+@query(
+    "c02_ngram_jaccard_pruned",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
+      FROM documents
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {_PRUNE_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 1000000)
+             / 1000000 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+    driver=False,
+)
+def c02_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2a at scale: the SAME inverted-index Jaccard with the
+    ``max_shingle_df`` stop-shingle prune ON — the variant that actually
+    runs on a 100 TB corpus, where the unpruned join's Σ_shingle df² cost
+    is unbounded under stop-shingle skew. Shingles appearing in more
+    instances than the df cap are dropped from BOTH the index join and the size
+    denominators (so Jaccard is exact over the pruned shingle space — a
+    well-defined semantics the oracle spells identically, not an
+    approximation with unchecked error). tests/test_scale_stress.py shows
+    the candidate count staying bounded under 8× corpus replication while
+    the exact variant's grows ×64.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, max_shingle_df=_PRUNE_MAX_DF
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,

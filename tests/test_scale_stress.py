@@ -95,3 +95,57 @@ def test_window_topk_scales_with_partial_group_limit(spark, li_big):
     rows = top.collect()
     # 3 flags x 3 ranks; ties duplicated 8x rank deterministically by key
     assert len(rows) == 9
+
+
+def test_ngram_prune_bounds_candidate_join(spark, sf_stress_dir):
+    """The max_shingle_df prune must keep the inverted-index join's
+    candidate-pair count bounded as the corpus grows: replicating every
+    doc 4x multiplies every shingle's df by 4, so the unpruned join cost
+    (~sum of df^2) grows ~16x, while the pruned index drops any shingle
+    whose df exceeds the cap — on this replicated corpus that excises
+    the blown-up shingles entirely, so the pruned candidate count must
+    land BELOW even the unreplicated unpruned count."""
+    from stock_data_pipeline_spark.functions.textfns import tokens, word_shingles
+    from stock_data_pipeline_spark.operators.dedup import (
+        _PRUNE_MAX_DF,
+        _SHINGLE_K,
+    )
+
+    docs = load(spark, sf_stress_dir, "documents").select("doc_id", "text")
+    reps = 4
+    big = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            docs.select((F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text")
+            for i in range(reps)
+        ],
+    )
+
+    def candidates(source, cap):
+        sh = source.select(
+            "doc_id",
+            F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle"),
+        )
+        if cap is not None:
+            keep = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= cap)
+                .select("shingle")
+            )
+            sh = sh.join(keep, "shingle")
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+            .count()
+            .count()
+        )
+
+    base_exact = candidates(docs, None)
+    big_pruned = candidates(big, _PRUNE_MAX_DF)
+    assert big_pruned < base_exact, (big_pruned, base_exact)
