@@ -699,3 +699,102 @@ def run_near_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming ANN ingest: quote feed → feature vectors → incremental IVF index
+# --------------------------------------------------------------------------
+VECTOR_DIM = 64  # must equal the dimension of the index's corpus/centroids
+
+
+def quotes_to_vectors(quotes: DataFrame, *, dim: int = VECTOR_DIM) -> DataFrame:
+    """Deterministic feature embedding per quote row, all JVM-side — the
+    stand-in for a real encoder at the stream→vector boundary (swap this
+    for a Pandas-UDF model call; everything downstream is unchanged).
+    ``dim`` MUST match the persisted index's centroid dimension —
+    zip_with against a shorter vector null-pads and poisons every
+    distance.
+
+    vec_id is the content hash of (Ticker, batch_time) — stable across
+    replays, so checkpoint recovery re-appends identical rows; components
+    are per-dimension hashes scaled to [0, 1).
+    """
+    components = [
+        (
+            F.abs(F.xxhash64(F.col("symbol"), F.col("batch_time"), F.lit(i)))
+            % 1_000_000
+            / 1_000_000.0
+        ).cast("float")
+        for i in range(dim)
+    ]
+    return quotes.select(
+        F.xxhash64(F.col("symbol"), F.col("batch_time")).alias("vec_id"),
+        F.array(*components).alias("embedding"),
+    )
+
+
+def write_batch_ivf(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    *,
+    skew_threshold: float = 4.0,
+) -> None:
+    """foreachBatch body: assign one micro-batch of vectors against the
+    persisted (frozen) centroids, append to the cell-partitioned
+    assignment table, then run the drift monitor and append one health
+    row — ``retrain_needed`` flips when cell skew passes the threshold.
+
+    The monitor FLAGS retraining rather than performing it: retraining
+    the coarse quantizer invalidates every existing assignment, so it is
+    an offline operator action (operators/similarity.py::ivf_cell_stats);
+    the flag is the automation hook. Driver-side state: one aggregated
+    row per batch.
+    """
+    from ..operators.similarity import append_ivf_batch, ivf_cell_stats, load_ivf_index
+
+    spark = batch_df.sparkSession
+    append_ivf_batch(spark, batch_df, index_path)
+    assigned, _ = load_ivf_index(spark, index_path)
+    agg = (
+        ivf_cell_stats(assigned)
+        .agg(
+            F.max("skew").alias("max_skew"),
+            F.sum("n_vectors").alias("n_vectors"),
+        )
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                int(agg.n_vectors),
+                float(agg.max_skew),
+                bool(agg.max_skew > skew_threshold),
+            )
+        ],
+        "batch_id BIGINT, n_vectors BIGINT, max_skew DOUBLE,"
+        " retrain_needed BOOLEAN",
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/health")
+
+
+def run_ivf_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    *,
+    checkpoint: str,
+    skew_threshold: float = 4.0,
+):
+    """Continuous ANN-index maintenance over a vector stream (see
+    :func:`write_batch_ivf`): each micro-batch lands in the persisted IVF
+    index and search jobs see it on their next index load — the
+    streaming half of build-once-query-many."""
+    return (
+        vectors.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_ivf(
+                bdf, bid, index_path, skew_threshold=skew_threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
