@@ -88,5 +88,8 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # pragma: no cover - Connect session: no SparkContext
+        pass
     return apply_runtime_confs(spark)

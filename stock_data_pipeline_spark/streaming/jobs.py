@@ -431,6 +431,27 @@ def write_batch_idempotent(df: DataFrame, batch_id: int, sink_dir: str) -> None:
     )
 
 
+def run_stream_at_cadence(
+    df: DataFrame, sink_dir: str, *, checkpoint: str, cadence: str
+):
+    """Production cadence runner: the idempotent parquet sink driven by a
+    real ``processingTime`` trigger — this is what consumes
+    ``PipelineSpec.cadence`` ("120 seconds" for the ticker feed, "1 hour"
+    for ratios/statements; SURVEY §1.1 maps the reference's cron
+    schedules). Unlike availableNow, the query keeps polling the source
+    every interval — the Structured Streaming replacement for the
+    reference's Airflow ``schedule_interval``.
+    """
+    return (
+        df.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_idempotent(bdf, bid, sink_dir)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=cadence)
+        .start()
+    )
+
+
 def run_stream_to_parquet(df: DataFrame, sink_dir: str, *, checkpoint: str):
     """Production sink: checkpointed foreachBatch with idempotent batch
     partitions — WAL offsets give at-least-once batch delivery, the

@@ -530,3 +530,62 @@ def test_near_dedup_ingest_streaming_wiring(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "corpus"))
     # docs 1 and 2 are near-dups of each other: min doc_id kept
     assert {r.doc_id for r in out.collect()} == {1}
+
+
+def test_processing_time_cadence_end_to_end(spark, sf_dir, tmp_path):
+    """A REAL timed trigger, not availableNow: the query stays alive and
+    polls the landing dir every interval, so a file dropped AFTER start
+    becomes a later micro-batch — the reference's cron loop as a
+    processingTime cadence (PipelineSpec.cadence's consumption path)."""
+    import time
+
+    from stock_data_pipeline_spark.streaming.jobs import run_stream_at_cadence
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), src / "batch0.parquet")
+
+    stream = read_event_stream(spark, str(src))
+    sink = str(tmp_path / "sink")
+    q = run_stream_at_cadence(
+        stream, sink, checkpoint=str(tmp_path / "ckpt"), cadence="1 seconds"
+    )
+
+    def batch_ids():
+        try:
+            return {
+                r._batch_id
+                for r in spark.read.parquet(sink).select("_batch_id").distinct().collect()
+            }
+        except Exception:
+            return set()
+
+    deadline = time.monotonic() + 60
+    try:
+        while time.monotonic() < deadline and not batch_ids():
+            time.sleep(0.5)
+        assert batch_ids(), "first micro-batch never landed"
+        # drop a second file while the query is live: only a ticking
+        # trigger picks it up (availableNow would have terminated)
+        shutil.copy(table_path(sf_dir, "events"), src / "batch1.parquet")
+        while time.monotonic() < deadline and len(batch_ids()) < 2:
+            time.sleep(0.5)
+        assert len(batch_ids()) >= 2, "cadence trigger did not poll new files"
+        assert q.isActive  # still ticking — cadence, not availableNow
+    finally:
+        q.stop()
+
+
+def test_spec_cadence_strings_are_valid_trigger_intervals(spark, sf_dir, tmp_path):
+    """Every PipelineSpec cadence string must be a parseable
+    processingTime interval (trigger() validates eagerly)."""
+    from stock_data_pipeline_spark.pipelines.ingest import (
+        NEWS_SPEC,
+        RATIO_SPEC,
+        STATEMENT_SPEC,
+        TICKER_SPEC,
+    )
+
+    stream = read_event_stream(spark, str(tmp_path))
+    for spec in (TICKER_SPEC, RATIO_SPEC, STATEMENT_SPEC, NEWS_SPEC):
+        stream.writeStream.trigger(processingTime=spec.cadence)
