@@ -1,0 +1,279 @@
+"""Financial time-series analytics — the dashboard layer over the bars.
+
+The reference lands 2-minute ticker snapshots and financial ratios and
+promises "further analysis about the stock market" on top of them, delegated
+wholesale to BigQuery (/root/reference/README.md:3,23;
+/root/reference/dags/stock_data_to_gcp.py:43-47). These queries ARE that
+analysis layer, re-expressed Spark-first over the ``events`` stand-in
+(event_type = instrument, value = price): daily returns, drawdown, pairwise
+correlation, rolling z-score anomalies, and market beta.
+
+Determinism across engines (the registry contract) is handled WITHOUT
+rounding slop: every statistic here is built from exact scaled-integer
+moments (``SUM(CAST(FLOOR(x·10ˢ + 0.5) AS DECIMAL(18,0)))`` — associative,
+order-independent) combined with only IEEE-exact double ops (+ − × ÷ sqrt,
+all correctly rounded), and no transcendentals. Spark and DuckDB therefore
+produce bit-identical doubles, and each query is ONE shared SQL text run on
+both engines. Returns use arithmetic (not log) form for exactly this
+reason: ``ln``/``exp`` are libm-dependent, ``close/prev − 1`` is not.
+
+Scale: every query is one hash-aggregate on (instrument, bucket) followed
+by windows partitioned by instrument — the aggregate shuffle carries
+O(#instruments × #buckets) rows regardless of tick volume, and map-side
+partial aggregation does the 100 TB → MB reduction before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+# Daily close bars shared by the returns/drawdown queries. max_by on the
+# tick timestamp = "last trade of the day"; one shuffle at O(#bars).
+_DAILY_BARS = """
+    SELECT event_type,
+           date_trunc('day', ts) AS bar_date,
+           max_by(value, ts) AS close
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+"""
+
+# Hourly mark price per instrument: exact fixed-point mean (dec_avg shape,
+# spelled inline so the text is engine-shared).
+_HOURLY_SERIES = """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           (CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS DECIMAL(18,0)))
+                 AS DOUBLE) / 100.0) / COUNT(value) AS px
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+_B49_SQL = f"""
+    WITH bars AS ({_DAILY_BARS})
+    SELECT event_type, bar_date, close,
+           floor((close / nullif(lag(close) OVER w, 0) - 1) * 1000000)
+             / 1000000 AS daily_return,
+           floor((close / nullif(first_value(close) OVER w, 0) - 1) * 1000000)
+             / 1000000 AS cum_return
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+"""
+
+
+@query("b49_daily_returns", oracle=_B49_SQL, driver=False)
+def b49_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: daily simple returns + cumulative return since inception.
+
+    ``lag``/``first_value`` over the per-instrument date order turn the
+    bars into a return series with no self-join; cumulative return is the
+    closed-form ``close/first − 1`` (a ratio of two exact window picks),
+    NOT a running product/log-sum — no float accumulation anywhere, so the
+    result is bit-stable under any partitioning. ``nullif`` guards a zero
+    close (the driver's synthetic prices touch 0.0): ANSI floor(∞) would
+    otherwise error. Both windows share one sort per instrument partition.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B49_SQL)
+
+
+_B50_SQL = f"""
+    WITH bars AS ({_DAILY_BARS}),
+    dd AS (
+      SELECT event_type, bar_date, close,
+             max(close) OVER (PARTITION BY event_type ORDER BY bar_date
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_peak
+      FROM bars
+    ),
+    scored AS (
+      SELECT event_type, bar_date, close, run_peak,
+             floor((close / nullif(run_peak, 0) - 1) * 1000000) / 1000000
+               AS drawdown,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY floor((close / nullif(run_peak, 0) - 1) * 1000000)
+                          / 1000000 ASC NULLS LAST,
+                        bar_date ASC
+             ) AS rn
+      FROM dd
+    )
+    SELECT event_type, drawdown AS max_drawdown, bar_date AS trough_date,
+           run_peak AS peak_close, close AS trough_close
+    FROM scored
+    WHERE rn = 1
+"""
+
+
+@query("b50_drawdown", oracle=_B50_SQL, driver=False)
+def b50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: maximum drawdown per instrument, with the trough row.
+
+    Running peak is a prefix-MAX window (exact — no float summation), the
+    drawdown ratio is one exact division, and the trough is picked by
+    ``row_number`` with an explicit (drawdown, date) order — ``min_by``
+    would tie-break arbitrarily, and Spark/DuckDB disagree on default null
+    ordering, hence the spelled-out ``NULLS LAST``. Scale: windows run on
+    the already-aggregated bar table (O(#instruments × #days) rows).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B50_SQL)
+
+
+# Exact scaled sums over a column at 1e4 scale, shared spelling.
+def _s4(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 10000.0 + 0.5) AS DECIMAL(18,0))) "
+        f"AS DOUBLE) / 10000.0"
+    )
+
+
+_B51_SQL = f"""
+    WITH series AS ({_HOURLY_SERIES}),
+    pairs AS (
+      SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+             a.px AS xa, b.px AS xb
+      FROM series a
+      JOIN series b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+    ),
+    moments AS (
+      SELECT sym_a, sym_b, COUNT(*) AS n,
+             {_s4('xa')} AS sx, {_s4('xb')} AS sy,
+             {_s4('xa * xa')} AS sxx, {_s4('xb * xb')} AS syy,
+             {_s4('xa * xb')} AS sxy
+      FROM pairs
+      GROUP BY sym_a, sym_b
+    )
+    SELECT sym_a, sym_b, n AS n_buckets,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000) / 1000000 AS price_corr
+    FROM moments
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@query("b51_pairwise_corr", oracle=_B51_SQL, driver=False)
+def b51_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: pairwise price correlation matrix (upper triangle).
+
+    Hourly mark series per instrument, equi-joined on the time bucket for
+    the K(K−1)/2 instrument pairs, then Pearson r from the five exact
+    scaled-integer moments — not the engines' ``corr()`` aggregate, whose
+    float accumulation order differs between Spark and DuckDB. From exact
+    moments, the remaining ops (×, −, ÷, sqrt) are IEEE-correctly-rounded,
+    so both engines emit identical doubles. The variance guards drop
+    constant series (exact comparison, no epsilon).
+
+    Scale: the join input is the AGGREGATED series (#instruments × #hours
+    rows), so even at 100 TB of ticks the pair join is MB-sized; for
+    K in the thousands, broadcast the series side. The moments then
+    reduce to one row per pair in a single hash aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B51_SQL)
+
+
+_B52_SQL = """
+    WITH scaled AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 100.0 + 0.5) AS DECIMAL(18,0)) AS v2
+      FROM events
+    ),
+    win AS (
+      SELECT event_id, event_type, ts,
+             CAST(v2 AS DOUBLE) / 100.0 AS px,
+             CAST(SUM(v2) OVER w AS DOUBLE) / 100.0 AS sv,
+             CAST(SUM(v2 * v2) OVER w AS DOUBLE) / 10000.0 AS svv,
+             COUNT(*) OVER w AS n
+      FROM scaled
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    ),
+    stats AS (
+      SELECT event_id, event_type, ts, px,
+             sv / n AS mu,
+             (svv - sv * sv / n) / (n - 1) AS variance,
+             n
+      FROM win
+      WHERE n >= 30
+    )
+    SELECT event_id, event_type, ts, px,
+           floor(mu * 1000000) / 1000000 AS rolling_mean,
+           floor((px - mu) / sqrt(variance) * 1000000) / 1000000 AS zscore
+    FROM stats
+    WHERE variance > 0 AND abs((px - mu) / sqrt(variance)) > 3.0
+"""
+
+
+@query("b52_zscore_anomaly", oracle=_B52_SQL, driver=False)
+def b52_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: rolling z-score spike detection over the raw tick stream.
+
+    100-tick trailing window per instrument; mean and variance come from
+    the two exact integer window sums (Σv, Σv²) — DuckDB evaluates window
+    aggregates with a segment tree and Spark streams them in order, so a
+    DOUBLE window SUM would differ in the low bits; DECIMAL(18,0) sums are
+    associative and identical under both strategies. The |z| > 3 cut
+    compares bit-identical doubles, so the flagged set itself (not just
+    rounded display values) matches across engines. Ticks are ordered by
+    (ts, event_id): the unique id breaks timestamp ties deterministically.
+
+    Scale: one shuffle+sort per instrument partition; state is O(window)
+    per task. Skewed instruments are the one hazard — shard hot keys by
+    day first if a single instrument exceeds a task (the streaming twin in
+    streaming/jobs.py handles unbounded arrival orders with watermarks).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B52_SQL)
+
+
+_B53_SQL = f"""
+    WITH series AS ({_HOURLY_SERIES}),
+    market AS (
+      SELECT bucket,
+             (CAST(SUM(CAST(FLOOR(px * 10000.0 + 0.5) AS DECIMAL(18,0)))
+                   AS DOUBLE) / 10000.0) / COUNT(px) AS mkt
+      FROM series
+      GROUP BY bucket
+    ),
+    joined AS (
+      SELECT s.event_type, s.px AS y, m.mkt AS x
+      FROM series s JOIN market m ON s.bucket = m.bucket
+    ),
+    moments AS (
+      SELECT event_type, COUNT(*) AS n,
+             {_s4('x')} AS sx, {_s4('y')} AS sy,
+             {_s4('x * x')} AS sxx, {_s4('x * y')} AS sxy
+      FROM joined
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_buckets,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+             / 1000000 AS beta,
+           floor(((sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                  * (sx / n)) * 1000000) / 1000000 AS alpha
+    FROM moments
+    WHERE (n * sxx - sx * sx) > 0
+"""
+
+
+@query("b53_market_beta", oracle=_B53_SQL, driver=False)
+def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: per-instrument beta/alpha vs the equal-weight market index.
+
+    The index is the exact fixed-point cross-sectional mean of the hourly
+    marks (a DOUBLE AVG over instruments would be summation-order-
+    dependent); beta is the OLS slope from exact scaled moments, alpha the
+    matching intercept. Joining each instrument's series back to the index
+    is a time-bucket equi-join between two aggregate-sized tables.
+
+    Scale: the index table is O(#hours) rows — broadcast it; the moment
+    aggregate is one map-side-combined shuffle keyed on instrument.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B53_SQL)

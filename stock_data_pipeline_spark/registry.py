@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         analytics,
         dedup,
+        finance,
         multimodal,
         relational,
         sampling,

@@ -63,7 +63,12 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
     from stock_data_pipeline_spark.registry import full_oracles
 
     # mapInPandas by design (C5 codec surface)
-    exempt = {"c05_multimodal_features", "c05_image_decode"}
+    exempt = {
+        "c05_multimodal_features",
+        "c05_image_decode",
+        "c05_audio_energy",
+        "c05_resize_thumbnail",
+    }
     for name in full_oracles():
         if name in exempt:
             continue
