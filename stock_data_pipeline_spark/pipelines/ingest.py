@@ -189,6 +189,50 @@ class IngestPipeline:
             keys.append("Title")
         return self.read_sink(spark).dropDuplicates(keys)
 
+    def read_sink_day(self, spark: SparkSession, day: str) -> DataFrame:
+        """Partition-pruned single-day read.
+
+        ``ingest_date`` is a PARTITION column of the sink, so this filter
+        resolves at planning time: the scan lists only ``ingest_date=day``
+        directories (visible as a non-empty ``PartitionFilters`` in the
+        executed plan — asserted in tests/test_partitioned_sink.py). At
+        100 TB this is the difference between reading one day and reading
+        the table; the reference gets the same effect only by paying
+        BigQuery to scan-filter server-side.
+        """
+        return spark.read.parquet(self.sink_path).filter(
+            F.col("ingest_date") == F.lit(day).cast("date")
+        )
+
+    def backfill_day(self, df: DataFrame, day: str) -> None:
+        """Idempotent single-day backfill via dynamic partition overwrite.
+
+        ``partitionOverwriteMode=dynamic`` makes ``overwrite`` replace ONLY
+        the partitions present in ``df`` (here: one ingest_date), leaving
+        every other day's directories untouched — the rerun-safe repair
+        path for a bad batch, vs the reference's append-plus-retry which
+        double-loads on partial failure (stock_data_to_gcp.py:82,134).
+        Static overwrite mode would silently TRUNCATE the whole sink; the
+        conf is set per-write via ``.option`` so the session default stays
+        untouched.
+        """
+        time_col = schemas.SINK_SCHEMAS[self.spec.name].fields[0].name
+        enforced = enforce_schema(df, schemas.SINK_SCHEMAS[self.spec.name])
+        day_df = enforced.withColumn(
+            "ingest_date", F.to_date(F.col(time_col))
+        ).filter(F.col("ingest_date") == F.lit(day).cast("date"))
+        # The repair frame usually DERIVES from this sink (read → fix →
+        # write back). Lazy execution would then stream the overwrite from
+        # the very files it is deleting — FILE_NOT_EXIST mid-job. Cut the
+        # lineage first; one day of rows is the bounded repair unit.
+        day_df = day_df.localCheckpoint(eager=True)
+        (
+            day_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_date")
+            .parquet(self.sink_path)
+        )
+
 
 def enforce_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """A19: schema enforcement at the sink boundary.
