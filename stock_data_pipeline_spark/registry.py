@@ -164,6 +164,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         sampling,
+        scd,
         semistructured,
         similarity,
         text,
