@@ -164,3 +164,83 @@ def read_hourly_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+def _ohlcv_partials(ticks: DataFrame) -> DataFrame:
+    """Per-(instrument, day) mergeable bar state over a tick slice.
+
+    count/sum/min/max merge trivially; open and close do NOT — they are
+    argmin/argmax by time, so the stored state is the (ts, value) STRUCT
+    and struct min/max (lexicographic, ts first) is the merge operator.
+    A timestamp tie would fall to the value, deterministically — unlike
+    ``min_by(value, ts)``, whose tie pick is engine-arbitrary.
+    """
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    return ticks.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("bar_date")
+    ).agg(
+        F.min(tv).alias("open_p"),
+        F.max(tv).alias("close_p"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("volume"),
+    )
+
+
+def merge_bar_partials(partials: DataFrame) -> DataFrame:
+    """Merge bar states across slices: the commutative/associative
+    combine for :func:`_ohlcv_partials` outputs."""
+    return partials.groupBy("event_type", "bar_date").agg(
+        F.min("open_p").alias("open_p"),
+        F.max("close_p").alias("close_p"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_ticks").alias("n_ticks"),
+        F.sum("volume").cast("decimal(18,6)").alias("volume"),
+    )
+
+
+def refresh_ohlcv_bars(
+    spark: SparkSession,
+    bars_dir: str,
+    increment: DataFrame,
+) -> None:
+    """Incrementally maintain daily OHLCV bars from tick micro-batches —
+    the continuous-aggregate form of the B3 resample (operators/
+    timeseries.py::b03_ohlcv_bars).
+
+    Each refresh aggregates ONLY the new ticks to partial bars, then
+    merges states: min/max on the (ts, value) structs re-derive open and
+    close even when a batch arrives out of order or splits a day across
+    batches — commutative and associative, so ANY batch arrival order
+    yields the recompute-from-scratch result (asserted in
+    tests/test_maintenance.py). Cost per refresh is O(increment +
+    touched bars); the raw tick log is never rescanned. Idempotence is
+    the caller's concern: feed batches through the exactly-once sink
+    (streaming/jobs.py) so none merges twice.
+    """
+    part = _ohlcv_partials(increment)
+    if os.path.isdir(bars_dir):
+        existing = spark.read.parquet(bars_dir)
+        merged = merge_bar_partials(existing.unionByName(part))
+        staging = bars_dir.rstrip("/") + f"._staging_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(staging)
+        _atomic_swap(staging, bars_dir)
+    else:
+        part.write.parquet(bars_dir)
+
+
+def read_ohlcv_bars(spark: SparkSession, bars_dir: str) -> DataFrame:
+    """Read-time bar view: open/close extracted from the struct partials."""
+    r = spark.read.parquet(bars_dir)
+    return r.select(
+        "event_type",
+        "bar_date",
+        F.col("open_p.v").alias("open"),
+        "high",
+        "low",
+        F.col("close_p.v").alias("close"),
+        "n_ticks",
+        F.col("volume").cast("double").alias("volume"),
+    )

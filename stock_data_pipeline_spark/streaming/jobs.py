@@ -452,6 +452,54 @@ def run_stream_at_cadence(
     )
 
 
+def run_bars_ingest(ticks: DataFrame, partials_dir: str, *, checkpoint: str):
+    """Continuously maintained OHLCV bars, exactly-once, no merge ledger.
+
+    Each micro-batch is aggregated to PARTIAL bar states (mergeable
+    argmin/argmax structs + count/sum — sources/maintenance.py::
+    _ohlcv_partials) and landed in its own ``_batch_id`` partition via the
+    idempotent writer: a replayed batch overwrites itself, so the partials
+    table is exactly-once WITHOUT a processed-batch ledger — the
+    merge-then-mark designs have a crash window between merge and mark
+    that double-counts; landing idempotent partials and merging at READ
+    (:func:`read_bars`) has none. Periodic compaction
+    (sources/maintenance.py::compact) bounds the partition count; the
+    read-side merge touches O(#bars × #batches-since-compaction) rows,
+    never raw ticks.
+    """
+    from ..sources.maintenance import _ohlcv_partials
+
+    return (
+        ticks.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_idempotent(
+                _ohlcv_partials(bdf), bid, partials_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bars(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Bar view over the streamed partials: merge states, extract O/C."""
+    from ..sources.maintenance import merge_bar_partials
+
+    merged = merge_bar_partials(
+        spark.read.parquet(partials_dir).drop(BATCH_COL)
+    )
+    return merged.select(
+        "event_type",
+        "bar_date",
+        F.col("open_p.v").alias("open"),
+        "high",
+        "low",
+        F.col("close_p.v").alias("close"),
+        "n_ticks",
+        F.col("volume").cast("double").alias("volume"),
+    )
+
+
 def run_stream_to_parquet(df: DataFrame, sink_dir: str, *, checkpoint: str):
     """Production sink: checkpointed foreachBatch with idempotent batch
     partitions — WAL offsets give at-least-once batch delivery, the

@@ -165,3 +165,54 @@ def test_append_sink_schema_evolution_mergeschema(spark, tmp_path):
     assert {r.k for r in nulls} == set(range(10))
     # and the evolved rows carry real values
     assert out.filter(F.col("k") == 15).first().volume == 150
+
+
+def test_incremental_ohlcv_equals_full_recompute_any_order(spark, tmp_path):
+    """Bar maintenance is commutative/associative: out-of-order and
+    day-splitting batch arrivals must still reproduce the from-scratch
+    bars, including the argmin/argmax open/close."""
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.sources.maintenance import (
+        _ohlcv_partials,
+        read_ohlcv_bars,
+        refresh_ohlcv_bars,
+    )
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    # three slices that split days across batches, applied out of order
+    slices = [
+        events.filter(F.hour("ts") >= 12),
+        events.filter((F.hour("ts") < 12) & (F.dayofmonth("ts") > 15)),
+        events.filter((F.hour("ts") < 12) & (F.dayofmonth("ts") <= 15)),
+    ]
+    bars = str(tmp_path / "bars")
+    for s in slices:
+        refresh_ohlcv_bars(spark, bars, s)
+    got = {
+        (r.event_type, r.bar_date): (
+            r.open, r.high, r.low, r.close, r.n_ticks, round(r.volume, 6)
+        )
+        for r in read_ohlcv_bars(spark, bars).collect()
+    }
+
+    full = _ohlcv_partials(events)
+    want = {
+        (r.event_type, r.bar_date): (
+            r.open_p.v, r.high, r.low, r.close_p.v, r.n_ticks,
+            round(float(r.volume), 6),
+        )
+        for r in full.collect()
+    }
+    assert got == want
+    # and the bar view agrees with the registered b03 resample on the
+    # scalar aggregates (open/close tie semantics differ only on exact
+    # timestamp ties, absent in this feed)
+    from stock_data_pipeline_spark import registry
+
+    b03 = {
+        (r.event_type, r.bar_date): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in registry.full_queries()["b03_ohlcv_bars"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert {k: v[:5] for k, v in got.items()} == b03

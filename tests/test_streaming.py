@@ -589,3 +589,59 @@ def test_spec_cadence_strings_are_valid_trigger_intervals(spark, sf_dir, tmp_pat
     stream = read_event_stream(spark, str(tmp_path))
     for spec in (TICKER_SPEC, RATIO_SPEC, STATEMENT_SPEC, NEWS_SPEC):
         stream.writeStream.trigger(processingTime=spec.cadence)
+
+
+def test_streamed_bar_partials_equal_batch_bars(spark, sf_dir, tmp_path):
+    """run_bars_ingest lands per-batch OHLCV partials exactly-once; the
+    read-side merge must equal a from-scratch bar aggregate, across
+    multiple micro-batches AND after a simulated batch replay."""
+    from stock_data_pipeline_spark.sources.maintenance import _ohlcv_partials
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_bars,
+        run_bars_ingest,
+        write_batch_idempotent,
+    )
+
+    # land the feed as 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        import glob, shutil as sh
+        part = glob.glob(str(tmp_path / f"s{i}" / "*.parquet"))[0]
+        sh.copy(part, land / f"batch{i}.parquet")
+
+    partials_dir = str(tmp_path / "bar_partials")
+    stream = read_event_stream(spark, str(land))
+    q = run_bars_ingest(stream, partials_dir, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    # replay batch 1 (crash-after-write, retry): must overwrite, not add
+    replayed = events.filter(
+        (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    write_batch_idempotent(_ohlcv_partials(replayed), 1, partials_dir)
+
+    got = {
+        (r.event_type, r.bar_date): (
+            r.open, r.high, r.low, r.close, r.n_ticks, round(r.volume, 6)
+        )
+        for r in read_bars(spark, partials_dir).collect()
+    }
+    full = _ohlcv_partials(
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    want = {
+        (r.event_type, r.bar_date): (
+            r.open_p.v, r.high, r.low, r.close_p.v, r.n_ticks,
+            round(float(r.volume), 6),
+        )
+        for r in full.collect()
+    }
+    assert got == want
