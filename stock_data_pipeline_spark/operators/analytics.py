@@ -859,3 +859,63 @@ def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey % 40 = 0
         """
     )
+
+
+# --------------------------------------------------------------------------
+# B55 — winsorization: robust-stats outlier capping per group
+# --------------------------------------------------------------------------
+@query(
+    "b55_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+             round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           {sql_dec_sum('o_totalprice')} / COUNT(*) AS mean_raw,
+           {sql_dec_sum('greatest(lo, least(hi, o_totalprice))')} / COUNT(*)
+             AS mean_winsorized
+    FROM orders o JOIN bounds b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    driver=False,
+)
+def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: per-group winsorized mean — cap values at the group's exact
+    [p05, p95] (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the b15
+    parity) and compare the robust mean against the raw one. The outlier
+    treatment a price feed needs before any of the rolling statistics
+    (b52's z-scores flag spikes; this bounds their influence).
+
+    Two aggregates over the fact table with a BROADCAST join between
+    them: bounds are one row per group (KB-sized at any scale), so the
+    clamp pass is map-side — no second shuffle of the facts. At 100 TB
+    swap the exact percentile for ``approx_percentile`` (same plan
+    shape); the exact form is kept here because it is oracle-checkable.
+    """
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("o_totalprice")))
+    out_of_bounds = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(out_of_bounds, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+            (dec_sum("o_totalprice") / F.count("*")).alias("mean_raw"),
+            (dec_sum(clamped) / F.count("*")).alias("mean_winsorized"),
+        )
+    )

@@ -172,6 +172,41 @@ class IngestPipeline:
             n_quarantined=int(m["n_quarantined"]),
         )
 
+    def run_batch_with_retry(
+        self,
+        spark: SparkSession,
+        batch_time: datetime,
+        *,
+        retries: int = 2,
+        on_failure=None,
+        on_retry=None,
+    ) -> BatchMetrics:
+        """Operational wrapper: the reference's ``retries: 2`` +
+        ``email_on_failure`` semantics (stock_data_to_gcp.py:80-82),
+        without the silent part.
+
+        Per-ROW errors never reach here — they quarantine inside
+        ``run_batch``. This guards whole-BATCH failures (sink I/O, schema
+        enforcement, driver errors): retry up to ``retries`` times
+        (``on_retry(attempt, exc)`` observes each), then call
+        ``on_failure(exc, spec_name, batch_time)`` — the alert hook where
+        the reference sends email — and re-raise. The retry is safe
+        because the batch write is append-per-run and repaired by the
+        key-dedup read (``read_sink_deduped``): a partial append before a
+        crash is deduplicated, not double-counted.
+        """
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                return self.run_batch(spark, batch_time)
+            except Exception as exc:  # noqa: BLE001 — boundary: alert + re-raise
+                last = exc
+                if attempt < retries and on_retry is not None:
+                    on_retry(attempt, exc)
+        if on_failure is not None:
+            on_failure(last, self.spec.name, batch_time)
+        raise last
+
     # -- reads ------------------------------------------------------------
     def read_sink(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.sink_path).drop("ingest_date")

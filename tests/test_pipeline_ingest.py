@@ -141,3 +141,82 @@ def test_sink_read_prunes_date_partitions(spark, pipeline):
     assert "ingest_date" in plan.split("PartitionFilters: [", 1)[1].split("]")[0]
     days = {r.ingest_date.isoformat() for r in df.select("ingest_date").distinct().collect()}
     assert days == {"2024-03-01"}
+
+
+def test_retry_then_alert_on_batch_failure(spark, tmp_path):
+    """Whole-batch failures retry (reference: retries=2) and fire the
+    alert hook exactly once with the final exception; a healthy batch
+    never alerts."""
+    from stock_data_pipeline_spark.pipelines.ingest import PipelineSpec
+
+    # a spec whose sink schema doesn't exist fails every attempt
+    broken = IngestPipeline(
+        PipelineSpec("no_such_table", ("Price",), "1 hour"),
+        str(tmp_path),
+        fetcher=synthetic_quote_fetcher(("Price",)),
+        symbols=SYMBOLS[:5],
+    )
+    alerts, retries = [], []
+    with pytest.raises(KeyError):
+        broken.run_batch_with_retry(
+            spark,
+            T0,
+            retries=2,
+            on_failure=lambda exc, name, t: alerts.append((type(exc).__name__, name, t)),
+            on_retry=lambda attempt, exc: retries.append(attempt),
+        )
+    assert retries == [0, 1]           # two retries observed
+    assert alerts == [("KeyError", "no_such_table", T0)]  # one final alert
+
+    healthy = IngestPipeline(
+        TICKER_SPEC,
+        str(tmp_path / "ok"),
+        fetcher=synthetic_quote_fetcher(TICKER_SPEC.fields),
+        symbols=SYMBOLS[:5],
+    )
+    ok_alerts = []
+    m = healthy.run_batch_with_retry(
+        spark, T0, on_failure=lambda *a: ok_alerts.append(a)
+    )
+    assert m.n_ok == 5 and ok_alerts == []
+
+
+def test_transient_failure_recovers_within_retries(spark, tmp_path):
+    """A fetcher whose whole batch fails once then succeeds must recover
+    on retry with no alert."""
+    calls = {"n": 0}
+
+    def flaky_fetcher(symbol, fields, t):
+        if calls["n"] == 0 and symbol.endswith("000"):
+            calls["n"] += 1
+            raise RuntimeError("transient backend outage")
+        return synthetic_quote_fetcher(fields)(symbol, fields, t)
+
+    # per-row tolerance catches fetcher exceptions into quarantine, so a
+    # whole-batch failure needs the sink to break instead: simulate by
+    # making the first attempt's sink root an existing FILE
+    sink_root = tmp_path / "sink"
+    p = IngestPipeline(
+        TICKER_SPEC,
+        str(sink_root),
+        fetcher=synthetic_quote_fetcher(TICKER_SPEC.fields),
+        symbols=SYMBOLS[:5],
+    )
+    blocker = sink_root / TICKER_SPEC.name
+    sink_root.mkdir()
+    blocker.write_text("not a directory")  # first attempt fails to write
+
+    attempts = []
+
+    def on_retry(attempt, exc):
+        attempts.append(attempt)
+        blocker.unlink()  # outage clears before the retry
+
+    alerts = []
+    m = p.run_batch_with_retry(
+        spark, T0, retries=2,
+        on_failure=lambda *a: alerts.append(a), on_retry=on_retry,
+    )
+    assert m.n_ok == 5
+    assert attempts == [0]
+    assert alerts == []
