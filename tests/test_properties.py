@@ -123,3 +123,62 @@ def test_dec_sum_matches_duckdb_spelling_on_adversarial_values(spark, values):
 
     want = sum(math.floor(v * 100.0 + 0.5) for v in values) / 100.0
     assert got_spark == got_duck == want
+
+
+# --------------------------------------------------------------------------
+# SCD2 incremental fold vs a pure-Python reference model
+# --------------------------------------------------------------------------
+_scd_feeds = st.lists(  # per day: {entity: attribute}, attribute may be None
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(feed=_scd_feeds)
+def test_scd2_apply_matches_python_model(spark, feed):
+    """Folding arbitrary snapshot sequences (absent keys, null attributes,
+    re-appearing values) must match a dict-based SCD2 model exactly."""
+    from datetime import date
+
+    from stock_data_pipeline_spark.operators.scd import scd2_apply
+
+    # reference model: per key, list of [attr, from, to, current]
+    model: dict[int, list] = {}
+    history = None
+    for i, snap in enumerate(feed):
+        day = date(2024, 1, 1 + i)
+        for k, v in snap.items():
+            versions = model.setdefault(k, [])
+            if versions and versions[-1][3]:
+                if versions[-1][0] != v:  # null-safe: None != "a"
+                    versions[-1][2] = day
+                    versions[-1][3] = False
+                    versions.append([v, day, None, True])
+            else:
+                versions.append([v, day, None, True])
+
+        rows = [(k, v, day) for k, v in snap.items()]
+        snap_df = spark.createDataFrame(
+            rows, "id int, grade string, as_of date"
+        ) if rows else spark.createDataFrame([], "id int, grade string, as_of date")
+        history = scd2_apply(
+            history, snap_df, keys=["id"], attrs=["grade"], coalesce_to=4
+        )
+        history = history.localCheckpoint(eager=True)
+
+    got = {
+        (r.id, r.grade, r.valid_from, r.valid_to, r.is_current)
+        for r in history.collect()
+    }
+    want = {
+        (k, ver[0], ver[1], ver[2], ver[3])
+        for k, versions in model.items()
+        for ver in versions
+    }
+    assert got == want

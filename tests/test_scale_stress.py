@@ -149,3 +149,34 @@ def test_ngram_prune_bounds_candidate_join(spark, sf_stress_dir):
     base_exact = candidates(docs, None)
     big_pruned = candidates(big, _PRUNE_MAX_DF)
     assert big_pruned < base_exact, (big_pruned, base_exact)
+
+
+def test_pairwise_corr_invariant_under_tick_replication(spark, sf_stress_dir):
+    """The finance-layer correlation matrix must be BIT-identical when
+    every tick is replicated 8×: the hourly mark is an exact scaled
+    sum/count ratio ((8S)/(8N) rounds to the same double as S/N), so the
+    series — and every moment downstream — cannot move. This is the
+    practical 100×-safety property: duplicate-heavy replays and
+    partition-level retries don't perturb the statistics."""
+    from stock_data_pipeline_spark.catalog import register_views
+    from stock_data_pipeline_spark.operators.finance import _B51_SQL
+
+    register_views(spark, sf_stress_dir)
+    base = {
+        (r.sym_a, r.sym_b): (r.n_buckets, r.price_corr)
+        for r in spark.sql(_B51_SQL).collect()
+    }
+    assert base
+
+    ev = load(spark, sf_stress_dir, "events")
+    reduce(lambda a, b: a.unionAll(b), [ev] * REPLICAS).createOrReplaceTempView(
+        "events"
+    )
+    try:
+        got = {
+            (r.sym_a, r.sym_b): (r.n_buckets, r.price_corr)
+            for r in spark.sql(_B51_SQL).collect()
+        }
+    finally:
+        register_views(spark, sf_stress_dir)  # restore the real view
+    assert got == base
