@@ -333,6 +333,75 @@ def stream_running_ema(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
     )
 
 
+def stream_zscore_anomalies(events: DataFrame, *, window: int = 100) -> DataFrame:
+    """Streaming twin of the batch b52 spike detector (operators/
+    finance.py): per-instrument rolling z-score over the last ``window``
+    ticks, emitted as anomalies arrive (outputMode=append).
+
+    State per key is the ring buffer of the last ``window`` SCALED-INTEGER
+    ticks — bounded O(keys × window), never history. The statistics are
+    computed with the exact same expression sequence as the batch SQL
+    (integer Σv/Σv², then the identical double ops), so on in-order input
+    the flagged set and z-scores EQUAL the batch query bit-for-bit
+    (asserted in tests/test_streaming.py). Ordering caveat: rows are
+    sorted (ts, event_id) within each micro-batch, but cross-batch
+    out-of-order arrival is not re-buffered — on a disordered feed the
+    live edge is approximate and the batch query is the authority
+    (re-running it is the repair path, same rule as b18 replay).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf)
+        batch = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        out = {"event_id": [], "event_type": [], "ts": [], "px": [], "zscore": []}
+        for row in batch.itertuples(index=False):
+            v2 = math.floor(float(row.value) * 100.0 + 0.5)
+            buf.append(v2)
+            if len(buf) > window:
+                buf.pop(0)
+            n = len(buf)
+            if n >= 30:
+                # identical op sequence to the batch SQL: exact int sums,
+                # then the same IEEE double expressions
+                sv = float(sum(buf)) / 100.0
+                svv = float(sum(b * b for b in buf)) / 10000.0
+                px = float(v2) / 100.0
+                mu = sv / n
+                var = (svv - sv * sv / n) / (n - 1)
+                if var > 0:
+                    z = (px - mu) / math.sqrt(var)
+                    if abs(z) > 3.0:
+                        out["event_id"].append(row.event_id)
+                        out["event_type"].append(key[0])
+                        out["ts"].append(row.ts)
+                        out["px"].append(px)
+                        out["zscore"].append(
+                            math.floor(z * 1000000) / 1000000
+                        )
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    return events.select("event_type", "event_id", "ts", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id bigint, event_type string, ts timestamp, "
+            "px double, zscore double"
+        ),
+        stateStructType="buf array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
     """The same per-key running EMA on the ``transformWithStateInPandas``
     API (Spark 4's arbitrary-state successor to applyInPandasWithState):

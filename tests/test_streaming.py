@@ -645,3 +645,45 @@ def test_streamed_bar_partials_equal_batch_bars(spark, sf_dir, tmp_path):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_stream_zscore_anomalies_equal_batch_b52(spark, sf_dir, tmp_path):
+    """The stateful streaming spike detector must flag exactly the batch
+    b52 set with bit-equal z-scores when ticks arrive in order across
+    micro-batches (same scaled-int + IEEE expression sequence)."""
+    import time
+
+    from stock_data_pipeline_spark import registry
+    from stock_data_pipeline_spark.streaming.jobs import stream_zscore_anomalies
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        import glob
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"z{i}"))
+        part = glob.glob(str(tmp_path / f"z{i}" / "*.parquet"))[0]
+        shutil.copy(part, land / f"batch{i}.parquet")
+        time.sleep(1.1)  # file-source ordering is by modification time
+
+    stream = read_event_stream(spark, str(land))
+    q = run_stream_to_memory(
+        stream_zscore_anomalies(stream),
+        "zscore_out",
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    _drain(q)
+    got = {
+        r.event_id: (r.event_type, r.px, r.zscore)
+        for r in spark.sql("SELECT * FROM zscore_out").collect()
+    }
+
+    batch = registry.full_queries()["b52_zscore_anomaly"](spark, sf_dir).collect()
+    want = {r.event_id: (r.event_type, r.px, r.zscore) for r in batch}
+    assert got == want
+    assert got  # non-vacuous: the feed contains spikes
