@@ -45,9 +45,9 @@ _B54_SQL = """
     ),
     grp AS (
       SELECT user_id, d, tier,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY d
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS version
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS version
       FROM flagged
     )
     SELECT user_id, version, tier,

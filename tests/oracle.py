@@ -56,6 +56,15 @@ def assert_matches_oracle(spark, name: str, sf_dir: str) -> None:
     )
     for col in spark_pdf.columns:
         a, b = spark_pdf[col], duck_pdf[col]
+        # the driver's value-hash stringifies tuples, so int64 vs float64
+        # (e.g. a DuckDB HUGEINT sum surfacing as float) hashes "2" vs
+        # "2.0" — a dtype MISMATCH here must fail even when values
+        # compare equal, or local parity over-promises driver parity
+        assert pd.api.types.is_float_dtype(a) == pd.api.types.is_float_dtype(b), (
+            f"{name}: column {col!r} dtype class differs "
+            f"(spark {a.dtype} vs duck {b.dtype}) — cast the oracle "
+            f"(e.g. CAST(SUM(...) AS BIGINT)) so both engines agree"
+        )
         if pd.api.types.is_float_dtype(a):
             eq = np.isclose(a.to_numpy(), b.to_numpy(), rtol=0, atol=0, equal_nan=True)
         else:
