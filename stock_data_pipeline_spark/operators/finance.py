@@ -262,6 +262,59 @@ _B53_SQL = f"""
 """
 
 
+_B56_SQL = f"""
+    WITH bars AS ({_DAILY_BARS}),
+    rets AS (
+      SELECT event_type, bar_date,
+             CAST(FLOOR((close / lag(close) OVER w - 1) * 10000.0
+                        + 0.5) AS DECIMAL(18,0)) AS r4
+      FROM bars
+      WHERE close >= 1.0
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    ),
+    win AS (
+      SELECT event_type, bar_date,
+             CAST(SUM(r4) OVER v AS DOUBLE) / 10000.0 AS sr,
+             CAST(SUM(r4 * r4) OVER v AS DOUBLE) / 100000000.0 AS srr,
+             COUNT(r4) OVER v AS n
+      FROM rets
+      WHERE r4 IS NOT NULL
+      WINDOW v AS (PARTITION BY event_type ORDER BY bar_date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, n AS n_days,
+           floor(sr / n * 1000000) / 1000000 AS mean_return,
+           floor((sr / n)
+                 / sqrt((srr - sr * sr / n) / (n - 1))
+                 * 1000000) / 1000000 AS sharpe
+    FROM win
+    WHERE n >= 5 AND (srr - sr * sr / n) > 0
+"""
+
+
+@query("b56_rolling_sharpe", oracle=_B56_SQL, driver=False)
+def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: 10-day rolling Sharpe ratio (mean/σ of daily returns).
+
+    Chains the b49 return derivation with the b52 exact-moment machinery:
+    returns are ROUND-scaled to 1e-4 integers (DECIMAL(18,0)), the
+    trailing window keeps Σr and Σr² exactly, and the ratio is formed
+    from the same IEEE ops on both engines. The risk-free rate is taken
+    as zero (a constant subtraction would be just as deterministic).
+    Sub-1.0 closes are excluded from the return series: near-zero marks
+    make the ratio unbounded (a 0.01→560 move is a 5.6e6× "return"),
+    which both distorts the statistic and overflows the exact
+    DECIMAL(18,0) square — the penny-stock filter every real Sharpe
+    screen applies anyway, here also the overflow guard.
+
+    Scale: bars then windows — both partitioned by instrument; the
+    expensive input (ticks→bars) is one map-combined aggregate shuffle,
+    the two window layers share sorts on the bar-grain table.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B56_SQL)
+
+
 @query("b53_market_beta", oracle=_B53_SQL, driver=False)
 def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: per-instrument beta/alpha vs the equal-weight market index.
