@@ -245,3 +245,42 @@ def test_prep_pipeline_invariants(spark, sf_check_dir):
     fps = [r.fingerprint for r in rows]
     assert len(fps) == len(set(fps)), "duplicate fingerprints survived"
     assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_windowed_indicators_match_pandas_ground_truth(spark, sf_dir):
+    """The JVM-only truncated-window EMA/RSI must match the pandas ewm
+    ground truth to well below any trading-decision tolerance (the
+    truncation bound is ~1e-13; assert 1e-9)."""
+    import numpy as np
+
+    from stock_data_pipeline_spark.operators.timeseries import (
+        with_indicators_windowed,
+    )
+
+    events = load(spark, sf_dir, "events")
+    got = (
+        with_indicators_windowed(events)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    raw = events.select("user_id", "event_id", "ts", "value").toPandas()
+    want = (
+        raw.groupby("user_id", group_keys=False)[raw.columns]
+        .apply(_indicators)
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    for col in ["ema", "rsi"]:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        assert (np.isnan(a) == np.isnan(b)).all()
+        assert np.nanmax(np.abs(a - b)) < 1e-9
+
+    # and it must be a pure-JVM plan: no Python workers anywhere
+    plan = (
+        with_indicators_windowed(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
