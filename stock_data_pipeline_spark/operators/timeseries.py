@@ -629,9 +629,12 @@ def ema_windowed(events: DataFrame, *, alpha: float = EMA_ALPHA) -> DataFrame:
     this does O(window) arithmetic PER ROW (the affine-scan structure a
     recurrence exploits is not expressible with built-in window
     aggregates), but stays on the JVM — no Python worker pool, no Arrow
-    hop, no pandas. Use it where operating Python executors is the
-    bigger cost; use the pandas path where per-row CPU is. Both are
-    asserted equal to the pandas ``ewm`` ground truth.
+    hop, no pandas. Measured ~6× SLOWER than the pandas path at sf0.1
+    under full materialization (a ``count()`` benchmark lies here:
+    Catalyst prunes the unused fold entirely), so this is the fallback
+    for clusters where Python workers are unavailable or prohibited,
+    not the fast path. Both are asserted equal to the pandas ``ewm``
+    ground truth.
     """
     c = 1.0 - alpha
     w = (
@@ -698,10 +701,13 @@ def with_indicators_windowed(events: DataFrame) -> DataFrame:
     expressions, one sort per key partition shared by all three windows.
 
     Trade-off: O(window) arithmetic per row instead of O(1) — but no
-    Python worker pool, no Arrow hop. Measured 3.3× FASTER than the
-    pandas path at sf0.1 on local[32] (JVM flops are cheaper than
-    Python round trips at dashboard scale); on very hot keys the pandas
-    recurrence's O(1)-per-row wins back. Equal to the pandas ``ewm``
+    Python worker pool, no Arrow hop. Under FULL materialization this is
+    ~6× slower than the pandas path at sf0.1 (3.0 s vs 0.49 s noop-write;
+    an earlier 3.3×-faster reading came from a ``count()`` benchmark
+    whose plan had the folds pruned away — Window operators don't change
+    cardinality, so Catalyst deletes them under count). Use this ONLY
+    where running Python on executors is not an option; the serving path
+    for b29 is :func:`with_indicators`. Equal to the pandas ``ewm``
     ground truth within 1e-9 (tests/test_sampling.py).
     """
     key = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
@@ -752,11 +758,11 @@ def with_indicators_windowed(events: DataFrame) -> DataFrame:
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies
-    (/root/reference/README.md:23). Served by the JVM-only windowed
-    formulation (3.3× the applyInPandas path at sf0.1 and no Python
-    workers); :func:`with_indicators` remains the B20 pandas-UDF surface
-    and the 1e-12 ground-truth anchor."""
-    return with_indicators_windowed(load(spark, sf_dir, "events"))
+    (/root/reference/README.md:23). Served by the sharded applyInPandas
+    recurrence (O(1) per row); :func:`with_indicators_windowed` is the
+    JVM-only fallback for Python-less clusters (~6× slower under full
+    materialization — see its docstring for the count()-pruning trap)."""
+    return with_indicators(load(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
