@@ -919,3 +919,114 @@ def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_sum(clamped) / F.count("*")).alias("mean_winsorized"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B57 — returned-item reporting (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+@query(
+    "b57_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)}
+             AS revenue_lost,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_lost DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    driver=False,
+)
+def b57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 (TPC-H Q10 shape): customers who returned the most revenue —
+    the churn-risk report. Fact-side filter (returnflag pushed to the
+    lineitem scan) before the join chain; customer and nation broadcast;
+    orders↔lineitem is the one big join, keyed on orderkey. Top-20 by
+    the decimal-exact revenue with the unique custkey as tiebreak, so
+    the LIMIT frontier is deterministic cross-engine.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue_lost"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue_lost"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# B58 — volume shipping between nation pairs (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+@query(
+    "b58_volume_shipping",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)}
+             AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name < nc.n_name
+    GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+    """,
+    driver=False,
+)
+def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58 (TPC-H Q7 shape): trade volume between distinct nation pairs
+    per ship year. Six-table join where only orders↔lineitem is
+    fact×fact; customer, supplier, and both nation aliases broadcast, so
+    the fact table is shuffled exactly once (on orderkey) and the
+    nation-pair predicate prunes before aggregation. The pair is ordered
+    (supp < cust) to one row per unordered pair.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
