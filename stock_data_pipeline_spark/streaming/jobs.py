@@ -402,6 +402,92 @@ def stream_zscore_anomalies(events: DataFrame, *, window: int = 100) -> DataFram
     )
 
 
+def stream_zscore_anomalies_ordered(
+    events: DataFrame, *, window: int = 100, watermark: str = "1 hour"
+) -> DataFrame:
+    """Disorder-tolerant twin of :func:`stream_zscore_anomalies`: rows are
+    BUFFERED until the event-time watermark passes them, then processed
+    in strict (ts, event_id) order — so any arrival disorder within the
+    watermark delay yields exactly the batch b52 result, at the price of
+    watermark-delay latency (the undelayed twin is the live edge,
+    approximate under disorder; this is the correct-under-disorder path).
+
+    State per key: the pending buffer (rows newer than the watermark,
+    bounded by delay × arrival rate — the same bound every watermarked
+    stateful op carries) plus the 100-tick ring of processed history.
+    ``GroupState.getCurrentWatermarkMs`` gates the flush; note Spark
+    computes the watermark from the PREVIOUS batch's max event time, so
+    emission lags one micro-batch behind arrival (asserted in the test
+    by cutting the batch comparison at the final watermark).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        p_ts, p_eid, p_v2, ring = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        pend = list(zip(p_ts, p_eid, p_v2))
+        ring = list(ring)
+        chunks = list(pdf_iter)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for row in batch.itertuples(index=False):
+                ts_us = int(pd.Timestamp(row.ts).value // 1000)
+                pend.append(
+                    (ts_us, int(row.event_id),
+                     math.floor(float(row.value) * 100.0 + 0.5))
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend.sort()  # (ts, event_id) order — the batch query's order
+        ready = [r for r in pend if r[0] <= wm_us]
+        pend = [r for r in pend if r[0] > wm_us]
+
+        out = {"event_id": [], "event_type": [], "ts": [], "px": [], "zscore": []}
+        for ts_us, eid, v2 in ready:
+            ring.append(v2)
+            if len(ring) > window:
+                ring.pop(0)
+            n = len(ring)
+            if n >= 30:
+                sv = float(sum(ring)) / 100.0
+                svv = float(sum(b * b for b in ring)) / 10000.0
+                px = float(v2) / 100.0
+                mu = sv / n
+                var = (svv - sv * sv / n) / (n - 1)
+                if var > 0:
+                    z = (px - mu) / math.sqrt(var)
+                    if abs(z) > 3.0:
+                        out["event_id"].append(eid)
+                        out["event_type"].append(key[0])
+                        out["ts"].append(pd.Timestamp(ts_us * 1000))
+                        out["px"].append(px)
+                        out["zscore"].append(math.floor(z * 1000000) / 1000000)
+        state.update((
+            [r[0] for r in pend], [r[1] for r in pend], [r[2] for r in pend],
+            ring,
+        ))
+        yield pd.DataFrame(out)
+
+    return events.withWatermark("ts", watermark).select(
+        "event_type", "event_id", "ts", "value"
+    ).groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id bigint, event_type string, ts timestamp, "
+            "px double, zscore double"
+        ),
+        stateStructType=(
+            "pend_ts array<bigint>, pend_eid array<bigint>, "
+            "pend_v2 array<bigint>, ring array<bigint>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
     """The same per-key running EMA on the ``transformWithStateInPandas``
     API (Spark 4's arbitrary-state successor to applyInPandasWithState):

@@ -687,3 +687,66 @@ def test_stream_zscore_anomalies_equal_batch_b52(spark, sf_dir, tmp_path):
     want = {r.event_id: (r.event_type, r.px, r.zscore) for r in batch}
     assert got == want
     assert got  # non-vacuous: the feed contains spikes
+
+
+def test_stream_zscore_ordered_correct_under_disorder(spark, sf_dir, tmp_path):
+    """Out-of-order arrival within the watermark delay must still produce
+    exactly the batch b52 anomalies for every tick the final watermark
+    closed — the watermark-buffered detector re-establishes event-time
+    order before scoring."""
+    import glob
+    import time
+
+    from stock_data_pipeline_spark import registry
+    from stock_data_pipeline_spark.streaming.jobs import (
+        stream_zscore_anomalies_ordered,
+    )
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    # overlapping, internally-shuffled slices: days 1-12, 8-22, 18-30
+    slices = [
+        events.filter(F.dayofmonth("ts") <= 12).orderBy(F.md5(F.col("event_id").cast("string"))),
+        events.filter((F.dayofmonth("ts") >= 8) & (F.dayofmonth("ts") <= 22) & (F.dayofmonth("ts") > 12)),
+        events.filter(F.dayofmonth("ts") > 22),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(str(tmp_path / f"d{i}"))
+        part = glob.glob(str(tmp_path / f"d{i}" / "*.parquet"))[0]
+        shutil.copy(part, land / f"batch{i}.parquet")
+        time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(land))
+    q = run_stream_to_memory(
+        stream_zscore_anomalies_ordered(stream, watermark="10 days"),
+        "zscore_ord_out",
+        checkpoint=str(tmp_path / "ck"),
+        output_mode="append",
+    )
+    _drain(q)
+    got = {
+        r.event_id: (r.event_type, r.px, r.zscore)
+        for r in spark.sql("SELECT * FROM zscore_ord_out").collect()
+    }
+
+    # the watermark visible to the LAST batch comes from the prior
+    # batches' max event time minus the delay: everything at or before
+    # that instant was flushed in order
+    import datetime
+
+    max_prior = (
+        events.filter(F.dayofmonth("ts") <= 22)
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    cutoff = max_prior - datetime.timedelta(days=10)
+    batch = registry.full_queries()["b52_zscore_anomaly"](spark, sf_dir).collect()
+    want = {
+        r.event_id: (r.event_type, r.px, r.zscore)
+        for r in batch
+        if r.ts <= cutoff
+    }
+    assert got == want
+    assert got  # non-vacuous
