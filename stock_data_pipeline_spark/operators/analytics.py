@@ -1030,3 +1030,52 @@ def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B59 — median absolute deviation (robust dispersion per group)
+# --------------------------------------------------------------------------
+@query(
+    "b59_mad",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment,
+             round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n, m.median_bal,
+           round(quantile_cont(abs(c.c_acctbal - m.median_bal), 0.5), 6)
+             AS mad
+    FROM customer c
+    JOIN med m ON c.c_mktsegment = m.c_mktsegment
+    GROUP BY c.c_mktsegment, m.median_bal
+    """,
+    driver=False,
+)
+def b59_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59: per-group median absolute deviation — the robust dispersion
+    partner of b55's winsorized mean (MAD ignores outliers entirely;
+    stddev is quadratic in them). Two percentile passes with a BROADCAST
+    median join between them — same plan skeleton as b55, and the same
+    exact-percentile parity (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``; the rounded median is subtracted identically on
+    both engines, and |x − med| feeds the second percentile bit-equal).
+    At 100 TB swap both percentiles for ``approx_percentile``.
+    """
+    cust = load(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal")
+    )
+    return (
+        cust.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment", "median_bal")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("c_acctbal") - F.col("median_bal")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+        )
+    )

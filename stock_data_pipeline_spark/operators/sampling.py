@@ -774,3 +774,65 @@ def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C8e — cross-split leakage audit (train→eval contamination)
+# --------------------------------------------------------------------------
+# Prefix fingerprint, not whole-document: boilerplate/templated documents
+# that share an opening (the dominant leakage class in scraped corpora)
+# are caught even when their tails differ; exact duplicates are caught a
+# fortiori whenever they share the prefix window.
+_LEAK_PREFIX = 80
+_SQL_FP = f"md5(lower(substr(trim(text), 1, {_LEAK_PREFIX})))"
+
+
+@query(
+    "c08_split_leakage",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, {_SQL_FP} AS fingerprint, {_SQL_SPLIT} AS split
+      FROM documents
+    )
+    SELECT t.split AS eval_split,
+           COUNT(*) AS n_leaked_docs,
+           COUNT(DISTINCT t.fingerprint) AS n_leaked_contents,
+           CAST(SUM(t.doc_id) AS BIGINT) AS leaked_id_checksum
+    FROM tagged t
+    JOIN (SELECT DISTINCT fingerprint FROM tagged WHERE split = 'train') tr
+      ON t.fingerprint = tr.fingerprint
+    WHERE t.split <> 'train'
+    GROUP BY t.split
+    """,
+)
+def c08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8e: train→eval leakage audit — val/test documents whose content
+    PREFIX fingerprint (normalized first 80 chars — the boilerplate/
+    template signature) also appears in train. The check every split
+    pipeline must run AFTER splitting: a hash split is random over
+    doc_ids, so shared content lands on both sides and silently
+    inflates eval scores. (The fix is upstream — dedup before split,
+    c01/c02 — this query is the auditor that proves it happened.)
+
+    Scale: semi-join on the 128-bit fingerprint — uniform key, no skew;
+    the shuffle carries (fingerprint, id, split), never document text.
+    The checksum column pins the exact leaked-row set in the hash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.substring(F.trim("text"), 1, _LEAK_PREFIX)))
+    tagged = with_split(docs).select(
+        "doc_id", fp.alias("fingerprint"), "split"
+    )
+    train_fp = (
+        tagged.filter(F.col("split") == "train").select("fingerprint").distinct()
+    )
+    return (
+        tagged.filter(F.col("split") != "train")
+        .join(train_fp, "fingerprint", "left_semi")
+        .groupBy(F.col("split").alias("eval_split"))
+        .agg(
+            F.count("*").alias("n_leaked_docs"),
+            F.count_distinct("fingerprint").alias("n_leaked_contents"),
+            F.sum("doc_id").cast("bigint").alias("leaked_id_checksum"),
+        )
+    )
