@@ -804,6 +804,7 @@ _SQL_FP = f"md5(lower(substr(trim(text), 1, {_LEAK_PREFIX})))"
     WHERE t.split <> 'train'
     GROUP BY t.split
     """,
+    driver=False,
 )
 def c08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: train→eval leakage audit — val/test documents whose content
