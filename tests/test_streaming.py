@@ -750,3 +750,66 @@ def test_stream_zscore_ordered_correct_under_disorder(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got  # non-vacuous
+
+
+def test_stream_zscore_ordered_survives_restart(spark, sf_dir, tmp_path):
+    """The watermark-buffered detector's state (pending buffer + ring)
+    must survive a checkpoint restart: stopping after the early batches
+    and restarting for the rest must yield the same anomaly set as the
+    uninterrupted run (itself pinned to batch b52 by the disorder test).
+    Memory sinks don't support checkpoint recovery, so both runs land in
+    the exactly-once parquet sink."""
+    import glob
+    import time
+
+    from stock_data_pipeline_spark.streaming.jobs import (
+        run_stream_to_parquet,
+        stream_zscore_anomalies_ordered,
+    )
+
+    events = load(spark, sf_dir, "events")
+    preds = [
+        F.dayofmonth("ts") <= 12,
+        (F.dayofmonth("ts") > 12) & (F.dayofmonth("ts") <= 22),
+        F.dayofmonth("ts") > 22,
+    ]
+    parts = []
+    for i, pred in enumerate(preds):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"r{i}"))
+        parts.append(glob.glob(str(tmp_path / f"r{i}" / "*.parquet"))[0])
+
+    def start(land_dir, sink, ckpt):
+        return run_stream_to_parquet(
+            stream_zscore_anomalies_ordered(
+                read_event_stream(spark, str(tmp_path / land_dir)),
+                watermark="10 days",
+            ),
+            str(tmp_path / sink),
+            checkpoint=str(tmp_path / ckpt),
+        )
+
+    def land(land_dir, files):
+        d = tmp_path / land_dir
+        d.mkdir(exist_ok=True)
+        for p_ in files:
+            shutil.copy(p_, d / (p_.split("/")[-2] + ".parquet"))
+            time.sleep(1.05)
+
+    # uninterrupted baseline
+    land("land_base", parts)
+    _drain(start("land_base", "sink_base", "ck_base"))
+    want = {
+        r.event_id: (r.px, r.zscore)
+        for r in spark.read.parquet(str(tmp_path / "sink_base")).collect()
+    }
+
+    # interrupted: batches 0-1, stop, restart same checkpoint with batch 2
+    land("land_rs", parts[:2])
+    _drain(start("land_rs", "sink_rs", "ck_rs"))
+    land("land_rs", parts[2:])
+    _drain(start("land_rs", "sink_rs", "ck_rs"))
+    got = {
+        r.event_id: (r.px, r.zscore)
+        for r in spark.read.parquet(str(tmp_path / "sink_rs")).collect()
+    }
+    assert got == want and got
