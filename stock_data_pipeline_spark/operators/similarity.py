@@ -625,3 +625,71 @@ def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3e: per-vector L2 norm + int8-quantized unit vector (emitted as a
     comma-joined string so the differential harness can sort/hash rows)."""
     return quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# C3f — filtered vector search (metadata predicate + top-k)
+# --------------------------------------------------------------------------
+@query(
+    "c03_filtered_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, label, cos_sim, sim_rank FROM (
+      SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS vec_id,
+        c.label,
+        round(list_cosine_similarity(
+          list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+        ROW_NUMBER() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY round(list_cosine_similarity(
+            list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+          c.vec_id ASC
+        ) AS sim_rank
+      FROM embeddings q
+      JOIN embeddings c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE sim_rank <= {_TOP_K}
+    """,
+    driver=False,
+)
+def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3f: filtered vector search — top-k cosine neighbors restricted by
+    a metadata predicate (here: a different class label than the query's,
+    the "cross-domain nearest neighbor" probe). The filter is part of the
+    JOIN condition, so candidates are pruned BEFORE any similarity math —
+    pre-filtering, the semantics every vector store's metadata filter
+    promises (post-filtering top-k then discarding can return < k rows).
+    Same broadcast-queries / rounded-rank / tie-break discipline as
+    c03_cosine_topk; at scale the predicate composes with the IVF cell
+    pruning (filter first, then probe cells).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        rebalance(emb)
+        .join(
+            F.broadcast(queries),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= _TOP_K)
+        .select("query_id", "vec_id", "label", "cos_sim", "sim_rank")
+    )
