@@ -182,3 +182,64 @@ def test_scd2_apply_matches_python_model(spark, feed):
         for ver in versions
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# OHLCV partial-state merge: invariant under arbitrary slicing
+# --------------------------------------------------------------------------
+_tick_feeds = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # instrument
+        st.integers(min_value=0, max_value=10**6),   # offset seconds
+        st.decimals(min_value="0.01", max_value="999.99", places=2).map(float),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): argmin/argmax defined
+)
+
+
+@settings(**_SETTINGS)
+@given(ticks=_tick_feeds, cuts=st.lists(st.integers(0, 29), max_size=3))
+def test_ohlcv_partials_merge_slicing_invariant(spark, ticks, cuts):
+    """Splitting the tick feed at ANY cut points and merging the per-slice
+    partials must equal the single-pass aggregate — the property that
+    makes the streamed bar table equal the batch bars for every batch
+    boundary the source happens to pick."""
+    from stock_data_pipeline_spark.sources.maintenance import (
+        _ohlcv_partials,
+        merge_bar_partials,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=off), f"sym{key}", val)
+        for i, (key, off, val) in enumerate(ticks)
+    ]
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+    full = spark.createDataFrame(rows, schema)
+
+    bounds = sorted({0, len(rows), *[c % (len(rows) + 1) for c in cuts]})
+    slices = [
+        spark.createDataFrame(rows[a:b], schema)
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ]
+    merged = merge_bar_partials(
+        _ohlcv_partials(slices[0])
+        if len(slices) == 1
+        else slices[0].sparkSession.createDataFrame(
+            _ohlcv_partials(slices[0]).collect()
+            + [r for s in slices[1:] for r in _ohlcv_partials(s).collect()],
+            _ohlcv_partials(slices[0]).schema,
+        )
+    )
+
+    def canon(df):
+        return {
+            (r.event_type, r.bar_date): (
+                r.open_p, r.close_p, r.high, r.low, r.n_ticks, float(r.volume)
+            )
+            for r in df.collect()
+        }
+
+    assert canon(merged) == canon(merge_bar_partials(_ohlcv_partials(full)))
