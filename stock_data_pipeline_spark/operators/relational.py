@@ -1151,3 +1151,52 @@ def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# B60 — sliding-window distinct counts via mergeable HLL partials
+# --------------------------------------------------------------------------
+@query("b60_sliding_distinct", driver=False)  # sketch estimates are
+# engine-specific → no SQL oracle; error vs exact trailing distinct and
+# the partial-merge property are asserted in tests/test_relational.py
+def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60: distinct users in the TRAILING 24 hours, per hour and event
+    type — the sliding-distinct query that has no scalable exact form
+    (COUNT(DISTINCT) cannot be a window function, and a 24-way self-join
+    rescans the fact table per offset).
+
+    The mergeable-partial formulation: ONE scan builds an hourly HLL
+    sketch per (type, hour) — KB-sized state per bucket regardless of
+    row count — then a ROWS window collects the trailing 24 sketches and
+    folds them with the binary ``hll_union``; ``hll_sketch_estimate``
+    yields the count. Adding an hour of data touches one bucket; the
+    window fold runs over the bucket-grain table (#types × #hours rows),
+    never the facts. This is the streaming-dashboard shape: store the
+    hourly sketches, answer ANY trailing-window distinct question by
+    unioning them.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-23, 0)
+    )
+    sketches = F.collect_list("sk").over(w)
+    trailing = F.aggregate(
+        F.slice(sketches, 2, 10_000),
+        F.element_at(sketches, 1),
+        lambda acc, s: F.hll_union(acc, s),
+    )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.hll_sketch_estimate(F.col("sk")).alias("distinct_hour"),
+        F.hll_sketch_estimate(trailing).alias("distinct_trailing_24h"),
+    )

@@ -221,3 +221,39 @@ def test_runtime_bloom_filter_prunes_large_join(spark, sf_check_dir):
         .count()
     )
     assert pruned == {r.o_orderpriority: r["count"] for r in plain.collect()}
+
+
+def test_sliding_distinct_sketches_near_exact_and_mergeable(spark, sf_dir):
+    """b60's trailing-24-bucket HLL estimates must track the exact
+    trailing distinct counts (same ROWS-window semantics, computed in
+    plain Python) within HLL error, and the hourly estimates must be
+    exact at this cardinality (HLL is exact well below sketch capacity)."""
+    from collections import defaultdict
+
+    got = {
+        (r.event_type, r.bucket): (r.distinct_hour, r.distinct_trailing_24h)
+        for r in get("b60_sliding_distinct").fn(spark, sf_dir).collect()
+    }
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket"), "user_id"
+    )
+    sets = defaultdict(set)
+    for r in ev.collect():
+        sets[(r.event_type, r.bucket)].add(r.user_id)
+    by_type = defaultdict(list)
+    for (et, b) in sets:
+        by_type[et].append(b)
+    checked = 0
+    for et, buckets in by_type.items():
+        buckets.sort()
+        for i, b in enumerate(buckets):
+            exact_hour = len(sets[(et, b)])
+            exact_trail = len(
+                set().union(*(sets[(et, bb)] for bb in buckets[max(0, i - 23): i + 1]))
+            )
+            gh, gt = got[(et, b)]
+            assert gh == exact_hour  # tiny per-hour sets: HLL exact
+            assert abs(gt - exact_trail) <= max(2, 0.05 * exact_trail)
+            checked += 1
+    assert checked == len(got) > 0
