@@ -330,3 +330,36 @@ def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B53_SQL)
+
+
+_B61_SQL = """
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             date_trunc('month', o_orderdate) AS month,
+             (CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                   AS DECIMAL(18,0))) AS DOUBLE) / 100.0) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+    )
+    SELECT o_orderpriority, month, revenue, n_orders,
+           floor((revenue / nullif(lag(revenue) OVER w, 0) - 1) * 1000000)
+             / 1000000 AS mom_growth,
+           floor(revenue / nullif(first_value(revenue) OVER w, 0) * 1000000)
+             / 1000000 AS index_vs_first
+    FROM monthly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
+@query("b61_mom_growth", oracle=_B61_SQL, driver=False)
+def b61_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61: month-over-month growth and indexed level per priority class —
+    the period-over-period report every revenue dashboard opens with.
+    One exact fixed-point aggregate to month grain, then lag/first_value
+    ratios on the aggregate-sized table (b49's closed-form discipline:
+    division only, no float accumulation, nullif guards). Shared SQL text
+    on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B61_SQL)
