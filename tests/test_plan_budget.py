@@ -1,0 +1,56 @@
+"""Plan-shape budgets: upper bounds on shuffle count per headline query.
+
+Every `Exchange hashpartitioning` is a full shuffle of that subtree's
+data; at 100 TB an extra one is the difference between a report and an
+outage. These budgets pin the CURRENT audited plan shapes (PLANS.md /
+BENCHNOTES) so a refactor that quietly adds a shuffle — a lost broadcast
+hint, a new non-aligned repartition, an optimizer-barrier expression —
+fails here instead of in the next bench. Bounds are ≤, not ==: AQE may
+legally REMOVE exchanges at runtime.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_pipeline_spark.registry import get
+
+# name -> (max hash exchanges, min broadcast exchanges)
+PLAN_BUDGETS = {
+    "flagship_event_dashboard": (2, 0),  # agg + rank window
+    "b02_group_agg": (1, 0),
+    "b03_ohlcv_bars": (1, 0),
+    "b04_broadcast_join": (1, 1),        # dims must broadcast
+    "b08_rank_in_group": (2, 0),
+    "b09_moving_window": (1, 0),
+    "b10_topk_orders": (0, 0),           # TakeOrdered, no full sort shuffle
+    "b33_pricing_summary": (1, 0),       # TPC-H Q1: ONE agg exchange
+    "b37_regional_revenue": (1, 4),      # star join: fact shuffles once, dims broadcast
+    "b38_large_orders": (3, 0),
+    "b42_shipping_priority": (1, 2),
+    "b52_zscore_anomaly": (1, 0),        # one window partition exchange
+    "b57_returned_items": (2, 2),
+    "b58_volume_shipping": (2, 4),
+    "c01_exact_dedup": (1, 0),
+    "c04_decontaminate": (3, 1),
+    "c04_top_tokens": (2, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_BUDGETS))
+def test_headline_plan_within_shuffle_budget(spark, sf_check_dir, name):
+    df = get(name).fn(spark, sf_check_dir)
+    if not hasattr(df, "_jdf"):
+        pytest.skip("classic session required for executed-plan asserts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    max_ex, min_bc = PLAN_BUDGETS[name]
+    n_ex = plan.count("Exchange hashpartitioning")
+    n_bc = plan.count("BroadcastExchange")
+    assert n_ex <= max_ex, (
+        f"{name}: {n_ex} hash exchanges (budget {max_ex}) — a shuffle "
+        f"crept in; diff the plan against PLANS.md"
+    )
+    assert n_bc >= min_bc, (
+        f"{name}: only {n_bc} broadcast exchanges (expected ≥{min_bc}) — "
+        f"a dimension stopped broadcasting"
+    )
