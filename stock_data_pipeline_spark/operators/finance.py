@@ -363,3 +363,53 @@ def b61_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B61_SQL)
+
+
+_B62_SQL = """
+    WITH bars AS (
+      SELECT event_type, date_trunc('day', ts) AS bar_date,
+             min_by(value, ts) AS open, MAX(value) AS high,
+             MIN(value) AS low, max_by(value, ts) AS close
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT event_type, bar_date, open, high, low, close,
+             lag(open) OVER w AS p_open,
+             lag(close) OVER w AS p_close,
+             lag(high) OVER w AS p_high
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    ),
+    flagged AS (
+      SELECT event_type, bar_date, open, high, low, close,
+             (high > low AND abs(close - open) <= 0.1 * (high - low))
+               AS is_doji,
+             coalesce(p_close < p_open AND close > open
+                      AND open <= p_close AND close >= p_open, false)
+               AS is_bullish_engulfing,
+             coalesce(low > p_high, false) AS is_gap_up
+      FROM lagged
+    )
+    SELECT * FROM flagged
+    WHERE is_doji OR is_bullish_engulfing OR is_gap_up
+"""
+
+
+@query("b62_candle_patterns", oracle=_B62_SQL, driver=False)
+def b62_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62: candlestick pattern screen over the daily bars — doji
+    (indecision: body within 10% of the range), bullish engulfing
+    (green body swallowing the prior red body), and gap-up (low above
+    the prior high). Pure lag-window comparisons on the exact
+    min_by/max_by bar values: no float accumulation, so the flagged SET
+    is cross-engine identical, not approximately so. First-bar pattern
+    flags are ``coalesce``d to false (Spark and DuckDB would otherwise
+    disagree only on NULL display, but a screen should never emit
+    three-valued logic).
+
+    Scale: bars-grain windows after one map-combined aggregate shuffle
+    — the b49/b50 skeleton; the screen itself is free.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B62_SQL)

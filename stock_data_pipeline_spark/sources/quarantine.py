@@ -84,3 +84,47 @@ def read_json_quarantined(
         ).alias("rec"),
     )
     return _split(parsed, schema)
+
+
+def read_parquet_tolerant(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, list[str]]:
+    """Landed-format (parquet) scan that survives corrupt files.
+
+    CSV/JSON tolerate corruption per ROW (PERMISSIVE above); a corrupt
+    parquet FILE kills the whole job under defaults
+    (FAILED_READ_FILE) — one truncated upload in a 100k-file landing
+    zone must not take down the batch. Strategy: footer-validate each
+    file driver-side (metadata-only — reads the 8-byte magic + footer,
+    never data pages), scan only the valid files with the declared
+    schema, and return the quarantined PATHS for the repair workflow.
+
+    Deliberately NOT ``spark.sql.files.ignoreCorruptFiles``: that conf
+    silently drops corrupt files mid-scan with no record of WHAT was
+    skipped — the silent-drop anti-pattern this module exists to
+    prevent (observable quarantine, SURVEY §2 A6). The validation cost
+    is one footer read per file, O(files) driver time at listing
+    magnitude; for 100k+ files run the same check as a parallelized
+    ``binaryFile`` pre-pass.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    candidates = sorted(
+        _glob.glob(_os.path.join(path, "*.parquet"))
+        if _os.path.isdir(path)
+        else _glob.glob(path)
+    )
+    good_files, bad_files = [], []
+    for f in candidates:
+        try:
+            _pq.read_metadata(f)
+            good_files.append(f)
+        except Exception:  # noqa: BLE001 — any unreadable footer quarantines
+            bad_files.append(f)
+    if not good_files:
+        empty = spark.createDataFrame([], schema)
+        return empty, bad_files
+    return spark.read.schema(schema).parquet(*good_files), bad_files

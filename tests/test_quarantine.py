@@ -80,3 +80,42 @@ def test_corrupt_parquet_file_skipped_not_fatal(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", "true").parquet(str(sink)).count()
     )
     assert out == 100
+
+
+def test_parquet_tolerant_scan_quarantines_corrupt_files(spark, tmp_path):
+    """A truncated/garbage parquet file must be quarantined BY PATH while
+    every valid file's rows survive — and the default reader must indeed
+    die on the same input (the failure mode the tolerant scan exists for)."""
+    from stock_data_pipeline_spark.sources.quarantine import (
+        read_parquet_tolerant,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.coalesce(1).write.parquet(str(tmp_path / "ok1"))
+    df.selectExpr("id + 100 AS id", "id AS v").coalesce(1).write.parquet(
+        str(tmp_path / "ok2")
+    )
+    import glob
+    import shutil as sh
+
+    for i, d in enumerate(["ok1", "ok2"]):
+        sh.copy(
+            glob.glob(str(tmp_path / d / "*.parquet"))[0],
+            land / f"part{i}.parquet",
+        )
+    # a truncated upload: valid magic, garbage after
+    (land / "part2.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+
+    schema = spark.range(1).selectExpr("id", "id AS v").schema
+    # default reader dies on the corrupt file
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PARQUET|FAILED_READ|magic|footer"):
+        spark.read.schema(schema).parquet(str(land)).count()
+
+    good, bad = read_parquet_tolerant(spark, str(land), schema)
+    assert [b.split("/")[-1] for b in bad] == ["part2.parquet"]
+    assert good.count() == 200
+    assert good.agg({"id": "max"}).first()[0] == 199
