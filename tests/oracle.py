@@ -80,3 +80,25 @@ def assert_matches_oracle(spark, name: str, sf_dir: str) -> None:
                 f"{name}: value mismatch in column {col!r} "
                 f"({(~eq).sum()}/{len(eq)} rows):\n{detail}"
             )
+    # Final gate: the DRIVER's exact protocol — md5 over sorted stringified
+    # tuples. Catches representation drift the per-column compare tolerates
+    # ('2' vs '2.0', bytes repr, None vs NaN spelling); b54's HUGEINT float
+    # surfaced only here. Zero extra engine executions.
+    assert _driver_hash(spark_pdf) == _driver_hash(duck_pdf), (
+        f"{name}: driver-protocol value-hash mismatch despite per-column "
+        f"equality — a dtype/representation difference the canonicalizer "
+        f"can't absorb; align the oracle's output types"
+    )
+
+
+def _driver_hash(pdf: pd.DataFrame) -> str:
+    """The verification driver's canonicalization, verbatim."""
+    import hashlib
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return hashlib.md5(
+        "\n".join(sorted(map(str, pdf.itertuples(index=False, name=None)))).encode()
+    ).hexdigest()
