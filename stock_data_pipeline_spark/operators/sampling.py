@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, register_views
 from ..functions.exact import sql_dec_sum
 from ..registry import query
 
@@ -837,3 +837,61 @@ def c08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("leaked_id_checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C8f — distribution drift between dataset versions (exact TV distance)
+# --------------------------------------------------------------------------
+_DRIFT_SQL = """
+    WITH bucketed AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 2 END AS half,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM bucketed
+      GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(n1) AS BIGINT) AS total1,
+             CAST(SUM(n2) AS BIGINT) AS total2
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type,
+           t.total1 AS n_first_half,
+           t.total2 AS n_second_half,
+           COUNT(*) AS n_buckets,
+           floor(CAST(SUM(abs(c.n1 * t.total2 - c.n2 * t.total1)) AS DOUBLE)
+                 / (2.0 * t.total1 * t.total2) * 1000000) / 1000000
+             AS tv_distance
+    FROM counts c
+    JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.total1, t.total2
+"""
+
+
+@query("c08_distribution_drift", oracle=_DRIFT_SQL, driver=False)
+def c08_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8f: distribution drift between two dataset versions — exact total
+    variation distance over fixed-width value histograms, first half of
+    the month vs second (the "did the new crawl/feed shift?" monitor a
+    training pipeline runs before mixing a new dump in).
+
+    TVD = ½·Σ|p₁ᵢ − p₂ᵢ| is computed WITHOUT forming the float shares:
+    the numerator Σ|n1ᵢ·N2 − n2ᵢ·N1| is pure integer arithmetic (exact,
+    order-independent — the float-sum-of-ratios form would be neither)
+    and one final division scales it. Unlike PSI/KL there is no log, so
+    the statistic is cross-engine bit-deterministic and handles empty
+    buckets without smoothing.
+
+    Scale: one histogram aggregate (map-side combined, O(#types ×
+    #buckets) rows out), a broadcast-sized totals join, one tiny
+    aggregate. The fact table is scanned once.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_DRIFT_SQL)
