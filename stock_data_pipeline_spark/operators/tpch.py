@@ -1,0 +1,715 @@
+"""TPC-H shape completion: the remaining classic decision-support shapes.
+
+Earlier rounds covered the Q1/Q3/Q5/Q7/Q10/Q14/Q18 shapes (COVERAGE.md,
+Tier B "+ rows"). This module completes the family — every other TPC-H
+query whose shape is expressible over the driver's reduced star schema.
+The test tables carry no ``partsupp`` relation and no comment / shipmode /
+commitdate / receiptdate / phone columns, so five queries are *adapted*:
+the supplier↔part relation is derived from ``lineitem`` (the facts record
+who actually supplied what at which price) and free-text predicates become
+predicates on the columns that exist. Each adaptation is noted on the
+query; the *shape* — the join topology, the subquery/decorrelation
+pattern, the aggregation structure the optimizer must handle — is the
+point, and is preserved exactly.
+
+Motivation: the reference delegates its entire query surface to BigQuery
+(SURVEY.md §2 Tier B; reference README.md:3 promises a dashboard it never
+builds). A replacement engine must handle the canonical warehouse shapes,
+including the hard ones: correlated EXISTS/NOT EXISTS (Q4/Q21/Q22),
+scalar-subquery thresholds (Q11/Q15/Q17/Q2), disjunctive join predicates
+(Q19), and outer-join distributions (Q13). Catalyst decorrelates all of
+them into joins — asserted by the plan-hygiene sweep (no per-row
+subquery execution, ever).
+
+Scale notes applying to every query here: dimension sides are broadcast
+(part 2k / supplier 100 / nation 25 / customer 1.5k rows at sf0.01 — all
+KB..MB at any SF since dims grow far slower than facts), the fact table
+is shuffled at most once per query, and money aggregates use the exact
+fixed-point accumulation from ``functions/exact.py`` so results are
+bit-identical under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..functions.exact import dec_sum, sql_dec_sum, sql_trunc6, trunc6
+from ..registry import query
+
+def _rev() -> F.Column:
+    """Discounted line revenue. Built lazily — constructing a Column
+    requires an active SparkContext, which must not be an import-time
+    requirement of this module (the driver imports the registry before
+    it creates a session)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# B63 — TPC-H Q6: forecasting revenue change (pure scan + filter + agg)
+# --------------------------------------------------------------------------
+@query(
+    "b63_q6_revenue_delta",
+    oracle=f"""
+    SELECT {sql_dec_sum('l.l_extendedprice * l.l_discount', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_discount BETWEEN 0.05 AND 0.07
+      AND l.l_quantity < 24.0
+    """,
+    driver=False,
+)
+def b63_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue lost to discounts in a band — a single
+    scan with every predicate pushed to the parquet reader and a global
+    aggregate. The simplest query in the family and the one that must be
+    I/O-bound at 100 TB: no shuffle beyond the final 1-row reduction;
+    ``.explain`` shows all four filters in PushedFilters."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B64 — TPC-H Q4: order-priority checking (correlated EXISTS → semi-join)
+# --------------------------------------------------------------------------
+@query(
+    "b64_q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    driver=False,
+)
+def b64_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one late
+    shipment, counted by priority. Adaptation: "late" is ship > 90 days
+    after order (the schema has no commit/receipt dates). The EXISTS is
+    expressed as a LEFT SEMI join — one pass over lineitem, no
+    duplication of matching orders, and the quarter predicate prunes the
+    orders scan before the join."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B65 — TPC-H Q8: national market share (conditional share of a join tree)
+# --------------------------------------------------------------------------
+@query(
+    "b65_q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_trunc6(
+               sql_dec_sum(
+                   "CASE WHEN ns.n_name = 'NATION_3' THEN "
+                   "l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END",
+                   4,
+               )
+               + " / "
+               + sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)
+           )} AS mkt_share,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    """,
+    driver=False,
+)
+def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of the ECONOMY-part
+    market sold to ASIA customers, by order year. Eight-table join where
+    only orders↔lineitem is fact×fact; part/customer/supplier/nation×2/
+    region all broadcast, so the fact rows are shuffled once (orderkey).
+    The share is a conditional-sum / total-sum ratio computed in ONE
+    aggregation pass (no self-join of yearly aggregates), both sums
+    fixed-point-exact, the quotient truncated at 6 dp for cross-engine
+    hash equality."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_nationkey"), F.col("n_name").alias("ns_name")
+    )
+    nation_rev = F.when(F.col("ns_name") == "NATION_3", _rev()).otherwise(0.0)
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            trunc6(dec_sum(nation_rev, 4) / dec_sum(_rev(), 4)).alias("mkt_share"),
+            dec_sum(_rev(), 4).alias("volume"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B66 — TPC-H Q9: product-type profit (multi-dim join + name predicate)
+# --------------------------------------------------------------------------
+@query(
+    "b66_q9_product_profit",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY ns.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    """,
+    driver=False,
+)
+def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget-line products by supplier nation
+    and order year. Adaptation: with no partsupp.ps_supplycost in the
+    schema, profit is the discounted revenue (the join topology — fact ⋈
+    orders plus three broadcast dims with a LIKE predicate on the part
+    name — is unchanged). The part filter is applied before the
+    broadcast, so the fact join discards non-matching lines early."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dec_sum(_rev(), 4).alias("profit"), F.count("*").alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B67 — TPC-H Q11: important stock (global scalar threshold over groups)
+# --------------------------------------------------------------------------
+@query(
+    "b67_q11_important_parts",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+    )
+    SELECT l_partkey AS partkey,
+           {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS value
+    FROM scoped l
+    GROUP BY l_partkey
+    HAVING {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} > (
+      SELECT {sql_dec_sum('l2.l_extendedprice * (1 - l2.l_discount)', 4)} * 0.001
+      FROM scoped l2
+    )
+    """,
+    driver=False,
+)
+def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within a nation scope
+    exceeds a fraction of the scope's total — a per-group aggregate
+    filtered against a GLOBAL scalar aggregate. Adaptation: value is
+    derived from lineitem (no partsupp). The threshold is a 1-row
+    aggregate cross-joined in (Spark broadcasts it automatically —
+    BroadcastNestedLoopJoin over a constant); crucially the total is
+    accumulated from the raw rows with the same fixed-point sum as the
+    per-part values, NOT by re-summing the per-part doubles — float
+    re-aggregation would be summation-order-dependent."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    scoped = li.join(
+        F.broadcast(supp.join(nation, F.col("n_nationkey") == F.col("s_nationkey"))),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    )
+    per_part = scoped.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dec_sum(_rev(), 4).alias("value")
+    )
+    threshold = scoped.agg((dec_sum(_rev(), 4) * 0.001).alias("threshold"))
+    return per_part.join(F.broadcast(threshold)).filter(
+        F.col("value") > F.col("threshold")
+    ).select("partkey", "value")
+
+
+# --------------------------------------------------------------------------
+# B68 — TPC-H Q12: shipping-priority classes (CASE aggregation over a join)
+# --------------------------------------------------------------------------
+@query(
+    "b68_q12_priority_class",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    driver=False,
+)
+def b68_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts split by order urgency per shipping
+    class. Adaptation: the schema has no l_shipmode, so lines are
+    classed by returnflag (same CASE-pivot aggregation over the
+    fact×fact join). The year filter prunes the lineitem scan; the join
+    carries only the two columns each side needs (column pruning —
+    ReadSchema shows 3 lineitem / 2 orders columns)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B69 — TPC-H Q13: customer order distribution (outer join + 2-level agg)
+# --------------------------------------------------------------------------
+@query(
+    "b69_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    driver=False,
+)
+def b69_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-LOW)
+    orders — including ZERO-order customers, which is why the outer join
+    (with the priority predicate in the JOIN condition, not WHERE — in
+    the WHERE it would turn the join inner) feeds a per-customer count
+    that then collapses into a distribution. COUNT(o_orderkey) counts
+    non-null matches only, so unmatched customers land in bucket 0. Two
+    aggregations, each one shuffle; the second is distribution-sized."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# B70 — TPC-H Q15: top supplier (aggregate equality against its own MAX)
+# --------------------------------------------------------------------------
+@query(
+    "b70_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l.l_suppkey AS supplier_no,
+             {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    driver=False,
+)
+def b70_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    an aggregate view compared against its own MAX (ties kept, per the
+    spec; the fixed-point revenue makes the equality well-defined
+    cross-engine). The MAX is a 1-row broadcast against the
+    supplier-sized aggregate, so nothing fact-sized is joined twice; the
+    quarter filter prunes the only fact scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(_rev(), 4).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# B71 — TPC-H Q17: small-quantity-order revenue (correlated AVG threshold)
+# --------------------------------------------------------------------------
+@query(
+    "b71_q17_small_quantity",
+    oracle=f"""
+    SELECT {sql_dec_sum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    driver=False,
+)
+def b71_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    order quantity. The correlated AVG subquery decorrelates into a
+    per-part aggregate joined back to the facts; restricting the average
+    computation to the brand's parts first (a broadcast semi-join) is
+    sound because the average is per-part. Quantities are integer-valued
+    doubles, so SUM/COUNT/0.2· are all IEEE-exact and the < comparison
+    is engine-identical. avg_yearly divides the 7-year window per the
+    classic query."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        ((F.lit(0.2) * F.avg("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(per_part_avg), F.col("avg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B72 — TPC-H Q19: disjunctive predicates over a join (OR-of-ANDs)
+# --------------------------------------------------------------------------
+@query(
+    "b72_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1.0 AND 11.0)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10.0 AND 20.0)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20.0 AND 30.0)
+    """,
+    driver=False,
+)
+def b72_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions — the classic disjunctive-predicate stress. The
+    equi-join on partkey stays a hash join (the disjunction is a post-
+    join filter, not part of the join key), part is broadcast, and
+    Catalyst pushes the derivable per-side conjuncts (brand ∈ {..},
+    size ≤ 15, quantity bounds) down to each scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dec_sum(_rev(), 4).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B73 — TPC-H Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@query("b73_q21_waiting_supplier", oracle=_Q21_SQL, driver=False)
+def b73_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame supplier — late lines on finished
+    multi-supplier orders where NO other supplier was also late. The
+    hardest decorrelation in the family: one correlated EXISTS (semi)
+    and one correlated NOT EXISTS (anti) against the same fact table,
+    both correlated on the outer ORDER's attributes. Adaptation: "late"
+    is ship > 60 days after order date (no receipt/commit dates). Run
+    through the SQL surface — the identical text executes on DuckDB —
+    and Catalyst plans both subqueries as one additional shuffle each
+    (semi/anti hash joins on orderkey), never per-row execution
+    (plan-hygiene sweep asserts no CartesianProduct)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+# --------------------------------------------------------------------------
+# B74 — TPC-H Q22: global-acctbal anti-join report (scalar avg + NOT EXISTS)
+# --------------------------------------------------------------------------
+_Q22_SQL = f"""
+SELECT CAST(c.c_custkey % 10 AS BIGINT) AS bucket,
+       COUNT(*) AS numcust,
+       {sql_dec_sum('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_custkey % 10 IN (1, 3, 5, 7)
+  AND c.c_acctbal > (
+    SELECT {sql_dec_sum('c2.c_acctbal')} / COUNT(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 10 IN (1, 3, 5, 7)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY CAST(c.c_custkey % 10 AS BIGINT)
+"""
+
+
+@query("b74_q22_idle_customers", oracle=_Q22_SQL, driver=False)
+def b74_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone idle, bucketed.
+    Adaptations: the bucket is custkey mod 10 (no phone column to take a
+    country code from), and "idle" means no order since 1999 (the
+    synthetic order log covers every customer, so the literal
+    never-ordered predicate would be vacuously empty — the lapsed-
+    customer variant keeps the anti-join selective at every SF).
+    Three optimizer obligations in one query: an
+    uncorrelated scalar subquery (the global positive-balance mean —
+    fixed-point exact), a NOT EXISTS anti-join against the orders table,
+    and a final small aggregation. Same SQL text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# B75 — TPC-H Q2: cheapest supplier per part (correlated MIN over a CTE)
+# --------------------------------------------------------------------------
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name, o.unit_cost
+FROM offers o
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+  AND o.unit_cost = (
+    SELECT MIN(o2.unit_cost) FROM offers o2
+    WHERE o2.l_partkey = o.l_partkey
+  )
+"""
+
+
+@query("b75_q2_cheapest_supplier", oracle=_Q2_SQL, driver=False)
+def b75_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    it at the minimum unit cost — a correlated MIN subquery over a CTE
+    referenced twice. Adaptation: the supplier↔part offer relation is
+    derived from lineitem (min observed unit price) since the schema has
+    no partsupp. The per-row division is IEEE-identical cross-engine and
+    MIN over identical doubles is exact, so the equality predicate is
+    deterministic. Catalyst decorrelates to a per-part MIN aggregate
+    joined back — the same plan the hand-written window-rank variant
+    (b07 family) produces."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+# --------------------------------------------------------------------------
+# B76 — TPC-H Q16: supplier-part variety count (DISTINCT agg + NOT IN)
+# --------------------------------------------------------------------------
+@query(
+    "b76_q16_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#21'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    driver=False,
+)
+def b76_q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each qualifying
+    (brand, type, size) bucket, excluding a blacklist. Adaptation: the
+    supplier↔part relation comes from lineitem and the complaint
+    blacklist is negative-balance suppliers (no comment column). The
+    NOT IN over a non-null key set is an anti-join against a broadcast
+    KB-sized list; COUNT(DISTINCT) expands to the standard two-phase
+    distinct-aggregate (partial distinct before the shuffle, never a
+    full-row distinct materialization)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        li.join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B77 — TPC-H Q20: suppliers with excess shipments (nested IN subqueries)
+# --------------------------------------------------------------------------
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'small%'
+      )
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(l.l_quantity) > 50.0
+  )
+"""
+
+
+@query("b77_q20_excess_suppliers", oracle=_Q20_SQL, driver=False)
+def b77_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation group who shipped a large
+    quantity of some 'small %' part in 1997 — an IN subquery whose body
+    itself contains an IN subquery plus a grouped HAVING. Adaptation:
+    shipped quantity from lineitem stands in for partsupp availability.
+    Both IN subqueries decorrelate to semi-joins (part list broadcast;
+    the grouped supplier list is aggregate-sized); quantities are
+    integer-valued doubles so the HAVING threshold is exact. Same SQL
+    text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
