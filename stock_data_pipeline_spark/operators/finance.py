@@ -413,3 +413,329 @@ def b62_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B62_SQL)
+
+
+# OHLC daily bars shared by the indicator queries (b62's bar CTE).
+_OHLC_BARS = """
+    SELECT event_type, date_trunc('day', ts) AS bar_date,
+           min_by(value, ts) AS open, MAX(value) AS high,
+           MIN(value) AS low, max_by(value, ts) AS close
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+_B78_SQL = f"""
+    WITH bars AS ({_DAILY_BARS}),
+    k AS (
+      SELECT event_type, bar_date, close,
+             CAST(FLOOR(close * 100.0 + 0.5) AS DECIMAL(18,0)) AS kc
+      FROM bars
+    ),
+    w AS (
+      SELECT event_type, bar_date, close,
+             CAST(SUM(kc) OVER v AS DOUBLE) AS sk,
+             CAST(SUM(kc * kc) OVER v AS DOUBLE) AS skk,
+             COUNT(*) OVER v AS n
+      FROM k
+      WINDOW v AS (PARTITION BY event_type ORDER BY bar_date
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, close,
+           floor(sk / n / 100.0 * 1000000) / 1000000 AS mid_band,
+           floor((sk / n + 2 * sqrt(greatest(skk - sk * sk / n, 0.0) / n))
+                 / 100.0 * 1000000) / 1000000 AS upper_band,
+           floor((sk / n - 2 * sqrt(greatest(skk - sk * sk / n, 0.0) / n))
+                 / 100.0 * 1000000) / 1000000 AS lower_band,
+           close > (sk / n + 2 * sqrt(greatest(skk - sk * sk / n, 0.0) / n))
+                 / 100.0 AS breakout_up,
+           close < (sk / n - 2 * sqrt(greatest(skk - sk * sk / n, 0.0) / n))
+                 / 100.0 AS breakout_down
+    FROM w
+    WHERE n = 5
+"""
+
+
+@query("b78_bollinger", oracle=_B78_SQL, driver=False)
+def b78_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B78: Bollinger bands (5-day mean ± 2σ) with breakout flags.
+
+    The b52/b56 exact-moment machinery applied to the band screen: closes
+    are 1e-2-scaled integers, the trailing window keeps Σk and Σk² exactly
+    (DECIMAL accumulation — associative, so bit-stable under any
+    partitioning), and mean/σ/bands are the same IEEE expression tree on
+    both engines, making the breakout flag SET cross-engine identical.
+    ``greatest(·, 0)`` guards the zero-variance window where rounding
+    would otherwise hand sqrt a −ε. Scale: ticks→bars is the one
+    map-combined shuffle; the window runs at bar grain.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B78_SQL)
+
+
+_B79_SQL = f"""
+    WITH bars AS ({_OHLC_BARS}),
+    lagged AS (
+      SELECT event_type, bar_date, high, low, close,
+             lag(close) OVER (PARTITION BY event_type ORDER BY bar_date)
+               AS p_close
+      FROM bars
+    ),
+    tr AS (
+      SELECT event_type, bar_date,
+             CAST(FLOOR(greatest(high - low, abs(high - p_close),
+                                 abs(low - p_close)) * 100.0 + 0.5)
+                  AS DECIMAL(18,0)) AS tr2
+      FROM lagged
+      WHERE p_close IS NOT NULL
+    )
+    SELECT event_type, bar_date,
+           CAST(tr2 AS DOUBLE) / 100.0 AS true_range,
+           floor(CAST(SUM(tr2) OVER v AS DOUBLE)
+                 / (100.0 * COUNT(*) OVER v) * 1000000) / 1000000 AS atr
+    FROM tr
+    WINDOW v AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("b79_atr", oracle=_B79_SQL, driver=False)
+def b79_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B79: Average True Range (5-day simple mean of the true range).
+
+    True range per bar is ``greatest(high−low, |high−prev_close|,
+    |low−prev_close|)`` — pure comparisons and subtractions on the exact
+    min/max/max_by bar values, then 1e-2-scaled to integers so the
+    rolling mean is an exact integer window sum (the Wilder EMA variant
+    is a recurrence — deliberately avoided here for the same reason b49
+    uses closed forms; b29 covers the EMA machinery). First bars (no
+    prior close) are excluded rather than special-cased. Scale: bar-grain
+    windows after one aggregate shuffle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B79_SQL)
+
+
+_B80_SQL = f"""
+    WITH bars AS ({_OHLC_BARS}),
+    w AS (
+      SELECT event_type, bar_date, close,
+             MAX(high) OVER v AS hh, MIN(low) OVER v AS ll,
+             COUNT(*) OVER v AS n
+      FROM bars
+      WINDOW v AS (PARTITION BY event_type ORDER BY bar_date
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT event_type, bar_date,
+             floor((close - ll) / nullif(hh - ll, 0) * 1000000) / 10000
+               AS pct_k
+      FROM w
+      WHERE n = 7
+    )
+    SELECT event_type, bar_date, pct_k,
+           floor(CAST(SUM(CAST(FLOOR(pct_k * 10000.0 + 0.5)
+                               AS DECIMAL(18,0))) OVER u AS DOUBLE)
+                 / (10000.0 * COUNT(*) OVER u) * 1000000) / 1000000
+             AS pct_d,
+           pct_k > 80.0 AS overbought,
+           pct_k < 20.0 AS oversold
+    FROM k
+    WINDOW u AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("b80_stochastic", oracle=_B80_SQL, driver=False)
+def b80_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B80: stochastic oscillator — %K over a 7-day high/low channel and
+    the 3-day %D smoothing, with overbought/oversold flags.
+
+    The channel extremes are exact window MIN/MAX; %K is one division
+    truncated to a 4-dp rational, which makes the %D mean expressible as
+    an exact integer window sum (re-scale, sum in DECIMAL, divide once).
+    Partial channels (first 6 bars) are excluded — an indicator over a
+    short window is a different statistic, not a degenerate case of this
+    one. The flag comparisons sit on the truncated rational, so the
+    flagged set is engine-identical.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B80_SQL)
+
+
+_B81_SQL = """
+    WITH bars AS (
+      SELECT event_type, date_trunc('day', ts) AS bar_date,
+             max_by(value, ts) AS close, COUNT(*) AS n_trades
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    flow AS (
+      SELECT event_type, bar_date,
+             (CASE WHEN close > lag(close) OVER w THEN 1
+                   WHEN close < lag(close) OVER w THEN -1
+                   ELSE 0 END) * n_trades AS signed_flow
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    )
+    SELECT event_type, bar_date,
+           CAST(signed_flow AS BIGINT) AS daily_flow,
+           CAST(SUM(signed_flow) OVER (PARTITION BY event_type
+                                       ORDER BY bar_date) AS BIGINT) AS obv
+    FROM flow
+    WHERE signed_flow IS NOT NULL
+"""
+
+
+@query("b81_obv", oracle=_B81_SQL, driver=False)
+def b81_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B81: on-balance volume — the cumulative sum of volume signed by
+    the day's price direction. Adaptation: the events feed carries no
+    share volume, so the per-day trade count stands in (the reference's
+    ticker feed has a Volume column — stock_data_to_gcp.py:43 — and this
+    query is written so that column drops straight in). Everything is
+    integer arithmetic: direction ∈ {−1,0,1}, counts are BIGINT, the
+    running OBV is an integer prefix sum — exact at any scale and under
+    any partitioning. The first bar (no direction) is excluded; window
+    SUMs are cast to BIGINT on both engines (DuckDB sums integers to
+    HUGEINT).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B81_SQL)
+
+
+# b82 cannot share one SQL text: exact interpolated percentiles are
+# spelled `percentile` in Spark and `quantile_cont` in DuckDB (the
+# b15_exact_percentiles parity pair).
+_B82_BODY = """
+    WITH bars AS (
+      SELECT event_type, date_trunc('day', ts) AS bar_date,
+             max_by(value, ts) AS close
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    rets AS (
+      SELECT event_type, bar_date,
+             floor((close / lag(close) OVER w - 1) * 1000000) / 1000000 AS r
+      FROM bars
+      WHERE close >= 1.0
+      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    ),
+    clean AS (SELECT event_type, r FROM rets WHERE r IS NOT NULL),
+    var AS (
+      SELECT event_type, {PCTL} AS var95, COUNT(r) AS n_days
+      FROM clean GROUP BY event_type
+    )
+    SELECT c.event_type,
+           MAX(v.n_days) AS n_days,
+           floor(MAX(v.var95) * 1000000) / 1000000 AS var95,
+           CAST(SUM(CASE WHEN c.r <= v.var95
+                         THEN CAST(FLOOR(c.r * 1000000.0 + 0.5)
+                                   AS DECIMAL(18,0)) END) AS DOUBLE)
+             / 1000000.0
+             / COUNT(CASE WHEN c.r <= v.var95 THEN 1 END) AS cvar95
+    FROM clean c JOIN var v ON v.event_type = c.event_type
+    GROUP BY c.event_type
+"""
+
+
+@query(
+    "b82_var_cvar",
+    oracle=_B82_BODY.replace("{PCTL}", "quantile_cont(r, 0.05)"),
+    driver=False,
+)
+def b82_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B82: historical 95% Value-at-Risk and conditional VaR (expected
+    shortfall) per instrument. VaR is the exact interpolated 5th
+    percentile of the daily-return history (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``); CVaR is the mean of the tail returns at
+    or below it, accumulated fixed-point so the mean is summation-order
+    independent. Returns reuse b49's closed form with b56's penny-close
+    guard. The tail membership test compares 6-dp rational returns to
+    the interpolated threshold — equality between the two is measure-
+    zero, so the tail set is engine-stable. Scale: percentile runs per
+    instrument over the bar-grain table; the join-back is
+    aggregate×aggregate.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B82_BODY.replace("{PCTL}", "percentile(r, 0.05)"))
+
+
+_B83_SQL = f"""
+    WITH series AS ({_HOURLY_SERIES}),
+    rets AS (
+      SELECT event_type, bucket,
+             date_trunc('day', bucket) AS trade_date,
+             CAST(FLOOR(least(greatest(
+                    px / nullif(lag(px) OVER w, 0) - 1, -1.0), 1.0)
+                  * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS r6
+      FROM series
+      WHERE px >= 1.0
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    )
+    SELECT event_type, trade_date,
+           COUNT(r6) AS n_rets,
+           floor(sqrt(CAST(SUM(r6 * r6) AS DOUBLE)) / 1000000.0
+                 * 1000000) / 1000000 AS realized_vol
+    FROM rets
+    WHERE r6 IS NOT NULL
+    GROUP BY event_type, trade_date
+"""
+
+
+@query("b83_realized_vol", oracle=_B83_SQL, driver=False)
+def b83_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83: daily realized volatility — sqrt of the sum of squared
+    intraday (hourly) returns, the standard high-frequency vol
+    estimator. Returns are winsorized to ±100% before scaling (the
+    synthetic feed's marks are not a random walk, so raw hour-to-hour
+    "returns" can be extreme; the clamp also bounds the 1e-6-scaled
+    square at 1e12, far inside exact BIGINT/DECIMAL range — the b56
+    overflow lesson applied preemptively). Σr² accumulates as exact
+    integers; the only float ops are the per-row ratio, one sqrt, and
+    one division — IEEE-identical on both engines. Scale: one aggregate
+    to hour grain, a bar-grain window, one aggregate to day grain.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B83_SQL)
+
+
+_B84_SQL = f"""
+    WITH bars AS ({_DAILY_BARS}),
+    flags AS (
+      SELECT event_type, bar_date,
+             CASE WHEN close > lag(close)
+                    OVER (PARTITION BY event_type ORDER BY bar_date)
+                  THEN 1 ELSE 0 END AS up
+      FROM bars
+    ),
+    isl AS (
+      SELECT event_type, bar_date, up,
+             SUM(1 - up) OVER (PARTITION BY event_type ORDER BY bar_date)
+               AS grp
+      FROM flags
+    ),
+    runs AS (
+      SELECT event_type, grp, CAST(SUM(up) AS BIGINT) AS streak_len
+      FROM isl
+      GROUP BY event_type, grp
+    )
+    SELECT event_type,
+           CAST(MAX(streak_len) AS BIGINT) AS max_up_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS n_up_days
+    FROM runs
+    GROUP BY event_type
+"""
+
+
+@query("b84_up_streaks", oracle=_B84_SQL, driver=False)
+def b84_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B84: longest run of consecutive up-days per instrument — the
+    gaps-and-islands pattern (b54's SCD machinery pointed at momentum
+    screening). A down/flat day increments the island id via an integer
+    prefix sum; island sizes and their max are plain integer aggregates,
+    so the whole query is exact end-to-end. Scale: the windows and both
+    aggregates run at bar grain after the one ticks→bars shuffle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B84_SQL)
