@@ -693,3 +693,115 @@ def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_rank") <= _TOP_K)
         .select("query_id", "vec_id", "label", "cos_sim", "sim_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# C3 — SemDeDup: semantic deduplication via quantizer cells
+# --------------------------------------------------------------------------
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = _SEMDEDUP_THRESHOLD,
+    n_cells: int = 16,
+    seed: int = 42,
+    index: "tuple[DataFrame, list[list[float]]] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, compare vectors pairwise ONLY within their cell, and drop
+    every vector that has a higher-similarity-than-threshold neighbor
+    with a smaller vec_id (one deterministic keeper per duplicate
+    neighborhood — the paper keeps a random representative; smallest-id
+    is the reproducible choice).
+
+    Scale shape: the pair space is Σ_cell |cell|² instead of n² — the
+    same bucketed-candidates discipline as MinHash-LSH dedup
+    (operators/dedup.py) applied to vectors, and the cell assignment is
+    the map-side argmin pass from :func:`ivf_index` (no shuffle). Cross-
+    cell near-duplicates are missed by construction; that recall loss is
+    the documented SemDeDup trade (mitigate with more probe-like overlap
+    or a second pass at lower n_cells). Precision is exact: every drop
+    has a genuine within-cell neighbor above threshold.
+    """
+    if index is None:
+        assigned, _ = ivf_index(corpus, n_cells=n_cells, seed=seed)
+    else:
+        assigned, _ = index
+    vecs = corpus.select("vec_id", "embedding").join(assigned, "vec_id")
+    a = vecs.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = vecs.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id"))
+    )
+    sim = F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    drops = (
+        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return corpus.join(drops, "vec_id", "left_anti")
+
+
+@query("c03_semdedup", driver=False)
+def c03_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: SemDeDup survivors over the embeddings corpus (cell-bounded
+    candidate generation — the scale path). No SQL oracle (the k-means
+    quantizer isn't SQL-expressible); checked against the exact twin
+    ``c03_semdedup_exact`` in tests: precision 1.0 by construction
+    (every celled drop is a genuine drop) and recall asserted on
+    planted duplicates."""
+    emb = load(spark, sf_dir, "embeddings")
+    survivors = semantic_dedup(emb, index=c03_ivf_cached_index(spark, sf_dir))
+    return survivors.select("vec_id", "label")
+
+
+@query(
+    "c03_semdedup_exact",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT d.vec_id, d.label
+    FROM e d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e x
+      WHERE x.vec_id < d.vec_id
+        AND round(list_cosine_similarity(x.v, d.v), 6)
+              >= {_SEMDEDUP_THRESHOLD}
+    )
+    """,
+    driver=False,
+)
+def c03_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: exact semantic-dedup ground truth — drop every vector with ANY
+    smaller-id neighbor at cos ≥ threshold, across the whole corpus (no
+    cells). O(n²) pair space: this is the oracle-checkable twin that
+    measures the celled path's recall, exactly the c02_ngram_jaccard ↔
+    c02_minhash_lsh relationship for vectors. The pair generation reuses
+    the broadcast upper-triangle join of c03_embedding_near_dup."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = rebalance(emb).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    sim = F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+    drops = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")

@@ -814,3 +814,92 @@ def c04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C4 — hashed-feature linear classifier scoring (quality-model shape)
+# --------------------------------------------------------------------------
+_N_FEATURE_BUCKETS = 1024
+
+
+@query(
+    "c04_model_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS token
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+              % {_N_FEATURE_BUCKETS}) AS bucket
+      FROM toks WHERE token <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_feats,
+           floor(CAST(SUM(bucket % 201 - 100) AS DOUBLE)
+                 / (100.0 * COUNT(*)) * 1000000) / 1000000 AS model_score,
+           CAST(SUM(bucket % 201 - 100) AS DOUBLE)
+             / (100.0 * COUNT(*)) > 0.0 AS keep_doc
+    FROM feats
+    GROUP BY doc_id
+    """,
+    driver=False,
+)
+def c04_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: linear text-classifier scoring via the hashing trick
+    (Weinberger et al. 2009) — the fastText-style quality-model pass
+    every pretraining pipeline runs over its corpus. Tokens hash into
+    {_N_FEATURE_BUCKETS} feature buckets (the engine-independent md5
+    spelling shared with c08_hash_split); each bucket carries a weight
+    from a BROADCAST weight table; a doc's score is its mean feature
+    weight and ``keep_doc`` is the sign gate.
+
+    The weight table here is synthesized deterministically from the
+    bucket id ((b mod 201 − 100)/100 ∈ [−1, 1]) so the DuckDB oracle can
+    recompute the ENTIRE path — tokenize → hash → weight lookup → exact
+    fixed-point mean — by formula; a trained model drops in by replacing
+    the synthesized table with real weights (same plan). Weights are 2-dp
+    rationals, so the per-doc sum accumulates as exact integers and the
+    score is bit-identical cross-engine, flags included.
+
+    Scale: ONE tokenize+explode pass, a broadcast hash join against the
+    KB-sized weight table (never a shuffle of the token stream by
+    bucket), then a map-side-combined aggregate back to doc grain — the
+    plan is Python-free end to end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    weights = spark.range(_N_FEATURE_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 201 - 100) / 100.0).alias("weight"),
+        (F.col("id") % 201 - 100).cast("long").alias("weight_c"),
+    )
+    feats = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+                .cast("bigint")
+                % _N_FEATURE_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            (
+                F.sum("weight_c").cast("double")
+                / (100.0 * F.count("*"))
+            ).alias("raw_score"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        trunc6(F.col("raw_score")).alias("model_score"),
+        (F.col("raw_score") > 0.0).alias("keep_doc"),
+    )
