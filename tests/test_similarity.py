@@ -312,3 +312,61 @@ def test_semdedup_planted_exact_duplicates_always_dropped(spark, sf_dir):
     # rerun is deterministic
     ids2 = {r.vec_id for r in semantic_dedup(corpus, n_cells=4).select("vec_id").collect()}
     assert ids == ids2
+
+
+# --------------------------------------------------------------------------
+# Product quantization
+# --------------------------------------------------------------------------
+def test_pq_codes_bounded_and_python_free(spark, sf_dir):
+    from stock_data_pipeline_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    enc = pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= c < 16 for r in rows for c in r.pq_codes)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # encode is pure codegen
+
+
+def test_pq_reconstruction_preserves_direction(spark, sf_dir):
+    """On the synthetic corpus (random vectors — the PQ worst case, no
+    cluster structure to exploit) reconstruction must still point the
+    right way on average."""
+    from stock_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_reconstruct,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb)
+    rec = pq_reconstruct(pq_encode(emb, books), books)
+    mean_cos = (
+        emb.join(rec, "vec_id")
+        .select(F.avg(cosine(F.col("embedding"), F.col("recon"))).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert mean_cos > 0.5, mean_cos
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    """ADC shortlist (10% of the corpus) + exact rerank: recall >= 0.6 on
+    structureless random data (measured 0.74); real embedding corpora
+    cluster and do far better. Scores are exact (rerank on originals)."""
+    emb = load(spark, sf_dir, "embeddings")
+    brute = get("c03_cosine_topk").fn(spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = get("c03_pq_topk").fn(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+        len(t) for t in truth.values()
+    )
+    assert recall >= 0.6, recall
