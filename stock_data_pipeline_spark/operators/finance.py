@@ -26,6 +26,7 @@ partial aggregation does the 100 TB → MB reduction before the exchange.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import register_views
 from ..registry import query
@@ -739,3 +740,52 @@ def b84_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B84_SQL)
+
+
+def bollinger_over_bars(
+    bars: DataFrame, *, window: int = 5, n_sigma: float = 2.0
+) -> DataFrame:
+    """b78's Bollinger math over ANY (event_type, bar_date, close) bar
+    frame — in particular the continuously-maintained bar store
+    (streaming/jobs.py::read_bars), which is how a live dashboard serves
+    indicators without rescanning ticks: the streamed partials merge to
+    bars, this function runs at bar grain on top.
+
+    The expression sequence mirrors _B78_SQL operation-for-operation
+    (scaled-integer DECIMAL window moments, identical IEEE ops), so the
+    output over batch-derived bars is BIT-EQUAL to the b78 registered
+    query — asserted in tests/test_streaming.py against a 3-micro-batch
+    ingest.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import trunc6
+
+    kc = F.floor(F.col("close") * 100.0 + 0.5).cast("decimal(18,0)")
+    v = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_date")
+        .rowsBetween(-(window - 1), 0)
+    )
+    w = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.sum(kc).over(v).cast("double").alias("sk"),
+        F.sum(kc * kc).over(v).cast("double").alias("skk"),
+        F.count("*").over(v).alias("n"),
+    )
+    sk, skk, n = F.col("sk"), F.col("skk"), F.col("n")
+    sd_scaled = F.sqrt(F.greatest(skk - sk * sk / n, F.lit(0.0)) / n)
+    upper = (sk / n + n_sigma * sd_scaled) / 100.0
+    lower = (sk / n - n_sigma * sd_scaled) / 100.0
+    return w.filter(n == window).select(
+        "event_type",
+        "bar_date",
+        "close",
+        trunc6(sk / n / 100.0).alias("mid_band"),
+        trunc6(upper).alias("upper_band"),
+        trunc6(lower).alias("lower_band"),
+        (F.col("close") > upper).alias("breakout_up"),
+        (F.col("close") < lower).alias("breakout_down"),
+    )

@@ -813,3 +813,60 @@ def test_stream_zscore_ordered_survives_restart(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "sink_rs")).collect()
     }
     assert got == want and got
+
+
+def test_bollinger_served_from_streamed_bars_equals_batch_b78(
+    spark, sf_dir, tmp_path
+):
+    """The live-dashboard path: ticks stream into the bar store
+    (run_bars_ingest partials), indicators are computed over the merged
+    bars — and must be BIT-EQUAL to the batch b78 query over the same
+    feed (same scaled-integer moments, same IEEE expression order)."""
+    import glob
+    import shutil as sh
+
+    from stock_data_pipeline_spark import registry
+    from stock_data_pipeline_spark.operators.finance import bollinger_over_bars
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_bars,
+        read_event_stream,
+        run_bars_ingest,
+    )
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"bs{i}"))
+        part = glob.glob(str(tmp_path / f"bs{i}" / "*.parquet"))[0]
+        sh.copy(part, land / f"batch{i}.parquet")
+
+    partials_dir = str(tmp_path / "bar_partials")
+    q = run_bars_ingest(
+        read_event_stream(spark, str(land)),
+        partials_dir,
+        checkpoint=str(tmp_path / "ck_boll"),
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    served = bollinger_over_bars(read_bars(spark, partials_dir))
+    got = {
+        (r.event_type, r.bar_date): (
+            r.close, r.mid_band, r.upper_band, r.lower_band,
+            r.breakout_up, r.breakout_down,
+        )
+        for r in served.collect()
+    }
+    want = {
+        (r.event_type, r.bar_date): (
+            r.close, r.mid_band, r.upper_band, r.lower_band,
+            r.breakout_up, r.breakout_down,
+        )
+        for r in registry.get("b78_bollinger").fn(spark, sf_dir).collect()
+    }
+    assert got == want
