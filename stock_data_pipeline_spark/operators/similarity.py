@@ -957,3 +957,131 @@ def c03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     original vectors."""
     emb = load(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# C3 — IVF-PQ: the composed billion-scale index (cells prune, codes score)
+# --------------------------------------------------------------------------
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 16,
+    n_sub: int = _PQ_N_SUB,
+    n_codes: int = _PQ_N_CODES,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-PQ index: (vec_id, pq_codes) rows partitioned BY
+    CELL (probes prune at the file level, exactly like save_ivf_index)
+    plus the two KB-scale driver artifacts — coarse centroids and PQ
+    codebooks — as parquet. The serving footprint per vector is the cell
+    partition key + n_sub code ints; the original vectors are needed
+    only by the final rerank (and can live in cold storage).
+    """
+    spark = corpus.sparkSession
+    assigned, centers = ivf_index(corpus, n_cells=n_cells, seed=seed)
+    books = pq_train(corpus, n_sub=n_sub, n_codes=n_codes, seed=seed)
+    encoded = pq_encode(corpus, books)
+    assigned.join(encoded, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (m, c, [float(v) for v in book[c]])
+            for m, book in enumerate(books)
+            for c in range(len(book))
+        ],
+        "sub INT, code INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> "tuple[DataFrame, list[list[float]], list[list[list[float]]]]":
+    """(cell-partitioned codes scan, coarse centroids, PQ codebooks).
+    Only the two KB artifacts are collected; codes stay a lazy scan."""
+    cells = spark.read.parquet(f"{path}/cells").select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "pq_codes"
+    )
+    centers = [
+        list(map(float, r.centroid))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    ]
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
+    )
+    n_sub = 1 + max(r.sub for r in book_rows)
+    books: list[list[list[float]]] = [[] for _ in range(n_sub)]
+    for r in book_rows:
+        books[r.sub].append(list(map(float, r.centroid)))
+    return cells, centers, books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    *,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Composed IVF-PQ search against a persisted index — the canonical
+    billion-vector serving stack (Jégou 2011 §IV: coarse quantizer
+    restricts the scan, product codes score it, originals rerank it):
+
+    1. probe: n_probe nearest coarse cells per query (literal-centroid
+       distances, no join) — partition pruning limits the codes scan to
+       n_probe/n_cells of the files;
+    2. ADC: reconstruct-and-score ONLY the probed cells' codes (bytes
+       read per candidate: n_sub ints, not the full vector);
+    3. rerank: exact cosine on the originals for the shortlist.
+
+    At 100 TB the three tiers touch KB (centroids+codebooks), GB (probed
+    code partitions), and MB (shortlist vectors) respectively.
+    """
+    spark = corpus.sparkSession
+    cells, centers, books = load_pq_index(spark, index_path)
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode(F.expr(_centroid_sql(centers))).alias("cell", "centroid"),
+    )
+    sq_dist = F.expr(
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"), F.asc("cell"))
+    probe_cells = (
+        probes.withColumn("cell_dist", sq_dist)
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    recon = F.expr(
+        f"flatten(transform(pq_codes, (c, i) -> "
+        f"element_at(element_at({_books_sql(books)}, i + 1), c + 1)))"
+    )
+    adc = (
+        cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_double(F.col("q_emb"), recon).alias("approx_sim"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    )
+    cand = (
+        adc.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k)
