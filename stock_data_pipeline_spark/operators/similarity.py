@@ -833,6 +833,10 @@ def pq_train(
     x = np.asarray(
         [np.asarray(e, dtype=np.float64) for e in sample["embedding"]]
     )
+    if len(x) == 0:
+        # Empty corpus/partition (routine at scale): no codebooks — the
+        # encode/search paths degrade to empty, same as ivf_index.
+        return []
     dim = x.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -861,6 +865,11 @@ def pq_encode(
     packable), a 32-64× compression, the difference between 25 TB and
     sub-TB of index for 100 B vectors.
     """
+    if not books:
+        return vectors.select(
+            "vec_id",
+            F.expr("array()").cast("array<int>").alias("pq_codes"),
+        ).limit(0)
     d_sub = len(books[0][0])
     code_exprs = []
     for m, book in enumerate(books):
@@ -881,6 +890,11 @@ def pq_encode(
 def pq_reconstruct(encoded: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     """(vec_id, recon array<double>) — concatenation of each code's
     centroid; the decompression half of PQ, again a pure map expression."""
+    if not books:
+        return encoded.select(
+            "vec_id",
+            F.expr("array()").cast("array<double>").alias("recon"),
+        ).limit(0)
     recon = F.expr(
         f"flatten(transform(pq_codes, (c, i) -> "
         f"element_at(element_at({_books_sql(books)}, i + 1), c + 1)))"
@@ -905,6 +919,11 @@ def pq_topk(
     """
     if books is None:
         books = pq_train(corpus)
+    if not books:
+        empty_cand = corpus.select(
+            F.col("vec_id").alias("query_id"), "vec_id"
+        ).limit(0)
+        return _exact_rerank(empty_cand, corpus, queries, k)
     recon = pq_reconstruct(pq_encode(corpus, books), books)
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

@@ -38,3 +38,52 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001 - collecting a report
             failures[name] = str(ex).split("\n")[0][:160]
     assert not failures, failures
+
+
+def test_bollinger_over_short_series_is_empty_not_wrong(spark):
+    """Fewer bars than the window: the indicator must emit nothing (a
+    5-day band over 3 days is a different statistic), not partial rows."""
+    from stock_data_pipeline_spark.operators.finance import bollinger_over_bars
+
+    bars = spark.createDataFrame(
+        [("a", "2024-01-0%d" % i, 10.0 + i) for i in range(1, 4)],
+        "event_type string, bar_date string, close double",
+    )
+    assert bollinger_over_bars(bars).count() == 0
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from stock_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert semantic_dedup(empty).count() == 0
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from stock_data_pipeline_spark.operators.similarity import pq_train
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0] * 6)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        pq_train(vecs, n_sub=4)
+
+
+def test_pq_tiny_corpus_codebooks_still_encode(spark):
+    """Fewer sample vectors than codes: k-means caps k at the sample size
+    and encode still produces valid (smaller-range) codes."""
+    from stock_data_pipeline_spark.operators.similarity import pq_encode, pq_train
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train(vecs, n_sub=2, n_codes=16)
+    rows = pq_encode(vecs, books).collect()
+    assert len(rows) == 3
+    n_codes = len(books[0])
+    assert all(0 <= c < n_codes for r in rows for c in r.pq_codes)

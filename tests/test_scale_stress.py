@@ -180,3 +180,34 @@ def test_pairwise_corr_invariant_under_tick_replication(spark, sf_stress_dir):
     finally:
         register_views(spark, sf_stress_dir)  # restore the real view
     assert got == base
+
+
+def test_conditional_ratio_invariant_under_replication(spark, sf_stress_dir, li_big):
+    """The market-share shape (b65/b48): a ratio of two fixed-point
+    conditional sums over the same rows must be BIT-identical when the
+    input is replicated 8x — numerator and denominator both scale by the
+    exact power-of-two factor, which IEEE division cancels exactly. A
+    float-sum implementation would drift here (different summation
+    order AND different magnitudes)."""
+    from stock_data_pipeline_spark.functions.exact import dec_sum
+
+    def share(df):
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        flagged = F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)
+        return {
+            r.l_linestatus: (r.share, r.vol)
+            for r in df.groupBy("l_linestatus")
+            .agg(
+                (dec_sum(flagged, 4) / dec_sum(rev, 4)).alias("share"),
+                dec_sum(rev, 4).alias("vol"),
+            )
+            .collect()
+        }
+
+    base = share(load(spark, sf_stress_dir, "lineitem"))
+    big = share(li_big)
+    assert set(base) == set(big)
+    for k, (s, v) in base.items():
+        bs, bv = big[k]
+        assert bs == s  # bit-identical ratio
+        assert bv == pytest.approx(REPLICAS * v, abs=1e-6)
