@@ -573,7 +573,8 @@ _B81_SQL = """
     ),
     flow AS (
       SELECT event_type, bar_date,
-             (CASE WHEN close > lag(close) OVER w THEN 1
+             (CASE WHEN lag(close) OVER w IS NULL THEN NULL
+                   WHEN close > lag(close) OVER w THEN 1
                    WHEN close < lag(close) OVER w THEN -1
                    ELSE 0 END) * n_trades AS signed_flow
       FROM bars

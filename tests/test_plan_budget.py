@@ -34,6 +34,25 @@ PLAN_BUDGETS = {
     "c01_exact_dedup": (1, 0),
     "c04_decontaminate": (3, 1),
     "c04_top_tokens": (2, 0),
+    # round 4: TPC-H completion — dims broadcast, fact shuffles at most
+    # twice (agg + distribution / threshold join-back)
+    "b63_q6_revenue_delta": (0, 0),      # pure scan + 1-row agg
+    "b64_q4_priority_check": (1, 1),     # EXISTS -> semi join, one agg exchange
+    "b65_q8_market_share": (1, 7),       # 8-table join: ONE fact exchange
+    "b66_q9_product_profit": (1, 4),
+    "b68_q12_priority_class": (1, 1),
+    "b69_q13_order_distribution": (2, 1),
+    "b70_q15_top_supplier": (2, 2),
+    "b71_q17_small_quantity": (1, 3),    # AVG threshold broadcasts back
+    "b72_q19_disjunctive_revenue": (0, 1),
+    "b76_q16_part_variety": (2, 2),      # distinct-agg two-phase
+    # round 4: indicators — bars aggregate + one bar-grain window exchange
+    "b78_bollinger": (2, 0),
+    "b79_atr": (2, 0),
+    "b81_obv": (2, 0),
+    "b83_realized_vol": (2, 0),
+    "b84_up_streaks": (2, 0),
+    "c04_model_score": (1, 1),           # weight table broadcasts
 }
 
 

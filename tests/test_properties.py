@@ -243,3 +243,78 @@ def test_ohlcv_partials_merge_slicing_invariant(spark, ticks, cuts):
         }
 
     assert canon(merged) == canon(merge_bar_partials(_ohlcv_partials(full)))
+
+
+# --------------------------------------------------------------------------
+# Technical-indicator invariants (round 4)
+# --------------------------------------------------------------------------
+price_series = st.lists(
+    st.floats(min_value=1.0, max_value=500.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(closes=price_series)
+def test_up_streaks_match_python_reference(spark, closes):
+    """b84's gaps-and-islands streak length must equal the obvious
+    sequential scan on any series."""
+    from stock_data_pipeline_spark.catalog import register_views
+    from stock_data_pipeline_spark.registry import get
+
+    rows = [
+        ("x", datetime(2024, 1, 1) + timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    df.createOrReplaceTempView("events")
+    try:
+        fn = getattr(get("b84_up_streaks").fn, "__wrapped__")
+        # one tick per day -> daily close == the value itself
+        out = {r.event_type: (r.max_up_streak, r.n_up_days)
+               for r in spark.sql(
+                   __import__("stock_data_pipeline_spark.operators.finance",
+                              fromlist=["_B84_SQL"])._B84_SQL
+               ).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+
+    best = cur = ups = 0
+    for prev, nxt in zip(closes, closes[1:]):
+        if nxt > prev:
+            cur += 1
+            ups += 1
+            best = max(best, cur)
+        else:
+            cur = 0
+    assert out["x"] == (best, ups)
+
+
+@settings(**_SETTINGS)
+@given(closes=price_series)
+def test_obv_is_prefix_sum_of_signed_flow(spark, closes):
+    """b81: with one tick per day, every day's flow is ±1/0 and OBV is
+    its prefix sum — against any generated series."""
+    from stock_data_pipeline_spark.operators.finance import _B81_SQL
+
+    rows = [
+        ("x", datetime(2024, 1, 1) + timedelta(days=i), float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    df.createOrReplaceTempView("events")
+    try:
+        got = [
+            (r.daily_flow, r.obv)
+            for r in spark.sql(_B81_SQL).orderBy("bar_date").collect()
+        ]
+    finally:
+        spark.catalog.dropTempView("events")
+
+    want, acc = [], 0
+    for prev, nxt in zip(closes, closes[1:]):
+        flow = 1 if nxt > prev else (-1 if nxt < prev else 0)
+        acc += flow
+        want.append((flow, acc))
+    assert got == want
