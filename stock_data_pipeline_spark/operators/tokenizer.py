@@ -1,0 +1,200 @@
+"""Distributed BPE tokenizer training (C4: the tokenizer-construction half
+of the token-counting surface).
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) trains by
+repeatedly merging the most frequent adjacent symbol pair. The naive
+formulation rescans the corpus per merge; the scalable formulation —
+used here — operates on the WORD FREQUENCY table: one corpus pass
+aggregates (word, freq) [vocabulary-sized, shrinking-returns small no
+matter the corpus], and every merge iteration is then
+
+  1. explode adjacent symbol pairs weighted by word freq,
+  2. one vocabulary-sized aggregate → the argmax pair (a 1-row collect),
+  3. a map-side array fold applying the merge to every word's symbols,
+  4. ``localCheckpoint`` to cut the growing lineage (the same per-round
+     barrier the connected-components loop in operators/dedup.py uses).
+
+At 100 TB the corpus is touched ONCE; the loop runs on a table of
+~10⁵-10⁶ rows regardless of corpus size. Encoding new text with the
+trained merge list is per-doc sequential by nature, so it ships to
+Arrow-batched pandas workers (the same judgment call as c09 packing:
+Python only where semantics demand it, and then batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.textfns import tokens
+from ..registry import query
+
+_END = "</w>"  # word-boundary marker, per the original BPE formulation
+
+
+def _word_symbols(token: Column) -> Column:
+    """Initial symbol sequence of a word: its characters + the end mark."""
+    chars = F.filter(F.split(token, ""), lambda s: s != "")
+    return F.concat(chars, F.array(F.lit(_END)))
+
+
+def _merge_pair(syms: Column, a: str, b: str, merged: str) -> Column:
+    """Leftmost-first merge of adjacent (a, b) → merged in one array fold.
+
+    The fold appends each symbol unless the accumulator ends with ``a``
+    and the incoming symbol is ``b`` — then the tail is replaced by the
+    merged symbol. On runs like aaa with pair (a,a) this reproduces
+    BPE's leftmost-first pairing: [aa, a], never [a, aa].
+    """
+    return F.aggregate(
+        syms,
+        F.expr("array()").cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.size(acc)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the one corpus-sized pass. Map-side combine collapses
+    counts before the single shuffle (the c04_top_tokens shape)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 20,
+    min_freq: int = 2,
+) -> list[tuple[str, str, str]]:
+    """Train BPE merges; returns [(left, right, merged), ...] in merge
+    order. Deterministic: the argmax pair breaks frequency ties on
+    (left, right) lexicographically, so any cluster/partitioning yields
+    the identical merge list (pair counts are exact integer sums)."""
+    vocab = (
+        word_freq_table(docs, text_col)
+        .select(_word_symbols(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, str]] = []
+    for _ in range(n_merges):
+        pair_idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("left"),
+                            F.element_at("syms", i + 1).alias("right"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0].pair_freq < min_freq:
+            break
+        a, b = pairs[0].left, pairs[0].right
+        merged = a + b
+        merges.append((a, b, merged))
+        vocab = vocab.select(
+            _merge_pair(F.col("syms"), a, b, merged).alias("syms"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_words): encode each doc with the trained merges.
+
+    Sequential merge application per word is inherently imperative, so it
+    runs in Arrow-batched pandas workers with the merge list broadcast as
+    a rank dict (apply the LOWEST-rank applicable merge first — the
+    standard BPE encode order, which reproduces training segmentation).
+    """
+    ranks = {(a, b): (i, m) for i, (a, b, m) in enumerate(merges)}
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + [_END]
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r[0] < best[0]):
+                    best = (r[0], i, r[1])
+            if best is None:
+                break
+            _, i, m = best
+            syms[i : i + 2] = [m]
+        return len(syms)
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            words = pdf[text_col].str.lower().str.strip().str.split(r"\s+")
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [
+                        sum(encode_word(w) for w in ws if w) for ws in words
+                    ],
+                    "n_words": [sum(1 for w in ws if w) for ws in words],
+                }
+            )
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_tokens long, n_words long"
+    )
+
+
+@query("c04_bpe_merges", driver=False)
+def c04_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: the first 20 BPE merges trained on the documents corpus —
+    (rank, left, right, merged). No SQL oracle (the training loop is
+    iterative argmax, not one query); tests assert exact equality with a
+    sequential reference implementation on the same word-frequency table
+    plus the classic-corpus merge sequence."""
+    merges = bpe_train(load(spark, sf_dir, "documents"), n_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b, m) for i, (a, b, m) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, merged STRING",
+    )
+
+
+@query("c04_bpe_token_counts", driver=False)
+def c04_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-doc token counts under the corpus-trained BPE tokenizer —
+    the real-tokenizer upgrade of c04_token_count_bpe's regex
+    approximation. Rows-only (training + sequential encode aren't
+    SQL-expressible); invariants tested: n_tokens is bounded below by
+    n_words (every word is ≥1 token) and above by character count + words
+    (no merges at all)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    return bpe_encode(docs, merges)

@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         timeseries,
+        tokenizer,
         tpch,
     )
     from .streaming import jobs  # noqa: F401

@@ -1,0 +1,110 @@
+"""Distributed BPE training/encoding vs a sequential reference
+implementation (the approximate-op testing discipline of SURVEY §5 —
+except BPE is deterministic, so equality is exact, not recall-bounded)."""
+
+from __future__ import annotations
+
+from stock_data_pipeline_spark.catalog import load
+from stock_data_pipeline_spark.operators.tokenizer import (
+    bpe_encode,
+    bpe_train,
+    word_freq_table,
+)
+
+
+def ref_bpe(word_freqs: dict, n_merges: int, min_freq: int = 2):
+    """Sequential reference: identical algorithm, identical tie-break
+    (freq desc, then (left, right) lexicographic)."""
+    vocab: dict[tuple, int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + f
+    out = []
+    for _ in range(n_merges):
+        pc: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+        if not pc:
+            break
+        (a, b), f = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if f < min_freq:
+            break
+        m = a + b
+        out.append((a, b, m))
+        newv: dict[tuple, int] = {}
+        for syms, fr in vocab.items():
+            ns: list[str] = []
+            for x in syms:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = m
+                else:
+                    ns.append(x)
+            newv[tuple(ns)] = newv.get(tuple(ns), 0) + fr
+        vocab = newv
+    return out
+
+
+def test_classic_corpus_merge_sequence(spark):
+    """The Sennrich walk-through corpus: est/lo/low merges must appear in
+    the canonical frequency order."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert merges == ref_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+    assert merges[0] == ("e", "s", "es")
+    assert ("lo", "w", "low") in merges
+
+
+def test_distributed_training_equals_sequential_reference(spark, sf_dir):
+    """The real check: the vocabulary-table loop on the cluster must make
+    the EXACT merge decisions the single-node algorithm makes on the
+    collected word-frequency table — same argmax, same tie-breaks, same
+    leftmost-first merge application."""
+    docs = load(spark, sf_dir, "documents")
+    wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
+    assert bpe_train(docs, n_merges=12) == ref_bpe(wf, 12)
+
+
+def test_encode_reproduces_training_segmentation(spark):
+    """A word fully merged during training must encode to ONE token via
+    the rank-ordered encode path."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert ("n", "ewest</w>", "newest</w>") in merges
+    single = spark.createDataFrame([(1, "newest")], "doc_id long, text string")
+    row = bpe_encode(single, merges).collect()[0]
+    assert (row.n_tokens, row.n_words) == (1, 1)
+
+
+def test_encode_bounds_and_no_merges(spark):
+    """n_words <= n_tokens <= chars + words; with no merges each word is
+    chars+1 symbols."""
+    docs = spark.createDataFrame(
+        [(0, "ab cde"), (1, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode(docs, []).collect()}
+    assert (rows[0].n_tokens, rows[0].n_words) == (3 + 4, 2)  # chars+1 each
+    assert (rows[1].n_tokens, rows[1].n_words) == (0, 0)
+
+
+def test_empty_corpus_trains_nothing(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, n_merges=5) == []
+
+
+def test_registered_token_counts_invariants(spark, sf_dir):
+    from stock_data_pipeline_spark.registry import get
+
+    out = get("c04_bpe_token_counts").fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert len(out) == len(docs)
+    for r in out:
+        words = [w for w in docs[r.doc_id].lower().strip().split() if w]
+        assert r.n_words == len(words)
+        assert r.n_words <= r.n_tokens <= sum(len(w) + 1 for w in words)
