@@ -165,3 +165,36 @@ def scd2_apply(
     if coalesce_to is not None:
         out = out.coalesce(coalesce_to)
     return out
+
+
+# --------------------------------------------------------------------------
+# B85 — point-in-time-correct enrichment (the feature-store join)
+# --------------------------------------------------------------------------
+_B85_SQL = f"""
+    WITH history AS ({_B54_SQL})
+    SELECT e.event_id, e.user_id, h.tier, h.version
+    FROM events e
+    JOIN history h
+      ON h.user_id = e.user_id
+     AND date_trunc('day', e.ts) BETWEEN h.valid_from AND h.valid_to
+    WHERE e.event_type = 'purchase'
+"""
+
+
+@query("b85_point_in_time", oracle=_B85_SQL, driver=False)
+def b85_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B85: point-in-time-correct join — each fact enriched with the
+    dimension VERSION that was valid at the fact's event time, the
+    feature-store discipline that prevents training-serving skew (a
+    plain join to the current dimension would leak future attribute
+    values into historical facts).
+
+    Built on the b54 SCD2 history: islands partition each entity's
+    timeline, so every fact matches exactly ONE version row and the join
+    is lossless. Plan shape: hash join on the entity key with the
+    interval predicate as a post-join filter — the history side is
+    version-grain (dimension-sized), so broadcast it; never an interval
+    cross product. Same SQL text on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B85_SQL)

@@ -1022,3 +1022,37 @@ def run_ivf_ingest(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static point-in-time enrichment (B85's serving half)
+# --------------------------------------------------------------------------
+def enrich_point_in_time(stream: DataFrame, history: DataFrame) -> DataFrame:
+    """Live facts joined to the dimension version valid AT EVENT TIME —
+    the serving twin of b85_point_in_time (the feature-store pattern:
+    the same point-in-time semantics in training backfill and online
+    enrichment, so features never skew between the two).
+
+    ``history`` is the SCD2 interval table (entity key + attributes +
+    valid_from/valid_to); it is dimension-sized, so the stream-static
+    join broadcasts it and the interval predicate filters per event.
+    Equality with the batch b85 rows across micro-batches is asserted in
+    tests/test_streaming.py.
+    """
+    h = history.select(
+        F.col("user_id").alias("h_user_id"),
+        "tier",
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(h),
+            (F.col("user_id") == F.col("h_user_id"))
+            & (F.date_trunc("day", F.col("ts")) >= F.col("valid_from"))
+            & (F.date_trunc("day", F.col("ts")) <= F.col("valid_to")),
+        )
+        .select("event_id", "user_id", "tier", "version")
+    )

@@ -870,3 +870,51 @@ def test_bollinger_served_from_streamed_bars_equals_batch_b78(
         for r in registry.get("b78_bollinger").fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_point_in_time_enrichment_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static PIT join: events streamed in 3 micro-batches and
+    joined to the SCD2 history must produce exactly the batch b85 rows —
+    same version attribution for every purchase."""
+    import glob
+    import shutil as sh
+
+    from stock_data_pipeline_spark import registry
+    from stock_data_pipeline_spark.streaming.jobs import (
+        enrich_point_in_time,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"ps{i}"))
+        part = glob.glob(str(tmp_path / f"ps{i}" / "*.parquet"))[0]
+        sh.copy(part, land / f"batch{i}.parquet")
+
+    history = registry.get("b54_scd2_history").fn(spark, sf_dir).select(
+        "user_id", "tier", "version", "valid_from", "valid_to"
+    )
+    q = run_stream_to_memory(
+        enrich_point_in_time(read_event_stream(spark, str(land)), history),
+        "pit_enriched",
+        checkpoint=str(tmp_path / "ck_pit"),
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = {
+        (r.event_id, r.user_id, r.tier, r.version)
+        for r in spark.sql("SELECT * FROM pit_enriched").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.tier, r.version)
+        for r in registry.get("b85_point_in_time").fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
