@@ -216,3 +216,48 @@ def test_incremental_ohlcv_equals_full_recompute_any_order(spark, tmp_path):
         ).collect()
     }
     assert {k: v[:5] for k, v in got.items()} == b03
+
+
+# --------------------------------------------------------------------------
+# Result cache (semantic-hash keyed)
+# --------------------------------------------------------------------------
+def test_result_cache_serves_materialized_rows_until_refreshed(spark, tmp_path):
+    from stock_data_pipeline_spark.sources.result_cache import (
+        cached_result,
+        invalidate,
+    )
+
+    src = str(tmp_path / "src")
+    cache = str(tmp_path / "cache")
+    spark.range(10).write.parquet(src)
+
+    def q():
+        return spark.read.parquet(src).selectExpr("sum(id) AS s")
+
+    first = cached_result(q(), cache).collect()[0].s
+    assert first == 45
+
+    # mutate the source: the cache (by design) still answers the old
+    # result — proof the second call reads the materialization
+    spark.range(100).write.mode("overwrite").parquet(src)
+    assert cached_result(q(), cache).collect()[0].s == 45
+    # refresh recomputes against the new source
+    assert cached_result(q(), cache, refresh=True).collect()[0].s == 4950
+    # and the refreshed entry now serves the new result
+    assert cached_result(q(), cache).collect()[0].s == 4950
+
+    # invalidation removes the entry; next call recomputes
+    assert invalidate(q(), cache) is True
+    assert invalidate(q(), cache) is False
+
+
+def test_result_cache_distinguishes_different_queries(spark, tmp_path):
+    from stock_data_pipeline_spark.sources.result_cache import _entry_path
+
+    src = str(tmp_path / "src2")
+    spark.range(10).write.parquet(src)
+    a = spark.read.parquet(src).selectExpr("sum(id) AS s")
+    b = spark.read.parquet(src).selectExpr("max(id) AS s")
+    same = spark.read.parquet(src).selectExpr("sum(id) AS s")
+    assert _entry_path("/c", a) != _entry_path("/c", b)
+    assert _entry_path("/c", a) == _entry_path("/c", same)
