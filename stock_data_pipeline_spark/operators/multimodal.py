@@ -269,6 +269,11 @@ def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = abs(int.from_bytes(payload[22:26], "little", signed=True))
         return ("bmp", width, height)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        # logical-screen descriptor: u16le dims right after the signature
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return ("gif", width, height)
     if payload[:2] == b"P6":
         fields: list[bytes] = []
         i = 2
@@ -287,8 +292,37 @@ def decode_image_dims(payload: bytes) -> "tuple[str, int, int]":
         if len(fields) == 2:
             return ("ppm", int(fields[0]), int(fields[1]))
     raise ValueError(
-        "unsupported image format (expected JPEG, PNG, BMP, or P6 PPM)"
+        "unsupported image format (expected JPEG, PNG, GIF, BMP, or P6 PPM)"
     )
+
+
+def decode_wav_header(payload: bytes) -> "tuple[int, int, int, int]":
+    """(channels, sample_rate, bits_per_sample, n_frames) from a RIFF/WAVE
+    header — the audio twin of :func:`decode_image_dims`: metadata without
+    sample decode, by walking the chunk list (fmt may not be the first
+    chunk in the wild, so fixed offsets are wrong; the walk is the
+    correct parse). Raises ValueError on non-WAV / torn headers —
+    quarantine, never silent."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    channels = sample_rate = bits = block_align = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if channels is None or data_size is None or not block_align:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    return (channels, sample_rate, bits, data_size // block_align)
 
 
 IMAGE_SCHEMA = "doc_id bigint, fmt string, width int, height int, img_bytes int"
@@ -626,13 +660,16 @@ def payload_format(col: "str | F.Column") -> "F.Column":
     by modality never leave the JVM. The Python decoders
     (:func:`decode_image_dims`) stay for the per-format parsing; THIS
     keeps the corpus-wide scan that decides who parses what on the fast
-    path. Returns 'jpeg' | 'png' | 'bmp' | 'ppm' | 'unknown'.
+    path. Returns 'jpeg' | 'png' | 'gif' | 'bmp' | 'ppm' | 'wav' |
+    'unknown'.
     """
     b = F.col(col) if isinstance(col, str) else col
     return (
         F.when(F.substring(b, 1, 2) == F.lit(b"\xff\xd8"), "jpeg")
         .when(F.substring(b, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(F.substring(b, 1, 4) == F.lit(b"GIF8"), "gif")
         .when(F.substring(b, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(b, 1, 2) == F.lit(b"P6"), "ppm")
+        .when(F.substring(b, 1, 4) == F.lit(b"RIFF"), "wav")
         .otherwise("unknown")
     )

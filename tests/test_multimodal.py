@@ -291,7 +291,9 @@ def test_payload_format_sniffing_is_jvm_side(spark):
         ("png", encode_png(4, 3)),
         ("bmp", encode_bmp(4, 3)),
         ("ppm", encode_ppm(4, 3)),
-        ("unknown", b"GIF89a not supported"),
+        ("gif", b"GIF89a" + b"\x10\x00\x08\x00"),  # supported since round 4
+        ("wav", b"RIFF\x00\x00\x00\x00WAVE"),
+        ("unknown", b"FLIF not a real format"),
         ("unknown", b""),
     ]
     df = spark.createDataFrame(rows, "want string, payload binary")
@@ -300,3 +302,76 @@ def test_payload_format_sniffing_is_jvm_side(spark):
         assert r.want == r.got, r
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# GIF + WAV header decoders (round 4)
+# --------------------------------------------------------------------------
+def _make_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x80\x00\x00"          # GCT flag, bg, aspect
+        + b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
+        + b"\x3b"                  # trailer
+    )
+
+
+def _make_wav(channels: int, rate: int, n_frames: int, bits: int = 16) -> bytes:
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_gif_dims_decode_and_dispatch(spark):
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+        payload_format,
+    )
+
+    gif = _make_gif(320, 200)
+    assert decode_image_dims(gif) == ("gif", 320, 200)
+    df = spark.createDataFrame([(0, bytearray(gif))], "id long, payload binary")
+    assert df.select(payload_format("payload").alias("f")).collect()[0].f == "gif"
+
+
+def test_wav_header_walk_and_dispatch(spark):
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_wav_header,
+        payload_format,
+    )
+
+    wav = _make_wav(2, 44100, 1000)
+    assert decode_wav_header(wav) == (2, 44100, 16, 1000)
+    # chunk-walk robustness: an extra chunk BEFORE fmt must not break it
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_header(patched) == (2, 44100, 16, 1000)
+    df = spark.createDataFrame([(0, bytearray(wav))], "id long, payload binary")
+    assert df.select(payload_format("payload").alias("f")).collect()[0].f == "wav"
+
+
+def test_corrupt_gif_wav_raise(spark):
+    import pytest as _pytest
+
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_image_dims,
+        decode_wav_header,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_image_dims(b"GIF9")  # bad signature
+    with _pytest.raises(ValueError):
+        decode_wav_header(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):
+        decode_wav_header(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
