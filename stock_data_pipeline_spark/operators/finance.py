@@ -790,3 +790,64 @@ def bollinger_over_bars(
         (F.col("close") > upper).alias("breakout_up"),
         (F.col("close") < lower).alias("breakout_down"),
     )
+
+
+_B86_SQL = f"""
+    WITH series AS ({_HOURLY_SERIES}),
+    k AS (
+      SELECT event_type, bucket,
+             CAST(FLOOR(px * 100.0 + 0.5) AS DECIMAL(18,0)) AS kpx
+      FROM series
+    ),
+    g AS (
+      SELECT event_type, CAST(SUM(kpx) AS DOUBLE) / COUNT(*) AS g_mean
+      FROM k GROUP BY event_type
+    ),
+    hod AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM bucket) AS INT) AS hour_of_day,
+             CAST(SUM(kpx) AS DOUBLE) / COUNT(*) AS hod_mean
+      FROM k GROUP BY event_type, CAST(EXTRACT(hour FROM bucket) AS INT)
+    ),
+    w AS (
+      SELECT k.event_type, k.bucket, k.kpx,
+             CAST(SUM(k.kpx) OVER v AS DOUBLE) / (COUNT(*) OVER v) AS trend_s,
+             COUNT(*) OVER v AS n_window
+      FROM k
+      WINDOW v AS (PARTITION BY k.event_type ORDER BY k.bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT w.event_type, w.bucket,
+           CAST(w.kpx AS DOUBLE) / 100.0 AS px,
+           floor(w.trend_s / 100.0 * 1000000) / 1000000 AS trend,
+           floor((h.hod_mean - g.g_mean) / 100.0 * 1000000) / 1000000
+             AS seasonal,
+           floor((CAST(w.kpx AS DOUBLE) - w.trend_s
+                  - (h.hod_mean - g.g_mean)) / 100.0 * 1000000) / 1000000
+             AS residual,
+           w.n_window
+    FROM w
+    JOIN hod h ON h.event_type = w.event_type
+              AND h.hour_of_day = CAST(EXTRACT(hour FROM w.bucket) AS INT)
+    JOIN g ON g.event_type = w.event_type
+"""
+
+
+@query("b86_seasonal_decompose", oracle=_B86_SQL, driver=False)
+def b86_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B86: additive seasonal decomposition of the hourly series —
+    px = trend + seasonal + residual, the pre-processing step behind any
+    seasonality-aware anomaly detector (a raw z-score like b52 flags
+    every market open; the residual here is what should feed it).
+
+    STL-lite with every component exact: trend is a centered 25-bucket
+    window mean of the 1e-2-scaled integers, the seasonal index is the
+    hour-of-day mean minus the instrument mean (both single exact
+    aggregates, joined back broadcast at aggregate grain), and the
+    residual is the same integers recombined — so all three components
+    are bit-identical cross-engine and sum back to px by construction
+    (up to the shared truncation). Window edges use the available
+    buckets (n_window < 25 flags them). One fact-sized aggregate, one
+    bar-grain window, two broadcast join-backs.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B86_SQL)
