@@ -851,3 +851,53 @@ def b86_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B86_SQL)
+
+
+_B87_SQL = f"""
+    WITH bars AS ({_DAILY_BARS}),
+    monthly AS (
+      SELECT event_type,
+             date_trunc('month', bar_date) AS month,
+             min_by(close, bar_date) AS first_close,
+             max_by(close, bar_date) AS last_close
+      FROM bars
+      GROUP BY event_type, date_trunc('month', bar_date)
+    ),
+    rets AS (
+      SELECT event_type, month,
+             floor((last_close / nullif(first_close, 0) - 1) * 1000000)
+               / 1000000 AS mom_return
+      FROM monthly
+      WHERE first_close >= 1.0
+    )
+    SELECT event_type, month, mom_return,
+           CAST(rank() OVER (PARTITION BY month
+                             ORDER BY mom_return DESC, event_type ASC)
+                AS INT) AS mom_rank,
+           CASE
+             WHEN rank() OVER (PARTITION BY month
+                               ORDER BY mom_return DESC, event_type ASC) <= 2
+               THEN 'winner'
+             WHEN rank() OVER (PARTITION BY month
+                               ORDER BY mom_return ASC, event_type ASC) <= 2
+               THEN 'loser'
+             ELSE 'neutral'
+           END AS bucket
+    FROM rets
+"""
+
+
+@query("b87_momentum_rank", oracle=_B87_SQL, driver=False)
+def b87_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B87: cross-sectional momentum ranking — each instrument's monthly
+    return ranked against the rest of the universe, bucketed into the
+    winner/loser legs a momentum portfolio trades. The cross-SECTIONAL
+    window (partition by month, not by instrument) is the complement of
+    every other window query here; both rank directions share the
+    deterministic (return, name) tie-break so the leg assignment is
+    engine-identical. Returns use the b49 closed form with the b56 penny
+    guard. Scale: window at universe × months grain — MB at any tick
+    volume.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_B87_SQL)
