@@ -799,36 +799,28 @@ _B86_SQL = f"""
              CAST(FLOOR(px * 100.0 + 0.5) AS DECIMAL(18,0)) AS kpx
       FROM series
     ),
-    g AS (
-      SELECT event_type, CAST(SUM(kpx) AS DOUBLE) / COUNT(*) AS g_mean
-      FROM k GROUP BY event_type
-    ),
-    hod AS (
-      SELECT event_type, CAST(EXTRACT(hour FROM bucket) AS INT) AS hour_of_day,
-             CAST(SUM(kpx) AS DOUBLE) / COUNT(*) AS hod_mean
-      FROM k GROUP BY event_type, CAST(EXTRACT(hour FROM bucket) AS INT)
-    ),
-    w AS (
-      SELECT k.event_type, k.bucket, k.kpx,
-             CAST(SUM(k.kpx) OVER v AS DOUBLE) / (COUNT(*) OVER v) AS trend_s,
-             COUNT(*) OVER v AS n_window
+    d AS (
+      SELECT event_type, bucket, kpx,
+             CAST(SUM(kpx) OVER v AS DOUBLE) / (COUNT(*) OVER v) AS trend_s,
+             COUNT(*) OVER v AS n_window,
+             CAST(SUM(kpx) OVER h AS DOUBLE) / (COUNT(*) OVER h) AS hod_mean,
+             CAST(SUM(kpx) OVER g AS DOUBLE) / (COUNT(*) OVER g) AS g_mean
       FROM k
-      WINDOW v AS (PARTITION BY k.event_type ORDER BY k.bucket
-                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      WINDOW v AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+             h AS (PARTITION BY event_type,
+                   CAST(EXTRACT(hour FROM bucket) AS INT)),
+             g AS (PARTITION BY event_type)
     )
-    SELECT w.event_type, w.bucket,
-           CAST(w.kpx AS DOUBLE) / 100.0 AS px,
-           floor(w.trend_s / 100.0 * 1000000) / 1000000 AS trend,
-           floor((h.hod_mean - g.g_mean) / 100.0 * 1000000) / 1000000
+    SELECT event_type, bucket,
+           CAST(kpx AS DOUBLE) / 100.0 AS px,
+           floor(trend_s / 100.0 * 1000000) / 1000000 AS trend,
+           floor((hod_mean - g_mean) / 100.0 * 1000000) / 1000000
              AS seasonal,
-           floor((CAST(w.kpx AS DOUBLE) - w.trend_s
-                  - (h.hod_mean - g.g_mean)) / 100.0 * 1000000) / 1000000
-             AS residual,
-           w.n_window
-    FROM w
-    JOIN hod h ON h.event_type = w.event_type
-              AND h.hour_of_day = CAST(EXTRACT(hour FROM w.bucket) AS INT)
-    JOIN g ON g.event_type = w.event_type
+           floor((CAST(kpx AS DOUBLE) - trend_s - (hod_mean - g_mean))
+                 / 100.0 * 1000000) / 1000000 AS residual,
+           n_window
+    FROM d
 """
 
 
@@ -841,13 +833,18 @@ def b86_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     STL-lite with every component exact: trend is a centered 25-bucket
     window mean of the 1e-2-scaled integers, the seasonal index is the
-    hour-of-day mean minus the instrument mean (both single exact
-    aggregates, joined back broadcast at aggregate grain), and the
-    residual is the same integers recombined — so all three components
-    are bit-identical cross-engine and sum back to px by construction
-    (up to the shared truncation). Window edges use the available
-    buckets (n_window < 25 flags them). One fact-sized aggregate, one
-    bar-grain window, two broadcast join-backs.
+    hour-of-day mean minus the instrument mean, the residual the same
+    integers recombined — all bit-identical cross-engine and summing
+    back to px by construction (up to the shared truncation).
+
+    The means come from frameless WINDOW partitions rather than
+    aggregate+join-back CTEs deliberately: Spark re-EXPANDS a CTE at
+    every reference (no automatic materialization), so the join-back
+    formulation scanned the fact table three times — the window form
+    scans it ONCE and pays only aggregate-grain exchanges for the two
+    extra partitionings (plan-audited; the three-scan version is the
+    trap). Window edges use the available buckets (n_window < 25 flags
+    them).
     """
     register_views(spark, sf_dir)
     return spark.sql(_B86_SQL)

@@ -52,6 +52,7 @@ PLAN_BUDGETS = {
     "b81_obv": (2, 0),
     "b83_realized_vol": (2, 0),
     "b84_up_streaks": (2, 0),
+    "b86_seasonal_decompose": (2, 0),    # ONE fact scan (window-form means)
     "c04_model_score": (1, 1),           # weight table broadcasts
 }
 
