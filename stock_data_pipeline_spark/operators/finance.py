@@ -132,13 +132,37 @@ def _s4(expr: str) -> str:
     )
 
 
-_B51_SQL = f"""
-    WITH series AS ({_HOURLY_SERIES}),
-    pairs AS (
+# The hourly series is the self-join input of b51/b53. A CTE referenced
+# twice is RE-EXPANDED by Spark (two full fact scans + two aggregates —
+# the b86 trap, but unavoidable by window tricks here because both sides
+# genuinely join). The engine therefore MATERIALIZES the aggregate once
+# (``localCheckpoint`` — it is #instruments × #hours rows, MB at any tick
+# volume) and self-joins the materialization; memoized per (session, sf)
+# so repeated queries share it. The oracle keeps the CTE form — DuckDB
+# materializes CTEs automatically, so its one-scan behavior needs no help.
+import weakref as _weakref
+
+_SERIES_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]"
+_SERIES_MEMO = _weakref.WeakKeyDictionary()
+
+
+def _hourly_series_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        per_session = _SERIES_MEMO.setdefault(spark, {})
+    except TypeError:
+        per_session = {}
+    if sf_dir not in per_session:
+        register_views(spark, sf_dir)
+        per_session[sf_dir] = spark.sql(_HOURLY_SERIES).localCheckpoint()
+    return per_session[sf_dir]
+
+
+_B51_BODY = f"""
+    WITH pairs AS (
       SELECT a.event_type AS sym_a, b.event_type AS sym_b,
              a.px AS xa, b.px AS xb
-      FROM series a
-      JOIN series b
+      FROM {{series}} a
+      JOIN {{series}} b
         ON a.bucket = b.bucket AND a.event_type < b.event_type
     ),
     moments AS (
@@ -157,8 +181,13 @@ _B51_SQL = f"""
     WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """
 
+_B51_ORACLE = (
+    f"WITH hourly_series AS ({_HOURLY_SERIES}), "
+    + _B51_BODY.format(series="hourly_series").lstrip().removeprefix("WITH ")
+)
 
-@query("b51_pairwise_corr", oracle=_B51_SQL, driver=False)
+
+@query("b51_pairwise_corr", oracle=_B51_ORACLE, driver=False)
 def b51_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B51: pairwise price correlation matrix (upper triangle).
 
@@ -173,10 +202,13 @@ def b51_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the join input is the AGGREGATED series (#instruments × #hours
     rows), so even at 100 TB of ticks the pair join is MB-sized; for
     K in the thousands, broadcast the series side. The moments then
-    reduce to one row per pair in a single hash aggregate.
+    reduce to one row per pair in a single hash aggregate. The series is
+    materialized once (see ``_hourly_series_mat``) — the self-joined CTE
+    form would rescan the fact table twice.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(_B51_SQL)
+    series = _hourly_series_mat(spark, sf_dir)
+    series.createOrReplaceTempView("hourly_series_mat")
+    return spark.sql(_B51_BODY.format(series="hourly_series_mat"))
 
 
 _B52_SQL = """
@@ -233,18 +265,17 @@ def b52_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B52_SQL)
 
 
-_B53_SQL = f"""
-    WITH series AS ({_HOURLY_SERIES}),
-    market AS (
+_B53_BODY = f"""
+    WITH market AS (
       SELECT bucket,
              (CAST(SUM(CAST(FLOOR(px * 10000.0 + 0.5) AS DECIMAL(18,0)))
                    AS DOUBLE) / 10000.0) / COUNT(px) AS mkt
-      FROM series
+      FROM {{series}}
       GROUP BY bucket
     ),
     joined AS (
       SELECT s.event_type, s.px AS y, m.mkt AS x
-      FROM series s JOIN market m ON s.bucket = m.bucket
+      FROM {{series}} s JOIN market m ON s.bucket = m.bucket
     ),
     moments AS (
       SELECT event_type, COUNT(*) AS n,
@@ -261,6 +292,11 @@ _B53_SQL = f"""
     FROM moments
     WHERE (n * sxx - sx * sx) > 0
 """
+
+_B53_ORACLE = (
+    f"WITH hourly_series AS ({_HOURLY_SERIES}), "
+    + _B53_BODY.format(series="hourly_series").lstrip().removeprefix("WITH ")
+)
 
 
 _B56_SQL = f"""
@@ -316,7 +352,7 @@ def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B56_SQL)
 
 
-@query("b53_market_beta", oracle=_B53_SQL, driver=False)
+@query("b53_market_beta", oracle=_B53_ORACLE, driver=False)
 def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: per-instrument beta/alpha vs the equal-weight market index.
 
@@ -327,10 +363,14 @@ def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a time-bucket equi-join between two aggregate-sized tables.
 
     Scale: the index table is O(#hours) rows — broadcast it; the moment
-    aggregate is one map-side-combined shuffle keyed on instrument.
+    aggregate is one map-side-combined shuffle keyed on instrument. The
+    series is materialized once (``_hourly_series_mat``): it feeds both
+    the index aggregate and the join, and the CTE form would rescan the
+    fact table for each.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(_B53_SQL)
+    series = _hourly_series_mat(spark, sf_dir)
+    series.createOrReplaceTempView("hourly_series_mat")
+    return spark.sql(_B53_BODY.format(series="hourly_series_mat"))
 
 
 _B61_SQL = """

@@ -387,9 +387,13 @@ def b69_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.total_revenue
-    FROM supplier s
-    JOIN revenue r ON r.supplier_no = s.s_suppkey
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    FROM (
+      SELECT supplier_no, total_revenue,
+             MAX(total_revenue) OVER () AS max_revenue
+      FROM revenue
+    ) r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = r.max_revenue
     """,
     driver=False,
 )
@@ -397,9 +401,14 @@ def b70_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
     an aggregate view compared against its own MAX (ties kept, per the
     spec; the fixed-point revenue makes the equality well-defined
-    cross-engine). The MAX is a 1-row broadcast against the
-    supplier-sized aggregate, so nothing fact-sized is joined twice; the
-    quarter filter prunes the only fact scan."""
+    cross-engine). The MAX is a frameless window over the supplier-grain
+    aggregate, NOT a scalar subquery against the CTE: Spark re-expands a
+    CTE/self-referenced frame per reference (the b86 trap), which would
+    scan the fact table twice — the window form keeps ONE scan, and a
+    single-partition window over an aggregate-sized table is cheap. The
+    quarter filter prunes that one scan."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -407,10 +416,12 @@ def b70_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dec_sum(_rev(), 4).alias("total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    ranked = revenue.withColumn(
+        "max_revenue",
+        F.max("total_revenue").over(Window.partitionBy()),
+    )
     return (
-        revenue.join(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        ranked.filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -604,15 +615,16 @@ WITH offers AS (
   GROUP BY l_partkey, l_suppkey
 )
 SELECT p.p_partkey, s.s_name, s.s_acctbal, n.n_name, o.unit_cost
-FROM offers o
+FROM (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+  FROM offers
+) o
 JOIN part p ON p.p_partkey = o.l_partkey
 JOIN supplier s ON s.s_suppkey = o.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE p.p_size = 15 AND p.p_type = 'SMALL'
-  AND o.unit_cost = (
-    SELECT MIN(o2.unit_cost) FROM offers o2
-    WHERE o2.l_partkey = o.l_partkey
-  )
+  AND o.unit_cost = o.best_cost
 """
 
 
@@ -624,9 +636,11 @@ def b75_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from lineitem (min observed unit price) since the schema has
     no partsupp. The per-row division is IEEE-identical cross-engine and
     MIN over identical doubles is exact, so the equality predicate is
-    deterministic. Catalyst decorrelates to a per-part MIN aggregate
-    joined back — the same plan the hand-written window-rank variant
-    (b07 family) produces."""
+    deterministic. The per-part MIN is a WINDOW over the offers
+    aggregate rather than a correlated subquery against the CTE —
+    Spark re-expands a twice-referenced CTE (two fact scans; the b86
+    trap), while the window form keeps one scan and runs at offer
+    grain. Same SQL text on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q2_SQL)
 

@@ -42,7 +42,7 @@ PLAN_BUDGETS = {
     "b66_q9_product_profit": (1, 4),
     "b68_q12_priority_class": (1, 1),
     "b69_q13_order_distribution": (2, 1),
-    "b70_q15_top_supplier": (2, 2),
+    "b70_q15_top_supplier": (1, 1),     # window-form MAX: one scan, one agg exchange
     "b71_q17_small_quantity": (1, 3),    # AVG threshold broadcasts back
     "b72_q19_disjunctive_revenue": (0, 1),
     "b76_q16_part_variety": (2, 2),      # distinct-agg two-phase
