@@ -606,22 +606,23 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted in every week they return. The second product-analytics
     staple over the reference's append-only event log.
 
-    Scale: cohort table and distinct-activity table are both user-grain
-    (tiny vs the raw log); both reduce map-side before their shuffles.
-    The user-keyed join co-partitions two already-aggregated inputs, and
-    the final rollup is #cohorts×#weeks. No raw-log joins anywhere.
+    Scale: ONE raw-log scan — the distinct (user, week) activity table
+    is the only fact-sized pass (map-side pre-distinct before its
+    shuffle), and the cohort week is a window MIN over that user-grain
+    table rather than a second aggregate of the log (the separate-CTE
+    form would re-scan the events: the b86 trap). The final rollup is
+    #cohorts×#weeks.
     """
     events = load(spark, sf_dir, "events")
-    cohorts = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
     activity = events.select(
         "user_id", F.date_trunc("week", "ts").alias("active_week")
     ).distinct()
-    return (
-        cohorts.join(activity, "user_id")
-        .groupBy("cohort_week", "active_week")
-        .agg(F.count("*").alias("n_users"))
+    cohorted = activity.withColumn(
+        "cohort_week",
+        F.min("active_week").over(Window.partitionBy("user_id")),
+    )
+    return cohorted.groupBy("cohort_week", "active_week").agg(
+        F.count("*").alias("n_users")
     )
 
 

@@ -663,21 +663,22 @@ _B82_BODY = """
       WHERE close >= 1.0
       WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
     ),
-    clean AS (SELECT event_type, r FROM rets WHERE r IS NOT NULL),
-    var AS (
-      SELECT event_type, {PCTL} AS var95, COUNT(r) AS n_days
-      FROM clean GROUP BY event_type
+    scored AS (
+      SELECT event_type, r,
+             {PCTL} OVER (PARTITION BY event_type) AS var95
+      FROM rets
+      WHERE r IS NOT NULL
     )
-    SELECT c.event_type,
-           MAX(v.n_days) AS n_days,
-           floor(MAX(v.var95) * 1000000) / 1000000 AS var95,
-           CAST(SUM(CASE WHEN c.r <= v.var95
-                         THEN CAST(FLOOR(c.r * 1000000.0 + 0.5)
+    SELECT event_type,
+           COUNT(r) AS n_days,
+           floor(MAX(var95) * 1000000) / 1000000 AS var95,
+           CAST(SUM(CASE WHEN r <= var95
+                         THEN CAST(FLOOR(r * 1000000.0 + 0.5)
                                    AS DECIMAL(18,0)) END) AS DOUBLE)
              / 1000000.0
-             / COUNT(CASE WHEN c.r <= v.var95 THEN 1 END) AS cvar95
-    FROM clean c JOIN var v ON v.event_type = c.event_type
-    GROUP BY c.event_type
+             / COUNT(CASE WHEN r <= var95 THEN 1 END) AS cvar95
+    FROM scored
+    GROUP BY event_type
 """
 
 
@@ -695,9 +696,11 @@ def b82_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent. Returns reuse b49's closed form with b56's penny-close
     guard. The tail membership test compares 6-dp rational returns to
     the interpolated threshold — equality between the two is measure-
-    zero, so the tail set is engine-stable. Scale: percentile runs per
-    instrument over the bar-grain table; the join-back is
-    aggregate×aggregate.
+    zero, so the tail set is engine-stable. Scale: var95 is the
+    percentile aggregate evaluated AS A WINDOW over the instrument
+    partition of the bar-grain return table, so the tail aggregation
+    reads the same rows in the same pass — ONE fact scan (the
+    aggregate-plus-join-back form re-scanned the events: the b86 trap).
     """
     register_views(spark, sf_dir)
     return spark.sql(_B82_BODY.replace("{PCTL}", "percentile(r, 0.05)"))

@@ -170,18 +170,22 @@ def scd2_apply(
 # --------------------------------------------------------------------------
 # B85 — point-in-time-correct enrichment (the feature-store join)
 # --------------------------------------------------------------------------
-_B85_SQL = f"""
-    WITH history AS ({_B54_SQL})
+_B85_BODY = """
     SELECT e.event_id, e.user_id, h.tier, h.version
     FROM events e
-    JOIN history h
+    JOIN {history} h
       ON h.user_id = e.user_id
      AND date_trunc('day', e.ts) BETWEEN h.valid_from AND h.valid_to
     WHERE e.event_type = 'purchase'
 """
 
+_B85_ORACLE = (
+    f"WITH scd2_history AS ({_B54_SQL})"
+    + _B85_BODY.format(history="scd2_history")
+)
 
-@query("b85_point_in_time", oracle=_B85_SQL, driver=False)
+
+@query("b85_point_in_time", oracle=_B85_ORACLE, driver=False)
 def b85_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B85: point-in-time-correct join — each fact enriched with the
     dimension VERSION that was valid at the fact's event time, the
@@ -194,7 +198,13 @@ def b85_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lossless. Plan shape: hash join on the entity key with the
     interval predicate as a post-join filter — the history side is
     version-grain (dimension-sized), so broadcast it; never an interval
-    cross product. Same SQL text on both engines.
+    cross product. The history is MATERIALIZED before the join
+    (``localCheckpoint``): in production it IS a maintained table
+    (``scd2_apply``), and deriving it inline as a CTE would re-scan the
+    event log for the history build on top of the fact-side scan (the
+    b86 re-expansion trap).
     """
     register_views(spark, sf_dir)
-    return spark.sql(_B85_SQL)
+    history = spark.sql(_B54_SQL).localCheckpoint()
+    history.createOrReplaceTempView("scd2_history_mat")
+    return spark.sql(_B85_BODY.format(history="scd2_history_mat"))

@@ -367,7 +367,11 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spine is #keys × #buckets rows generated from a tiny
     per-key min/max aggregate (never from the raw stream); the join back
     is aggregate-sized on both sides, and the LOCF window sorts buckets
-    within each key only. Nothing here touches the raw corpus twice.
+    within each key only. The hourly aggregate is MATERIALIZED
+    (``localCheckpoint`` — bucket-grain, MB at any tick volume) because
+    it feeds both the spine and the join: Spark re-expands a
+    twice-referenced frame (the b86 CTE trap), which would scan and
+    aggregate the raw stream twice.
     """
     events = load(spark, sf_dir, "events")
     hourly = events.groupBy(
@@ -377,7 +381,7 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
             / F.count("value")
         ).alias("hour_avg")
-    )
+    ).localCheckpoint()
     # Spine bounds come from the hourly AGGREGATE, not a second raw scan —
     # min/max of the bucket column equal the truncated raw min/max.
     spine = (

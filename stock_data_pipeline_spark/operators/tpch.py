@@ -265,7 +265,15 @@ def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin over a constant); crucially the total is
     accumulated from the raw rows with the same fixed-point sum as the
     per-part values, NOT by re-summing the per-part doubles — float
-    re-aggregation would be summation-order-dependent."""
+    re-aggregation would be summation-order-dependent. Implementation:
+    the per-part aggregate keeps the SCALED-INTEGER sum and the global
+    total is a frameless window SUM of those integers (decimal window
+    sums are exact, and integer addition is associative, so the windowed
+    total is bit-equal to a direct sum over the raw rows) — ONE fact
+    scan, where the aggregate-plus-join-back form would re-scan (the
+    b86 CTE-re-expansion trap)."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(
@@ -276,13 +284,24 @@ def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") == F.col("l_suppkey"),
         "left_semi",
     )
-    per_part = scoped.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        dec_sum(_rev(), 4).alias("value")
+    value_c = F.sum(
+        F.floor(_rev() * F.lit(10000.0) + F.lit(0.5)).cast("decimal(18,0)")
     )
-    threshold = scoped.agg((dec_sum(_rev(), 4) * 0.001).alias("threshold"))
-    return per_part.join(F.broadcast(threshold)).filter(
-        F.col("value") > F.col("threshold")
-    ).select("partkey", "value")
+    per_part = scoped.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        value_c.alias("value_c")
+    )
+    total_c = F.sum("value_c").over(Window.partitionBy())
+    return (
+        per_part.withColumn("total_c", total_c)
+        .filter(
+            F.col("value_c").cast("double") / 10000.0
+            > (F.col("total_c").cast("double") / 10000.0) * 0.001
+        )
+        .select(
+            "partkey",
+            (F.col("value_c").cast("double") / 10000.0).alias("value"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
