@@ -941,3 +941,76 @@ def b87_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_B87_SQL)
+
+
+def atr_over_bars(bars: DataFrame, *, window: int = 5) -> DataFrame:
+    """b79's ATR math over any (event_type, bar_date, high, low, close)
+    bar frame — the second indicator served from the streamed bar store
+    (``read_bars`` exposes exactly these columns). Mirrors _B79_SQL
+    operation-for-operation; bit-equality with the batch query over
+    streamed bars is asserted in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    from ..functions.exact import trunc6
+
+    lagw = Window.partitionBy("event_type").orderBy("bar_date")
+    lagged = bars.select(
+        "event_type",
+        "bar_date",
+        "high",
+        "low",
+        "close",
+        F.lag("close").over(lagw).alias("p_close"),
+    ).filter(F.col("p_close").isNotNull())
+    tr2 = F.floor(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("p_close")),
+            F.abs(F.col("low") - F.col("p_close")),
+        )
+        * 100.0
+        + 0.5
+    ).cast("decimal(18,0)")
+    v = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_date")
+        .rowsBetween(-(window - 1), 0)
+    )
+    with_tr = lagged.select("event_type", "bar_date", tr2.alias("tr2"))
+    return with_tr.select(
+        "event_type",
+        "bar_date",
+        (F.col("tr2").cast("double") / 100.0).alias("true_range"),
+        trunc6(
+            F.sum("tr2").over(v).cast("double")
+            / (100.0 * F.count("*").over(v))
+        ).alias("atr"),
+    )
+
+
+def obv_over_bars(bars: DataFrame) -> DataFrame:
+    """b81's on-balance volume over any (event_type, bar_date, close,
+    n_ticks) bar frame — ``read_bars``' trade count is b81's volume
+    stand-in, so the streamed bar store serves OBV directly. Integer
+    arithmetic end to end; bit-equality with batch b81 asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("event_type").orderBy("bar_date")
+    flow = (
+        F.when(F.lag("close").over(lagw).isNull(), F.lit(None).cast("long"))
+        .when(F.col("close") > F.lag("close").over(lagw), F.lit(1))
+        .when(F.col("close") < F.lag("close").over(lagw), F.lit(-1))
+        .otherwise(F.lit(0))
+        * F.col("n_ticks")
+    )
+    staged = bars.select(
+        "event_type", "bar_date", flow.cast("long").alias("signed_flow")
+    ).filter(F.col("signed_flow").isNotNull())
+    cum = Window.partitionBy("event_type").orderBy("bar_date")
+    return staged.select(
+        "event_type",
+        "bar_date",
+        F.col("signed_flow").alias("daily_flow"),
+        F.sum("signed_flow").over(cum).cast("bigint").alias("obv"),
+    )

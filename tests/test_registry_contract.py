@@ -70,3 +70,16 @@ def test_driver_queries_emit_only_atomic_columns(spark, sf_dir):
         if nonatomic:
             bad[name] = nonatomic
     assert not bad, f"non-canonicalizable driver outputs: {bad}"
+
+
+def test_queries_md_catalog_in_sync():
+    """QUERIES.md is generated from the registry; regenerating must
+    reproduce the checked-in file byte-for-byte (run
+    `python gen_queries_md.py` after registering a query)."""
+    import os
+
+    import gen_queries_md
+
+    path = os.path.join(os.path.dirname(gen_queries_md.__file__), "QUERIES.md")
+    with open(path) as f:
+        assert f.read() == gen_queries_md.render()

@@ -918,3 +918,63 @@ def test_point_in_time_enrichment_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in registry.get("b85_point_in_time").fn(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_atr_and_obv_served_from_streamed_bars_equal_batch(
+    spark, sf_dir, tmp_path
+):
+    """The remaining served indicators: ATR and OBV computed over the
+    streamed bar store must be bit-equal to the batch b79/b81 queries."""
+    import glob
+    import shutil as sh
+
+    from stock_data_pipeline_spark import registry
+    from stock_data_pipeline_spark.operators.finance import (
+        atr_over_bars,
+        obv_over_bars,
+    )
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_bars,
+        read_event_stream,
+        run_bars_ingest,
+    )
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"as{i}"))
+        part = glob.glob(str(tmp_path / f"as{i}" / "*.parquet"))[0]
+        sh.copy(part, land / f"batch{i}.parquet")
+
+    q = run_bars_ingest(
+        read_event_stream(spark, str(land)),
+        str(tmp_path / "bar_partials"),
+        checkpoint=str(tmp_path / "ck_ind"),
+    )
+    q.awaitTermination(300)
+    bars = read_bars(spark, str(tmp_path / "bar_partials"))
+
+    got_atr = {
+        (r.event_type, r.bar_date): (r.true_range, r.atr)
+        for r in atr_over_bars(bars).collect()
+    }
+    want_atr = {
+        (r.event_type, r.bar_date): (r.true_range, r.atr)
+        for r in registry.get("b79_atr").fn(spark, sf_dir).collect()
+    }
+    assert got_atr == want_atr and want_atr
+
+    got_obv = {
+        (r.event_type, r.bar_date): (r.daily_flow, r.obv)
+        for r in obv_over_bars(bars).collect()
+    }
+    want_obv = {
+        (r.event_type, r.bar_date): (r.daily_flow, r.obv)
+        for r in registry.get("b81_obv").fn(spark, sf_dir).collect()
+    }
+    assert got_obv == want_obv and want_obv
