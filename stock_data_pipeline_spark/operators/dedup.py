@@ -869,3 +869,40 @@ def lsh_tuning(
             best = (bands, rows, inflection, score)
     bands, rows, inflection, _ = best
     return bands, rows, inflection
+
+
+# --------------------------------------------------------------------------
+# C1 — cross-dataset dedup with a bloom-filter pre-filter
+# --------------------------------------------------------------------------
+def dedup_against(
+    new_docs: DataFrame,
+    reference_docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``new_docs`` whose normalized content does NOT appear in
+    ``reference_docs`` — the cross-dataset exact dedup every multi-source
+    corpus build runs (drop from the new crawl whatever the curated set
+    already has).
+
+    Scale shape: a Bloom filter over the REFERENCE fingerprints
+    (functions/bloom.py — built with one explode + bit_or aggregate,
+    probed with codegen arithmetic over a 1-row broadcast; ~1.2 MB per
+    million reference docs) clears the overwhelming majority of new rows
+    MAP-SIDE; only suspects (true duplicates + the ~1% false positives)
+    reach the exact anti-join shuffle. False positives are resolved by
+    that join, so the result equals a plain anti-join bit-for-bit
+    (asserted in tests) — the bloom cuts shuffle volume, never changes
+    the answer.
+    """
+    from ..functions.bloom import bloom_build, with_bloom_probe
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+    new_fp = new_docs.withColumn("_fp", fp)
+    ref_fp = reference_docs.select(fp.alias("_fp"))
+    words, m_bits = bloom_build(ref_fp, "_fp")
+    probed = with_bloom_probe(new_fp, "_fp", words, m_bits, out_col="_maybe")
+    clear = probed.filter(~F.col("_maybe")).drop("_maybe", "_fp")
+    suspects = probed.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = suspects.join(ref_fp, "_fp", "left_anti").drop("_fp")
+    return clear.unionByName(verified_new)

@@ -903,3 +903,53 @@ def c04_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("raw_score")).alias("model_score"),
         (F.col("raw_score") > 0.0).alias("keep_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4 — compression-ratio quality signal (boilerplate/duplication detector)
+# --------------------------------------------------------------------------
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compress_ratio): per-doc zlib
+    compressibility — the classic cheap quality signal (highly
+    compressible text is boilerplate, templating, or repetition; nearly
+    incompressible text is often binary junk or high-entropy noise; both
+    tails get filtered before pretraining).
+
+    zlib is a sequential codec, so this is an honest Python path —
+    Arrow-batched ``mapInPandas`` (the C5 codec discipline), one pass,
+    no shuffle. DEFLATE output is deterministic for a fixed zlib version
+    and level, and the ratio is a quotient of exact integers, so the
+    operator is reproducible run-to-run on a pinned environment.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "compress_ratio": (
+                        n_comp / n_bytes.where(n_bytes > 0, 1)
+                    ).round(6),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run,
+        "doc_id long, n_bytes long, n_compressed long, compress_ratio double",
+    )
+
+
+@query("c04_compression_ratio", driver=False)
+def c04_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-doc zlib compression ratio. Rows-only (no SQL codec);
+    checked against a local single-process recompute and planted
+    high/low-entropy documents in tests/test_text.py."""
+    return compression_ratio(load(spark, sf_dir, "documents"))

@@ -306,3 +306,62 @@ def test_lsh_tuning_matches_thresholds():
         assert bands * rows == 32
     with pytest.raises(ValueError):
         lsh_tuning(0.0)
+
+
+# --------------------------------------------------------------------------
+# Cross-dataset dedup with the expression-level bloom prefilter (round 4)
+# --------------------------------------------------------------------------
+from pyspark.sql import functions as F
+from stock_data_pipeline_spark.catalog import load
+
+
+def test_bloom_has_no_false_negatives_and_bounded_fp_rate(spark):
+    from stock_data_pipeline_spark.functions.bloom import (
+        bloom_build,
+        with_bloom_probe,
+    )
+
+    keys = spark.range(1000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    words, m = bloom_build(keys, "k")
+    probed = with_bloom_probe(keys, "k", words, m)
+    # a bloom NEVER misses a member
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    # ~1% fp at 10 bits/key with k=5 (measured 0.96%); generous bound
+    others = spark.range(1000, 11000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    fp = with_bloom_probe(others, "k", words, m).filter("bloom_maybe").count()
+    assert fp / 10000 < 0.03, fp
+    # the probe is pure codegen — no Python workers at any scale
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_dedup_against_equals_plain_anti_join(spark, sf_dir):
+    """The bloom prefilter must be invisible in the RESULT: bit-equal to
+    the exact anti-join on normalized fingerprints (false positives are
+    resolved by the verify join; false negatives cannot exist)."""
+    from stock_data_pipeline_spark.operators.dedup import dedup_against
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {r.doc_id for r in dedup_against(new, ref).select("doc_id").collect()}
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    want = {
+        r.doc_id
+        for r in new.withColumn("_fp", fp)
+        .join(ref.select(fp.alias("_fp")), "_fp", "left_anti")
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: the slices genuinely overlap
+    assert len(got) < new.count()
+
+
+def test_dedup_against_empty_reference_keeps_everything(spark, sf_dir):
+    from stock_data_pipeline_spark.operators.dedup import dedup_against
+
+    docs = load(spark, sf_dir, "documents")
+    empty = docs.filter(F.lit(False))
+    assert dedup_against(docs, empty).count() == docs.count()

@@ -136,3 +136,39 @@ def test_winnowing_guarantee_and_density(spark):
     # Density: winnowing keeps far fewer than all grams (30-token doc
     # has 26 grams / 23 windows; distinct minima are a fraction).
     assert len(by_doc[3]) < 26 / 2
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (round 4)
+# --------------------------------------------------------------------------
+from stock_data_pipeline_spark.catalog import load
+
+
+def test_compression_ratio_matches_local_recompute(spark, sf_dir):
+    import zlib
+
+    from stock_data_pipeline_spark.operators.text import compression_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.n_bytes, r.n_compressed) for r in compression_ratio(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        raw = (r.text or "").encode("utf-8")
+        assert got[r.doc_id] == (len(raw), len(zlib.compress(raw, 6)))
+
+
+def test_compression_ratio_separates_boilerplate_from_noise(spark):
+    import random
+
+    from stock_data_pipeline_spark.operators.text import compression_ratio
+
+    rng = random.Random(42)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(2000))
+    rows = [
+        (0, "spam " * 400),   # boilerplate: compresses hard
+        (1, noise),            # high entropy: barely compresses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.compress_ratio for r in compression_ratio(df).collect()}
+    assert out[0] < 0.1
+    assert out[1] > 0.5
+    assert out[0] < out[1]
