@@ -895,3 +895,97 @@ def c08_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_DRIFT_SQL)
+
+
+# --------------------------------------------------------------------------
+# C9f — curriculum ordering: difficulty bands + shard-interleaved order
+# --------------------------------------------------------------------------
+from ..functions.exact import trunc6 as _trunc6
+from ..functions.exact import sql_trunc6 as _sql_trunc6
+from ..functions.textfns import (
+    quality_expr as _quality_expr,
+    sql_quality_expr as _sql_quality_expr,
+    sql_stopword_count as _sql_stopword_count,
+    sql_tokens as _sql_tokens,
+    stopword_count as _stopword_count,
+    tokens as _tokens,
+)
+
+
+@query(
+    "c09_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(least(floor(({_sql_trunc6(_sql_quality_expr('nt', 'ns', 'n_chars'))}) * 4), 3) AS INT)
+               AS difficulty_bucket,
+             CAST((CAST(('0x' || substr(md5('cshard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {8}) AS INT) AS shard,
+             md5('corder:' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM (
+        SELECT doc_id, n_chars,
+               len({_sql_tokens('text')}) AS nt,
+               {_sql_stopword_count(_sql_tokens('text'))} AS ns
+        FROM documents
+      )
+    )
+    SELECT doc_id, difficulty_bucket, shard,
+           CAST((row_number() OVER (
+                   PARTITION BY difficulty_bucket, shard
+                   ORDER BY ord_key, doc_id) - 1) * {8} + shard AS BIGINT)
+             AS pos_in_bucket
+    FROM scored
+    """,
+    driver=False,
+)
+def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9f: curriculum read order — documents banded by ABSOLUTE quality
+    score (4 fixed-width difficulty buckets; easy → hard is the standard
+    curriculum-learning schedule) and, within each band, interleaved
+    round-robin across content-hash shards with a seeded within-shard
+    shuffle (the c09_interleave_order machinery applied per band). A
+    loader walks buckets in order and positions within a bucket by
+    ``pos_in_bucket`` — fully engine-independent (quality expression,
+    shard hash, and order hash are all shared spellings).
+
+    Fixed-width bands rather than quantiles deliberately: quantile cuts
+    need a percentile pass (see c08_quantile_bucketize when relative
+    bands are wanted), while absolute bands keep this a SINGLE tokenize
+    pass plus band-and-shard-partitioned windows — no global sort, rank
+    state O(rows/(bands·shards)) per task.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = _tokens("text")
+    score = _trunc6(
+        _quality_expr(F.size(tok), _stopword_count(tok), F.col("n_chars"))
+    )
+    bucket = F.least(F.floor(score * 4), F.lit(3)).cast("int")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cshard:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 8
+    ).cast("int")
+    ord_key = F.md5(F.concat(F.lit("corder:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("difficulty_bucket", "shard").orderBy(
+        F.asc("ord_key"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("difficulty_bucket"),
+            shard.alias("shard"),
+            ord_key.alias("ord_key"),
+        )
+        .withColumn(
+            "pos_in_bucket",
+            ((F.row_number().over(w) - 1) * 8 + F.col("shard")).cast("bigint"),
+        )
+        .select("doc_id", "difficulty_bucket", "shard", "pos_in_bucket")
+    )

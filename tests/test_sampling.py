@@ -284,3 +284,43 @@ def test_windowed_indicators_match_pandas_ground_truth(spark, sf_dir):
         .toString()
     )
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_curriculum_order_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    """Buckets are monotone in the quality score (fixed-width bands) and
+    within-bucket positions are the round-robin interleave: distinct,
+    and congruent to the shard id mod the shard count."""
+    from stock_data_pipeline_spark.functions.exact import trunc6
+    from stock_data_pipeline_spark.functions.textfns import (
+        quality_expr,
+        stopword_count,
+        tokens,
+    )
+    from stock_data_pipeline_spark.registry import get
+
+    out = get("c09_curriculum_order").fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        trunc6(
+            quality_expr(F.size(tok), stopword_count(tok), F.col("n_chars"))
+        ).alias("score"),
+    )
+    rows = out.join(scored, "doc_id").collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.difficulty_bucket, []).append(r)
+    buckets = sorted(by_bucket)
+    # monotone bands
+    for lo, hi in zip(buckets, buckets[1:]):
+        assert max(r.score for r in by_bucket[lo]) <= min(
+            r.score for r in by_bucket[hi]
+        ) + 1e-12
+    # round-robin positions: unique within bucket, congruent to shard
+    for b, rs in by_bucket.items():
+        pos = [r.pos_in_bucket for r in rs]
+        assert len(pos) == len(set(pos))
+        assert all(r.pos_in_bucket % 8 == r.shard for r in rs)
