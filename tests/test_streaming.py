@@ -978,3 +978,59 @@ def test_atr_and_obv_served_from_streamed_bars_equal_batch(
         for r in registry.get("b81_obv").fn(spark, sf_dir).collect()
     }
     assert got_obv == want_obv and want_obv
+
+
+def test_metrics_listener_records_every_micro_batch(spark, sf_dir, tmp_path):
+    """The A11 streaming analog: a StreamingQueryListener captures one
+    structured record per micro-batch — input rows sum to the source
+    size, batch ids are consecutive, and the JSONL ops log matches the
+    in-memory records."""
+    import glob
+    import json
+    import shutil as sh
+    import time
+
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+    from stock_data_pipeline_spark.streaming.monitor import attach_metrics
+
+    land = tmp_path / "ticks"
+    land.mkdir()
+    events = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.dayofmonth("ts") <= 10,
+         (F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20),
+         F.dayofmonth("ts") > 20]
+    ):
+        events.filter(pred).coalesce(1).write.parquet(str(tmp_path / f"ms{i}"))
+        part = glob.glob(str(tmp_path / f"ms{i}" / "*.parquet"))[0]
+        sh.copy(part, land / f"batch{i}.parquet")
+
+    jsonl = str(tmp_path / "metrics.jsonl")
+    listener = attach_metrics(spark, jsonl)
+    try:
+        q = run_stream_to_memory(
+            read_event_stream(spark, str(land)).select("event_id"),
+            "metrics_probe",
+            checkpoint=str(tmp_path / "ck_metrics"),
+        )
+        q.awaitTermination(300)
+        # listener bus is async; give it a moment to drain
+        deadline = time.time() + 30
+        want_total = events.count()
+        while time.time() < deadline:
+            if listener.log.total_input_rows() >= want_total:
+                break
+            time.sleep(0.5)
+        recs = [r for r in listener.log.records if r.num_input_rows > 0]
+        assert listener.log.total_input_rows() == want_total
+        assert len(recs) == 3  # one per landed file (maxFilesPerTrigger=1)
+        assert sorted(r.batch_id for r in recs) == [r.batch_id for r in recs]
+        assert listener.log.io_error is None
+        with open(jsonl) as f:
+            on_disk = [json.loads(line) for line in f]
+        assert sum(r["num_input_rows"] for r in on_disk) >= want_total
+    finally:
+        spark.streams.removeListener(listener)
