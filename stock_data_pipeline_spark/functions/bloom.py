@@ -99,3 +99,89 @@ def with_bloom_probe(
         )
     out = probed.withColumn(out_col, reduce(lambda a, b: a & b, conds))
     return out.drop("bf_words", *[f"_bfp{i}" for i in range(_K)])
+
+
+# --------------------------------------------------------------------------
+# Sharded form: reference sets whose single bitset outgrows a broadcast
+# --------------------------------------------------------------------------
+_SHARD_SEED = 999
+
+
+def _shard_of(col: Column, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(_SHARD_SEED)), F.lit(n_shards))
+
+
+def bloom_build_sharded(
+    df: DataFrame, col: str, *, n_shards: int = 16, bits_per_key: int = 10
+) -> tuple[DataFrame, int]:
+    """Partitioned Bloom: one filter per key-hash shard, kept as a TABLE
+    of (shard, words map<word_idx → word>) rows instead of a driver
+    artifact — the ≫10⁹-key regime where m/8 bytes no longer broadcasts.
+    Returns (bloom_table, m_bits) with m sized per shard.
+
+    Sparse map rather than dense array: a shard's occupied words
+    assemble with ``map_from_entries(collect_list(...))`` in one
+    aggregate — no driver-side zero-filling, and absent words are simply
+    absent (probe coalesces to 0).
+    """
+    n = df.count()
+    m_bits = max(64, (n // n_shards + 1) * bits_per_key)
+    m_bits += (-m_bits) % 64
+    key = F.col(col)
+    pos = F.explode(F.array(*_bit_positions(key, m_bits))).alias("pos")
+    table = (
+        df.select(_shard_of(key, n_shards).alias("shard"), pos)
+        .select(
+            "shard",
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .groupBy("shard")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("bf_map")
+        )
+    )
+    return table, m_bits
+
+
+def with_sharded_bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom_table: DataFrame,
+    m_bits: int,
+    *,
+    n_shards: int = 16,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Probe against the sharded filter: an equi-join on the key's shard
+    (broadcast while the table fits, shuffle-join co-keyed beyond that —
+    Catalyst/AQE decide from stats) plus the same k codegen bit tests,
+    reading words through the shard's sparse map. A key whose shard row
+    is missing (empty shard) is definitively absent."""
+    from functools import reduce
+
+    key = F.col(col)
+    probed = df.withColumn("_bfshard", _shard_of(key, n_shards)).join(
+        bloom_table.withColumnRenamed("shard", "_bfshard"),
+        "_bfshard",
+        "left",
+    )
+    conds = []
+    for i, p in enumerate(_bit_positions(key, m_bits)):
+        probed = probed.withColumn(f"_bfp{i}", p)
+        conds.append(
+            F.expr(
+                f"(shiftrightunsigned("
+                f"coalesce(element_at(bf_map, CAST(_bfp{i} DIV 64 AS LONG)), 0L), "
+                f"CAST(_bfp{i} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    out = probed.withColumn(
+        out_col,
+        F.col("bf_map").isNotNull() & reduce(lambda a, b: a & b, conds),
+    )
+    return out.drop("bf_map", "_bfshard", *[f"_bfp{i}" for i in range(_K)])

@@ -365,3 +365,29 @@ def test_dedup_against_empty_reference_keeps_everything(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     empty = docs.filter(F.lit(False))
     assert dedup_against(docs, empty).count() == docs.count()
+
+
+def test_sharded_bloom_no_false_negatives_and_bounded_fp(spark):
+    """The beyond-broadcast bloom: per-shard sparse-map filters probed
+    through a shard equi-join — same guarantees as the broadcast form."""
+    from stock_data_pipeline_spark.functions.bloom import (
+        bloom_build_sharded,
+        with_sharded_bloom_probe,
+    )
+
+    keys = spark.range(2000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    tbl, m = bloom_build_sharded(keys, "k")
+    probed = with_sharded_bloom_probe(keys, "k", tbl, m)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    others = spark.range(2000, 22000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    fp = with_sharded_bloom_probe(others, "k", tbl, m).filter("bloom_maybe").count()
+    assert fp / 20000 < 0.03, fp
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # empty-shard keys are definitively absent (left join -> null map)
+    empty_ref = spark.range(0).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    tbl0, m0 = bloom_build_sharded(empty_ref, "k")
+    got = with_sharded_bloom_probe(keys, "k", tbl0, m0).filter("bloom_maybe").count()
+    assert got == 0
