@@ -159,7 +159,7 @@ def test_pairwise_corr_invariant_under_tick_replication(spark, sf_stress_dir):
     practical 100×-safety property: duplicate-heavy replays and
     partition-level retries don't perturb the statistics."""
     from stock_data_pipeline_spark.catalog import register_views
-    from stock_data_pipeline_spark.operators.finance import _B51_SQL
+    from stock_data_pipeline_spark.operators.finance import _B51_ORACLE as _B51_SQL
 
     register_views(spark, sf_stress_dir)
     base = {
