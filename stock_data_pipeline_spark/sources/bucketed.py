@@ -51,3 +51,44 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table (bucket metadata applied automatically)."""
     return spark.table(table)
+
+
+def write_gold_table(
+    df: DataFrame,
+    table: str,
+    *,
+    partition_by: str | list[str],
+    bucket_by: str | list[str],
+    n_buckets: int,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """The full analytics ("gold") layout: directory PARTITIONS on the
+    time/tenant column compose with BUCKETS on the join key and an
+    in-bucket SORT — so one write buys all three access paths every
+    dashboard query needs:
+
+    - time-range predicates prune whole partition directories
+      (planning-time, before any I/O),
+    - the recurring key join/groupBy is exchange-free against any other
+      table bucketed the same way,
+    - SortMergeJoin and range scans skip the per-task sort.
+
+    Partition and bucket columns must differ (Spark enforces it): the
+    partition column is the COARSE pruning axis (ingest day), the bucket
+    key the JOIN axis (entity id) — exactly the b85/PIT and bars-join
+    access patterns. Size n_buckets for 100-500 MB per bucket per
+    partition at target scale. Both layout layers are verified together
+    in tests/test_bucketing.py (pruned scan + no-Exchange join in ONE
+    plan).
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).partitionBy(*parts).bucketBy(n_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

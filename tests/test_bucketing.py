@@ -114,3 +114,67 @@ def test_registered_bucketed_join_reuses_tables_across_calls(spark):
     t0 = time.perf_counter()
     fn(spark, "/root/testdata/sf0.001").collect()
     assert time.perf_counter() - t0 < 30  # no rewrite path
+
+
+def test_gold_layout_prunes_partitions_and_joins_without_exchange(
+    spark, sf_dir, tmp_path
+):
+    """One write, three access paths: the day-partitioned + user-bucketed
+    + ts-sorted layout must show partition pruning AND an exchange-free
+    join in the SAME query plan, and the result must equal the plain
+    computation."""
+    from stock_data_pipeline_spark.sources.bucketed import (
+        read_table,
+        write_gold_table,
+    )
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    views = events.filter(F.col("event_type") == "view")
+    clicks = events.filter(F.col("event_type") == "click")
+    for name, df in [("gold_views", views), ("gold_clicks", clicks)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_gold_table(
+            df,
+            name,
+            partition_by="day",
+            bucket_by="user_id",
+            n_buckets=8,
+            sort_by="user_id",
+            path=str(tmp_path / name),
+        )
+
+    day = "2024-01-05"
+    # disable auto-broadcast so the planner exercises the bucket layout
+    # (at real scale neither side broadcasts; tiny test tables would)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_table(spark, "gold_views").filter(F.col("day") == day)
+        b = read_table(spark, "gold_clicks").filter(F.col("day") == day)
+        joined = a.select("user_id", F.col("event_id").alias("view_id")).join(
+            b.select("user_id", F.col("event_id").alias("click_id")), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    assert "Exchange" not in plan  # bucketed co-location: no shuffle
+    assert plan.count("PartitionFilters: [") == 2
+    assert day.replace("-", "") in plan.replace("-", "")  # filter reached pruning
+
+    # correctness vs plain computation
+    want = (
+        views.filter(F.col("day") == day)
+        .select("user_id", F.col("event_id").alias("view_id"))
+        .join(
+            clicks.filter(F.col("day") == day).select(
+                "user_id", F.col("event_id").alias("click_id")
+            ),
+            "user_id",
+        )
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    spark.sql("DROP TABLE IF EXISTS gold_views")
+    spark.sql("DROP TABLE IF EXISTS gold_clicks")
