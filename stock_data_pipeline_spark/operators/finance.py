@@ -1014,3 +1014,77 @@ def obv_over_bars(bars: DataFrame) -> DataFrame:
         F.col("signed_flow").alias("daily_flow"),
         F.sum("signed_flow").over(cum).cast("bigint").alias("obv"),
     )
+
+
+_B88_BODY = f"""
+    WITH pair AS (
+      SELECT a.bucket, a.px AS ya, b.px AS yb
+      FROM {{series}} a
+      JOIN {{series}} b ON a.bucket = b.bucket
+      WHERE a.event_type = 'view' AND b.event_type = 'click'
+    ),
+    moments AS (
+      SELECT COUNT(*) AS n,
+             {_s4('yb')} AS sx, {_s4('ya')} AS sy,
+             {_s4('yb * yb')} AS sxx, {_s4('ya * yb')} AS sxy
+      FROM pair
+    ),
+    hedged AS (
+      SELECT p.bucket, p.ya, p.yb,
+             (m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx)
+               AS hedge_beta
+      FROM pair p CROSS JOIN moments m
+      WHERE (m.n * m.sxx - m.sx * m.sx) > 0
+    ),
+    spread AS (
+      SELECT bucket, hedge_beta,
+             CAST(FLOOR((ya - hedge_beta * yb) * 10000.0 + 0.5)
+                  AS DECIMAL(18,0)) AS s4
+      FROM hedged
+    ),
+    scored AS (
+      SELECT bucket, hedge_beta, s4,
+             CAST(SUM(s4) OVER () AS DOUBLE) AS ss,
+             CAST(SUM(s4 * s4) OVER () AS DOUBLE) AS sss,
+             COUNT(*) OVER () AS n
+      FROM spread
+    )
+    SELECT bucket,
+           floor(hedge_beta * 1000000) / 1000000 AS hedge_beta,
+           CAST(s4 AS DOUBLE) / 10000.0 AS spread,
+           floor((CAST(s4 AS DOUBLE) - ss / n)
+                 / sqrt(greatest(sss / n - (ss / n) * (ss / n), 1e-12) * 100000000.0)
+                 * 10000.0 * 1000000) / 1000000 AS spread_z,
+           abs((CAST(s4 AS DOUBLE) - ss / n)
+               / sqrt(greatest(sss / n - (ss / n) * (ss / n), 1e-12) * 100000000.0)
+               * 10000.0) > 2.0 AS divergence
+    FROM scored
+"""
+
+_B88_ORACLE = (
+    f"WITH hourly_series AS ({_HOURLY_SERIES}), "
+    + _B88_BODY.format(series="hourly_series").lstrip().removeprefix("WITH ")
+)
+
+
+@query("b88_pairs_spread", oracle=_B88_ORACLE, driver=False)
+def b88_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B88: pairs-trading spread monitor — hedge one instrument against
+    another with the OLS ratio (the b53 exact-moment machinery pointed
+    at a pair), then z-score the hedged spread and flag divergences
+    beyond 2σ (the classic stat-arb entry signal; a cointegration test
+    would gate the pair choice upstream).
+
+    Exactness chain: the hedge beta comes from exact scaled moments; the
+    spread is re-scaled to integers BEFORE its mean/σ so the global
+    window sums are exact; the z denominator guards zero variance with
+    an epsilon INSIDE sqrt (spelled identically cross-engine). The
+    materialized hourly series keeps this one fact scan (pair CTE
+    self-join — the b51 discipline).
+
+    Scale: everything after the bars aggregate runs at bucket grain; the
+    single-partition windows are over #hours rows.
+    """
+    series = _hourly_series_mat(spark, sf_dir)
+    series.createOrReplaceTempView("hourly_series_mat")
+    return spark.sql(_B88_BODY.format(series="hourly_series_mat"))
