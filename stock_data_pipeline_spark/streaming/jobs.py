@@ -1056,3 +1056,76 @@ def enrich_point_in_time(stream: DataFrame, history: DataFrame) -> DataFrame:
         )
         .select("event_id", "user_id", "tier", "version")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus prep: gate → dedup (cross-batch exact) → split, per batch
+# --------------------------------------------------------------------------
+def write_batch_prepped(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    *,
+    min_tokens: int | None = None,
+    min_quality: float | None = None,
+) -> None:
+    """foreachBatch body: the c09_prep_pipeline chain applied to one
+    micro-batch, extended with CROSS-BATCH exact dedup — the continuous
+    form of corpus preparation (each arriving crawl slice is scored,
+    gated, deduplicated against everything already landed, and split,
+    so the prepped corpus is always ready to train on).
+
+    Cross-batch semantics: a fingerprint anti-join against the sink's
+    PRIOR batches (the current ``_batch_id`` partition is excluded from
+    the reference set, so a crash-replay that overwrites its own
+    partition does not anti-join itself into an empty batch — the
+    replay-self-erasure trap). First landed wins, matching the batch
+    pipeline's min-doc_id keeper within a batch.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from ..operators.sampling import prep_pipeline
+
+    kwargs = {}
+    if min_tokens is not None:
+        kwargs["min_tokens"] = min_tokens
+    if min_quality is not None:
+        kwargs["min_quality"] = min_quality
+    prepped = prep_pipeline(batch_df, **kwargs)
+    spark = batch_df.sparkSession
+    try:
+        prior = (
+            spark.read.parquet(sink_dir)
+            .filter(F.col(BATCH_COL) != batch_id)
+            .select("fingerprint")
+            .distinct()
+        )
+        prepped = prepped.join(prior, "fingerprint", "left_anti")
+    except AnalysisException:
+        pass  # first batch: no sink yet
+    write_batch_idempotent(prepped, batch_id, sink_dir)
+
+
+def run_corpus_prep_ingest(
+    docs: DataFrame,
+    sink_dir: str,
+    *,
+    checkpoint: str,
+    min_tokens: int | None = None,
+    min_quality: float | None = None,
+):
+    """Continuous corpus preparation (see :func:`write_batch_prepped`)."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda bdf, bid: write_batch_prepped(
+                bdf,
+                bid,
+                sink_dir,
+                min_tokens=min_tokens,
+                min_quality=min_quality,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
