@@ -989,3 +989,67 @@ def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "difficulty_bucket", "shard", "pos_in_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# C8f — weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+_WS_SEED = "wsamp:"
+_WS_K = 100
+
+
+@query(
+    "c08_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(('0x' || substr(md5('{_WS_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(floor((-ln(u) / n_chars) * 1000000000000.0) AS BIGINT)
+             AS sample_key
+    FROM keyed
+    ORDER BY CAST(floor((-ln(u) / n_chars) * 1000000000000.0) AS BIGINT) ASC,
+             doc_id ASC
+    LIMIT {_WS_K}
+    """,
+    driver=False,
+)
+def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8f: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    2006: take the k items with the largest u^(1/w), equivalently the
+    SMALLEST −ln(u)/w — one pass, no rejection loop, inclusion
+    probability ∝ weight). Here weight = document length, the standard
+    length-proportional corpus subsample.
+
+    Determinism: u is hash-derived from the doc id (the engine's no-RNG
+    rule — reruns, repartitions, and the DuckDB oracle all see the same
+    "randomness"), and the sort key is floor-scaled to a 1e-12 grid
+    with a doc_id tie-break so the top-k frontier survives last-ulp libm
+    differences between engines' ln. Scale: a map-side key expression
+    and a TakeOrdered top-k — no shuffle beyond the k-row reduction; at
+    cluster scale every partition keeps its local top-k before the
+    single merge.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_WS_SEED), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    sample_key = F.floor((-F.log(u) / F.col("n_chars")) * 1e12).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", sample_key.alias("sample_key"))
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )

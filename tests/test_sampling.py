@@ -324,3 +324,26 @@ def test_curriculum_order_invariants(spark, sf_dir):
         pos = [r.pos_in_bucket for r in rs]
         assert len(pos) == len(set(pos))
         assert all(r.pos_in_bucket % 8 == r.shard for r in rs)
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    """Efraimidis–Spirakis with weight = n_chars must overrepresent long
+    documents: the sampled mean length exceeds the corpus mean
+    (deterministic here — the 'randomness' is hash-derived)."""
+    from stock_data_pipeline_spark.registry import get
+
+    sampled = get("c08_weighted_sample").fn(spark, sf_dir)
+    corpus_mean = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sampled.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+    # rerun-deterministic
+    a = sorted(r.doc_id for r in sampled.collect())
+    b = sorted(r.doc_id for r in get("c08_weighted_sample").fn(spark, sf_dir).collect())
+    assert a == b
