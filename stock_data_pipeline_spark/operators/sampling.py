@@ -1053,3 +1053,71 @@ def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("sample_key"), F.asc("doc_id"))
         .limit(_WS_K)
     )
+
+
+# --------------------------------------------------------------------------
+# C8g — source-mixture solver: target proportions under a token budget
+# --------------------------------------------------------------------------
+def plan_source_mix(
+    docs: DataFrame,
+    targets: dict[str, float],
+    token_budget: int,
+    *,
+    token_col: str = "n_chars",
+) -> dict[str, dict]:
+    """Solve the data-mixture plan: how many tokens to take from each
+    source so the kept corpus matches ``targets`` (relative proportions)
+    within ``token_budget`` — with WATERFALL REDISTRIBUTION when a source
+    cannot supply its share (the universal mixture-planning wrinkle: if
+    the high-quality source is small, its shortfall is re-split across
+    the sources that still have headroom, preserving their relative
+    targets).
+
+    One aggregate over the corpus (per-source token totals — the only
+    distributed work; the solver itself iterates over ≤ #sources rows on
+    the driver). Returns, per source: available tokens, allocated
+    tokens, and the integer percent keep-rate to feed
+    :func:`source_mix`. Deterministic: pure arithmetic on exact counts.
+    """
+    totals = {
+        r.source: r.total
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.col(token_col)).cast("long").alias("total"))
+        .collect()
+    }
+    weight_sum = sum(targets.values())
+    norm = {s: w / weight_sum for s, w in targets.items()}
+    alloc = {s: 0 for s in targets}
+    remaining_budget = token_budget
+    open_sources = {s for s in targets if totals.get(s, 0) > 0}
+    # waterfall: give every open source its proportional share; sources
+    # that cap out at their available tokens close, and their unmet share
+    # re-splits across the still-open sources next round.
+    while remaining_budget > 0 and open_sources:
+        w = sum(norm[s] for s in open_sources)
+        round_alloc = {
+            s: int(remaining_budget * norm[s] / w) for s in open_sources
+        }
+        progressed = False
+        for s in sorted(open_sources):
+            take = min(round_alloc[s], totals.get(s, 0) - alloc[s])
+            if take > 0:
+                alloc[s] += take
+                remaining_budget -= take
+                progressed = True
+            if alloc[s] >= totals.get(s, 0):
+                open_sources = open_sources - {s}
+        if not progressed:
+            break  # integer rounding exhausted meaningful progress
+    return {
+        s: {
+            "available": totals.get(s, 0),
+            "allocated": alloc[s],
+            "keep_rate_pct": (
+                min(100, round(100 * alloc[s] / totals[s]))
+                if totals.get(s, 0)
+                else 0
+            ),
+        }
+        for s in targets
+    }

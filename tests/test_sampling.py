@@ -347,3 +347,59 @@ def test_weighted_sample_overrepresents_heavy_docs(spark, sf_dir):
     a = sorted(r.doc_id for r in sampled.collect())
     b = sorted(r.doc_id for r in get("c08_weighted_sample").fn(spark, sf_dir).collect())
     assert a == b
+
+
+def test_plan_source_mix_waterfall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    """The mixture solver: proportional allocation under a budget, with a
+    capped-out source's shortfall redistributed to sources that still
+    have headroom — and the rates it emits feed source_mix directly."""
+    from stock_data_pipeline_spark.operators.sampling import (
+        plan_source_mix,
+        source_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.t
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    srcs = sorted(totals)
+    assert len(srcs) >= 2
+
+    # overweight the smallest source far beyond what it can supply: it
+    # must cap at its available tokens and the shortfall must land on
+    # the other sources (the waterfall)
+    small = min(srcs, key=lambda s: totals[s])
+    budget = int(sum(totals.values()) * 0.8)
+    targets = {s: (10.0 if s == small else 1.0) for s in srcs}
+    plan = plan_source_mix(docs, targets, budget)
+    assert plan[small]["allocated"] == totals[small]  # capped at available
+    assert sum(p["allocated"] for p in plan.values()) <= budget
+    # budget nearly exhausted (integer rounding slack only)
+    assert sum(p["allocated"] for p in plan.values()) > budget - 100 * len(srcs)
+    # the shortfall went to the open sources, beyond their naive share
+    naive = {s: int(budget * targets[s] / sum(targets.values())) for s in srcs}
+    others = [s for s in srcs if s != small]
+    assert all(plan[s]["allocated"] > naive[s] for s in others)
+
+    # tight budget, no source caps -> allocations track the targets
+    tight = int(min(totals.values()) * len(srcs) * 0.5)
+    plan2 = plan_source_mix(docs, {s: 1.0 for s in srcs}, tight)
+    allocs = [plan2[s]["allocated"] for s in srcs]
+    assert max(allocs) - min(allocs) <= max(allocs) * 0.05 + 100
+
+    # determinism + the rates drive source_mix
+    plan3 = plan_source_mix(docs, targets, budget)
+    assert plan3 == plan
+    rates = {s: plan[s]["keep_rate_pct"] for s in srcs}
+    mixed = source_mix(docs, rates, default=0).filter("_keep")
+    kept = {
+        r.source: r.t
+        for r in mixed.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    # kept token mass lands near the allocation (hash-bucket sampling noise)
+    for s in srcs:
+        if plan[s]["allocated"]:
+            assert kept.get(s, 0) > 0
