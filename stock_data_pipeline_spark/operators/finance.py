@@ -147,6 +147,11 @@ _SERIES_MEMO = _weakref.WeakKeyDictionary()
 
 
 def _hourly_series_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness contract: the memoized checkpoint reflects the events
+    data under ``sf_dir`` AS OF the first b51/b53/b88 call in this
+    session. A job that mutates the events source mid-session must call
+    ``invalidate_hourly_series`` (mirroring ``result_cache.invalidate``)
+    before re-querying, or it will be served the stale series."""
     try:
         per_session = _SERIES_MEMO.setdefault(spark, {})
     except TypeError:
@@ -155,6 +160,23 @@ def _hourly_series_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
         per_session[sf_dir] = spark.sql(_HOURLY_SERIES).localCheckpoint()
     return per_session[sf_dir]
+
+
+def invalidate_hourly_series(
+    spark: SparkSession, sf_dir: str | None = None
+) -> bool:
+    """Drop the memoized hourly-series checkpoint for ``sf_dir`` (or for
+    ALL sf_dirs when None) so the next b51/b53/b88 call rebuilds it from
+    the current source data. Returns whether anything was dropped — the
+    hook an ingest job calls after landing a batch that touches events."""
+    per_session = _SERIES_MEMO.get(spark)
+    if not per_session:
+        return False
+    if sf_dir is None:
+        dropped = bool(per_session)
+        per_session.clear()
+        return dropped
+    return per_session.pop(sf_dir, None) is not None
 
 
 _B51_BODY = f"""

@@ -156,7 +156,13 @@ def bpe_encode(
 
     def run(batches):
         for pdf in batches:
-            words = pdf[text_col].str.lower().str.strip().str.split(r"\s+")
+            # fillna first: NULL text otherwise propagates NaN through the
+            # .str chain and the per-row iteration raises in the Arrow
+            # worker, failing the whole job — a null doc is (0 tokens,
+            # 0 words), same convention as compression_ratio
+            words = (
+                pdf[text_col].fillna("").str.lower().str.strip().str.split(r"\s+")
+            )
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -1038,6 +1038,12 @@ def enrich_point_in_time(stream: DataFrame, history: DataFrame) -> DataFrame:
     join broadcasts it and the interval predicate filters per event.
     Equality with the batch b85 rows across micro-batches is asserted in
     tests/test_streaming.py.
+
+    valid_to convention: BOTH conventions are accepted — a closed upper
+    bound (b54-style islands history) and ``valid_to IS NULL`` on the
+    open current row (``scd2_apply``-maintained histories). An event in
+    the current version window matches via the ``IS NULL`` arm; without
+    it every such event would evaluate NULL and be silently dropped.
     """
     h = history.select(
         F.col("user_id").alias("h_user_id"),
@@ -1052,7 +1058,10 @@ def enrich_point_in_time(stream: DataFrame, history: DataFrame) -> DataFrame:
             F.broadcast(h),
             (F.col("user_id") == F.col("h_user_id"))
             & (F.date_trunc("day", F.col("ts")) >= F.col("valid_from"))
-            & (F.date_trunc("day", F.col("ts")) <= F.col("valid_to")),
+            & (
+                F.col("valid_to").isNull()
+                | (F.date_trunc("day", F.col("ts")) <= F.col("valid_to"))
+            ),
         )
         .select("event_id", "user_id", "tier", "version")
     )

@@ -261,3 +261,33 @@ def test_result_cache_distinguishes_different_queries(spark, tmp_path):
     same = spark.read.parquet(src).selectExpr("sum(id) AS s")
     assert _entry_path("/c", a) != _entry_path("/c", b)
     assert _entry_path("/c", a) == _entry_path("/c", same)
+
+
+def test_result_cache_collision_degrades_to_recompute(spark, tmp_path, monkeypatch):
+    """Two queries with IDENTICAL output schema but different filter
+    literals (the parameterized-dashboard case) forced into the SAME
+    cache bucket must each get their own correct rows — the plan
+    fingerprint turns the collision into a recompute, never into
+    serving the other query's cached result."""
+    from stock_data_pipeline_spark.sources import result_cache
+
+    src = str(tmp_path / "src3")
+    cache = str(tmp_path / "cache3")
+    spark.range(10).write.parquet(src)
+
+    def q(lim):
+        return (
+            spark.read.parquet(src)
+            .filter(f"id < {lim}")
+            .selectExpr("sum(id) AS s")
+        )
+
+    # force a 32-bit bucket collision
+    monkeypatch.setattr(
+        result_cache, "_entry_path", lambda cd, df: f"{cd}/q_collide"
+    )
+    assert result_cache.cached_result(q(5), cache).collect()[0].s == 10
+    # schema identical, literal different: must NOT serve the cached 10
+    assert result_cache.cached_result(q(9), cache).collect()[0].s == 36
+    # and re-asking the first query recomputes again (entry was overwritten)
+    assert result_cache.cached_result(q(5), cache).collect()[0].s == 10

@@ -11,6 +11,8 @@ justified allowlist below or get the b86 treatment.
 
 from __future__ import annotations
 
+import pytest
+
 from stock_data_pipeline_spark import registry
 
 FACT_TABLES = ("events.parquet", "lineitem.parquet", "documents.parquet",
@@ -56,7 +58,9 @@ def test_every_query_within_fact_scan_budget(spark, sf_dir):
         fn = getattr(fn, "__wrapped__", fn)
         df = fn(spark, sf_dir)
         if not hasattr(df, "_jdf"):
-            return  # Connect session: executed-plan asserts unavailable
+            # visible skip, not `return`: a silent early return would
+            # report success having audited zero plans
+            pytest.skip("Connect session: executed-plan asserts unavailable")
         plan = df._jdf.queryExecution().executedPlan().toString()
         counts = {t: plan.count(t) for t in FACT_TABLES}
         if any(c > 1 for c in counts.values()) and name not in ALLOWED_MULTI_SCAN:

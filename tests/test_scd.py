@@ -155,3 +155,53 @@ def test_null_attribute_transitions(spark):
     assert len(rows) == 2
     assert rows[0].grade is None and rows[0].valid_to == d[2]
     assert rows[1].grade == "gold" and rows[1].is_current
+
+
+def test_enrich_point_in_time_accepts_null_valid_to(spark):
+    """The serving-side PIT join must accept an scd2_apply-maintained
+    history, whose CURRENT rows carry valid_to IS NULL (the open-interval
+    convention), in addition to the b54 closed-interval convention. A
+    naive `day <= valid_to` predicate evaluates NULL for every event in
+    the current version window and silently drops them."""
+    import datetime as dt
+
+    from stock_data_pipeline_spark.streaming.jobs import enrich_point_in_time
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 10)
+    h = scd2_apply(
+        None,
+        spark.createDataFrame([(1, "gold", d1)], "user_id int, tier string, as_of date"),
+        keys=["user_id"],
+        attrs=["tier"],
+    )
+    h = scd2_apply(
+        h,
+        spark.createDataFrame([(1, "silver", d2)], "user_id int, tier string, as_of date"),
+        keys=["user_id"],
+        attrs=["tier"],
+    )
+    from pyspark.sql import Window
+
+    history = h.withColumn(
+        "version",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("valid_from")
+        ),
+    )
+    # one event in the closed (historical) window, one in the OPEN
+    # current window, one non-purchase control
+    events = spark.createDataFrame(
+        [
+            (100, 1, "purchase", dt.datetime(2024, 1, 3, 12)),
+            (101, 1, "purchase", dt.datetime(2024, 2, 1, 9)),
+            (102, 1, "view", dt.datetime(2024, 2, 1, 9)),
+        ],
+        "event_id int, user_id int, event_type string, ts timestamp",
+    )
+    got = {
+        (r.event_id, r.tier, r.version)
+        for r in enrich_point_in_time(events, history).collect()
+    }
+    # event 101 lands in the silver window (valid_to IS NULL) — it must
+    # be enriched, not dropped
+    assert got == {(100, "gold", 1), (101, "silver", 2)}

@@ -108,3 +108,21 @@ def test_registered_token_counts_invariants(spark, sf_dir):
         words = [w for w in docs[r.doc_id].lower().strip().split() if w]
         assert r.n_words == len(words)
         assert r.n_words <= r.n_tokens <= sum(len(w) + 1 for w in words)
+
+
+def test_encode_null_text_yields_zero_counts(spark):
+    """NULL text must encode as (0 tokens, 0 words) — not crash the
+    Arrow worker via NaN propagating through the pandas .str chain."""
+    from stock_data_pipeline_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs.filter("text IS NOT NULL"), n_merges=5)
+    got = {r.doc_id: (r.n_tokens, r.n_words) for r in bpe_encode(docs, merges).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][1] == 2 and got[1][0] >= 1
