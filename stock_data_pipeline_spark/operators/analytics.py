@@ -330,6 +330,7 @@ def b03_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     """,
+    driver=False,
 )
 def c03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4), exact.
@@ -373,6 +374,7 @@ from ..functions.textfns import BPE_TOKEN_RE as _TOKEN_RE  # noqa: E402
     FROM documents
     GROUP BY lang
     """,
+    driver=False,
 )
 def c04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letters / digits / single
@@ -829,6 +831,7 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 40 = 0
     """,
+    driver=False,
 )
 def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B48: ratio-to-report — each order's share of its priority class's

@@ -159,6 +159,7 @@ _SHINGLE_K = 3
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
     """,
+    driver=False,
 )
 def c02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2a: exact pairwise n-gram Jaccard over shingle inverted index.
@@ -701,6 +702,7 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
     """,
+    driver=False,
 )
 def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2g: the DEDUPED CORPUS itself — the query every upstream operator

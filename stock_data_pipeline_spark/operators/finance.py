@@ -519,7 +519,7 @@ _B78_SQL = f"""
 """
 
 
-@query("b78_bollinger", oracle=_B78_SQL, driver=False)
+@query("b78_bollinger", oracle=_B78_SQL)
 def b78_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B78: Bollinger bands (5-day mean ± 2σ) with breakout flags.
 
@@ -562,7 +562,7 @@ _B79_SQL = f"""
 """
 
 
-@query("b79_atr", oracle=_B79_SQL, driver=False)
+@query("b79_atr", oracle=_B79_SQL)
 def b79_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B79: Average True Range (5-day simple mean of the true range).
 
@@ -609,7 +609,7 @@ _B80_SQL = f"""
 """
 
 
-@query("b80_stochastic", oracle=_B80_SQL, driver=False)
+@query("b80_stochastic", oracle=_B80_SQL)
 def b80_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B80: stochastic oscillator — %K over a 7-day high/low channel and
     the 3-day %D smoothing, with overbought/oversold flags.
@@ -651,7 +651,7 @@ _B81_SQL = """
 """
 
 
-@query("b81_obv", oracle=_B81_SQL, driver=False)
+@query("b81_obv", oracle=_B81_SQL)
 def b81_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B81: on-balance volume — the cumulative sum of volume signed by
     the day's price direction. Adaptation: the events feed carries no
@@ -707,7 +707,6 @@ _B82_BODY = """
 @query(
     "b82_var_cvar",
     oracle=_B82_BODY.replace("{PCTL}", "quantile_cont(r, 0.05)"),
-    driver=False,
 )
 def b82_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B82: historical 95% Value-at-Risk and conditional VaR (expected
@@ -750,7 +749,7 @@ _B83_SQL = f"""
 """
 
 
-@query("b83_realized_vol", oracle=_B83_SQL, driver=False)
+@query("b83_realized_vol", oracle=_B83_SQL)
 def b83_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B83: daily realized volatility — sqrt of the sum of squared
     intraday (hourly) returns, the standard high-frequency vol
@@ -795,7 +794,7 @@ _B84_SQL = f"""
 """
 
 
-@query("b84_up_streaks", oracle=_B84_SQL, driver=False)
+@query("b84_up_streaks", oracle=_B84_SQL)
 def b84_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B84: longest run of consecutive up-days per instrument — the
     gaps-and-islands pattern (b54's SCD machinery pointed at momentum
@@ -889,7 +888,7 @@ _B86_SQL = f"""
 """
 
 
-@query("b86_seasonal_decompose", oracle=_B86_SQL, driver=False)
+@query("b86_seasonal_decompose", oracle=_B86_SQL)
 def b86_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B86: additive seasonal decomposition of the hourly series —
     px = trend + seasonal + residual, the pre-processing step behind any
@@ -949,7 +948,7 @@ _B87_SQL = f"""
 """
 
 
-@query("b87_momentum_rank", oracle=_B87_SQL, driver=False)
+@query("b87_momentum_rank", oracle=_B87_SQL)
 def b87_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B87: cross-sectional momentum ranking — each instrument's monthly
     return ranked against the rest of the universe, bucketed into the

@@ -370,6 +370,7 @@ def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       END AS INT) AS img_bytes
     FROM documents
     """,
+    driver=False,
 )
 def c05_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5e: REAL image decode — deterministic BMP/PPM files are written
@@ -401,6 +402,7 @@ def c05_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS head_char_code
     FROM documents
     """,
+    driver=False,
 )
 def c05_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: binary-column feature extraction via Arrow-batched mapInPandas.

@@ -346,6 +346,7 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
+    driver=False,
 )
 def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: outer + semi + anti joins, one driver-verified representative.
@@ -689,6 +690,7 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY c_mktsegment
     """,
+    driver=False,
 )
 def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15b: exact linear-interpolated percentiles per group — Spark

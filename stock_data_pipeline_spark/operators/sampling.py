@@ -133,6 +133,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int], default: int) -> D
     )
     GROUP BY lang
     """,
+    driver=False,
 )
 def c08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8b: stratified corpus rebalancing — keep 40% of 'en' docs, 90% of

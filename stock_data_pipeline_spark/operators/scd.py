@@ -185,7 +185,7 @@ _B85_ORACLE = (
 )
 
 
-@query("b85_point_in_time", oracle=_B85_ORACLE, driver=False)
+@query("b85_point_in_time", oracle=_B85_ORACLE)
 def b85_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B85: point-in-time-correct join — each fact enriched with the
     dimension VERSION that was valid at the fact's event time, the

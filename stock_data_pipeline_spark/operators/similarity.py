@@ -782,7 +782,6 @@ def c03_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               >= {_SEMDEDUP_THRESHOLD}
     )
     """,
-    driver=False,
 )
 def c03_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: exact semantic-dedup ground truth — drop every vector with ANY

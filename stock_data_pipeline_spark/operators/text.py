@@ -203,6 +203,7 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
+    driver=False,
 )
 def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4c: per-document quality score (length / stopword-density /
@@ -262,6 +263,7 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
+    driver=False,
 )
 def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4d: language-ID heuristic — EN function-word density + CJK-script
@@ -844,7 +846,6 @@ _N_FEATURE_BUCKETS = 1024
     FROM feats
     GROUP BY doc_id
     """,
-    driver=False,
 )
 def c04_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: linear text-classifier scoring via the hashing trick

@@ -266,6 +266,7 @@ def b07_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE fwd_value END AS near_click_value
     FROM j
     """,
+    driver=False,
 )
 def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7d: nearest-neighbor as-of — each purchase matches the click
@@ -787,6 +788,7 @@ def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) WHERE bal_rank <= 3
     """,
+    driver=False,
 )
 def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: top-3 customers by balance within each nation ("top movers").
@@ -839,6 +841,7 @@ def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
+    driver=False,
 )
 def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: lag / 5-row moving average / running total per key.

@@ -568,7 +568,7 @@ GROUP BY s.s_name
 """
 
 
-@query("b73_q21_waiting_supplier", oracle=_Q21_SQL, driver=False)
+@query("b73_q21_waiting_supplier", oracle=_Q21_SQL)
 def b73_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-blame supplier — late lines on finished
     multi-supplier orders where NO other supplier was also late. The
@@ -607,7 +607,7 @@ GROUP BY CAST(c.c_custkey % 10 AS BIGINT)
 """
 
 
-@query("b74_q22_idle_customers", oracle=_Q22_SQL, driver=False)
+@query("b74_q22_idle_customers", oracle=_Q22_SQL)
 def b74_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: well-funded customers gone idle, bucketed.
     Adaptations: the bucket is custkey mod 10 (no phone column to take a
@@ -647,7 +647,7 @@ WHERE p.p_size = 15 AND p.p_type = 'SMALL'
 """
 
 
-@query("b75_q2_cheapest_supplier", oracle=_Q2_SQL, driver=False)
+@query("b75_q2_cheapest_supplier", oracle=_Q2_SQL)
 def b75_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
     it at the minimum unit cost — a correlated MIN subquery over a CTE
@@ -734,7 +734,7 @@ WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
 """
 
 
-@query("b77_q20_excess_suppliers", oracle=_Q20_SQL, driver=False)
+@query("b77_q20_excess_suppliers", oracle=_Q20_SQL)
 def b77_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers in a nation group who shipped a large
     quantity of some 'small %' part in 1997 — an IN subquery whose body

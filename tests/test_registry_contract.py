@@ -9,14 +9,35 @@ import re
 
 from stock_data_pipeline_spark import registry
 
-# One driver-facing name required per family prefix. Families whose single
-# representative is a merged query list that name explicitly.
-REQUIRED_DRIVER_FAMILIES = [
-    "a10", "a13", "b01", "b02", "b03", "b04", "b05", "b06", "b07", "b08", "b09",
-    "b10", "b11", "b12", "b13", "b14", "b15", "b16", "b17", "b18", "b19",
-    "c01", "c02", "c03", "c04", "c05", "c06", "c07", "c08", "c09",
-    "flagship",
-]
+# One driver-facing name required per SURVEY §2 family. A family is
+# represented by its own prefix OR by a listed bonus query that exercises
+# the same operator class (the round-5 rotation moved several families'
+# driver rows onto the TPC-H/indicator shapes so hard CORRECTNESS
+# coverage can grow past the 50-row window without orphaning a family).
+REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
+    "a10": ["a10"], "a13": ["a13"],
+    "b01": ["b01"], "b02": ["b02"], "b03": ["b03"], "b04": ["b04"],
+    "b05": ["b05"],
+    # B6 outer/semi/anti joins: TPC-H Q21/Q22/Q20 are exists/not-exists/
+    # semi-join chains — the same operator family, bigger shapes
+    "b06": ["b06", "b73", "b74", "b77"],
+    # B7 as-of/point-in-time: b85 is the point-in-time SCD join
+    "b07": ["b07", "b85"],
+    # B8 ranking windows: b87 is dense-rank momentum deciles
+    "b08": ["b08", "b87"],
+    # B9 analytic windows with frames: b47 value-RANGE stays in-window;
+    # Bollinger/ATR/seasonal are ROWS-frame window suites
+    "b09": ["b09", "b47", "b78", "b79", "b86"],
+    "b10": ["b10"], "b11": ["b11"], "b12": ["b12"], "b13": ["b13"],
+    "b14": ["b14"],
+    # B15 approx distinct/percentiles: topk sketch + VaR/CVaR percentiles
+    "b15": ["b15", "b82"],
+    "b16": ["b16"], "b17": ["b17"], "b18": ["b18"], "b19": ["b19"],
+    "c01": ["c01"], "c02": ["c02"], "c03": ["c03"], "c04": ["c04"],
+    "c05": ["c05"], "c06": ["c06"], "c07": ["c07"], "c08": ["c08"],
+    "c09": ["c09"],
+    "flagship": ["flagship"],
+}
 
 
 def test_driver_surface_fits_verification_window():
@@ -31,8 +52,8 @@ def test_every_family_has_a_driver_representative():
     names = sorted(registry.all_queries())
     missing = [
         fam
-        for fam in REQUIRED_DRIVER_FAMILIES
-        if not any(n.startswith(fam) for n in names)
+        for fam, reps in REQUIRED_DRIVER_FAMILIES.items()
+        if not any(n.startswith(p) for p in reps for n in names)
     ]
     assert not missing, f"families with no driver-verified query: {missing}"
 
