@@ -62,10 +62,12 @@ def test_distributed_training_equals_sequential_reference(spark, sf_dir):
     """The real check: the vocabulary-table loop on the cluster must make
     the EXACT merge decisions the single-node algorithm makes on the
     collected word-frequency table — same argmax, same tie-breaks, same
-    leftmost-first merge application."""
+    leftmost-first merge application. driver_vocab_cap=0 forces the
+    distributed loop (the default would take the driver fast path on
+    this fixture-sized vocabulary)."""
     docs = load(spark, sf_dir, "documents")
     wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
-    assert bpe_train(docs, n_merges=12) == ref_bpe(wf, 12)
+    assert bpe_train(docs, n_merges=12, driver_vocab_cap=0) == ref_bpe(wf, 12)
 
 
 def test_encode_reproduces_training_segmentation(spark):
@@ -126,3 +128,92 @@ def test_encode_null_text_yields_zero_counts(spark):
     got = {r.doc_id: (r.n_tokens, r.n_words) for r in bpe_encode(docs, merges).collect()}
     assert got[2] == (0, 0) and got[3] == (0, 0)
     assert got[1][1] == 2 and got[1][0] >= 1
+
+
+def test_batched_training_equals_sequential(spark, sf_dir):
+    """The distributed batched merge selection (top-K disjoint prefix
+    with the close-frequency truncation) must produce EXACTLY the merge
+    list of the one-argmax-per-round loop and the pure-Python reference
+    — same merges, same order — while taking fewer Spark rounds."""
+    docs = load(spark, sf_dir, "documents")
+    wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
+
+    seq_stats, bat_stats = {}, {}
+    seq = bpe_train(
+        docs, n_merges=60, batch_size=1, driver_vocab_cap=0, stats=seq_stats
+    )
+    bat = bpe_train(docs, n_merges=60, driver_vocab_cap=0, stats=bat_stats)
+    assert bat == seq == ref_bpe(wf, 60)
+    assert bat_stats["rounds"] < seq_stats["rounds"]
+
+
+def test_batched_training_round_budget(spark, sf_dir):
+    """n_merges=200 must train in <=20 Spark rounds while bit-equal to
+    the sequential reference: the driver fast path (vocabulary fits the
+    bounded cap, same driver-state pattern as the IVF centroid collect)
+    does it in ONE round; the distributed provable-batch loop must
+    still beat one-round-per-merge by >=2x on this corpus."""
+    docs = load(spark, sf_dir, "documents")
+    wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
+    stats = {}
+    got = bpe_train(docs, n_merges=200, stats=stats)
+    assert got == ref_bpe(wf, 200)
+    assert stats["strategy"] == "driver" and stats["rounds"] <= 20, stats
+
+    dist_stats = {}
+    dist = bpe_train(docs, n_merges=200, driver_vocab_cap=0, stats=dist_stats)
+    assert dist == got
+    assert dist_stats["rounds"] <= 100, dist_stats  # ~2x batching on this corpus
+
+
+def test_optimistic_skip_batching_is_unsound():
+    """Regression trap for the tempting relaxation: selecting top-K
+    disjoint pairs by SKIPPING symbol-sharing pairs and continuing the
+    scan is NOT sequential-equivalent — applying a merge changes the
+    counts that ranked everything below it. On the fixture-shaped
+    corpus the merge list reorders at index 1. If this test ever fails
+    (the skip rule starts agreeing), re-derive before relaxing
+    _select_batch."""
+    wf = {"newest": 6, "lowest": 5, "widest": 4, "nest": 7, "west": 3,
+          "low": 5, "lower": 2, "ne": 9}
+    seq = ref_bpe(wf, 10)
+
+    # the unsound selector: skip-and-continue instead of close-at-share
+    vocab = {tuple([*w, "</w>"]): f for w, f in wf.items()}
+    out = []
+    while len(out) < 10:
+        pc = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[syms[i], syms[i + 1]] = pc.get((syms[i], syms[i + 1]), 0) + f
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        used, batch = set(), []
+        for (a, b), f in cand:
+            if f < 2:
+                break
+            if a in used or b in used:
+                continue  # the unsound skip
+            batch.append((a, b))
+            used.update((a, b))
+            if len(batch) >= 8:
+                break
+        if not batch:
+            break
+        for a, b in batch:
+            m = a + b
+            out.append((a, b, m))
+            newv = {}
+            for syms, fr in vocab.items():
+                ns = []
+                for x in syms:
+                    if ns and ns[-1] == a and x == b:
+                        ns[-1] = m
+                    else:
+                        ns.append(x)
+                newv[tuple(ns)] = newv.get(tuple(ns), 0) + fr
+            vocab = newv
+    assert out != seq, (
+        "skip-batching agreed with sequential on the trap corpus; "
+        "the unsoundness argument needs re-checking before any "
+        "relaxation of _select_batch"
+    )
