@@ -488,21 +488,15 @@ def stream_zscore_anomalies_ordered(
     )
 
 
-def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
-    """The same per-key running EMA on the ``transformWithStateInPandas``
-    API (Spark 4's arbitrary-state successor to applyInPandasWithState):
-    typed ValueState handles, explicit processor lifecycle, and the path
-    that gains timers/TTL/state-schema-evolution going forward.
+def make_ema_processor(alpha: float = 0.2):
+    """Build the transformWithState EMA ``StatefulProcessor``.
 
-    Semantics are asserted identical to :func:`stream_running_ema` in
-    tests/test_streaming.py — one snapshot row per key per micro-batch,
-    O(keys) state (the same three scalars, now in a ValueState cell).
-
-    Runtime requirements: the RocksDB state store provider and the
-    ``protobuf`` package (the API's Python-runner wire format). protobuf
-    is not installed in this container, so the parity test import-skips
-    here; :func:`stream_running_ema` remains the in-container production
-    path.
+    Hoisted out of :func:`stream_running_ema_tws` so the processor's
+    lifecycle (init → handleInputRows per micro-batch → close) can ALSO
+    be driven directly against a fake ``StatefulProcessorHandle`` — the
+    non-protobuf state-equivalence twin in tests/test_streaming.py that
+    verifies the processor's state logic in containers where the real
+    Python runner's protobuf wire format is unavailable.
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -534,11 +528,32 @@ def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFram
         def close(self) -> None:
             pass
 
+    return EmaProcessor()
+
+
+def stream_running_ema_tws(events: DataFrame, *, alpha: float = 0.2) -> DataFrame:
+    """The same per-key running EMA on the ``transformWithStateInPandas``
+    API (Spark 4's arbitrary-state successor to applyInPandasWithState):
+    typed ValueState handles, explicit processor lifecycle, and the path
+    that gains timers/TTL/state-schema-evolution going forward.
+
+    Semantics are asserted identical to :func:`stream_running_ema` in
+    tests/test_streaming.py — one snapshot row per key per micro-batch,
+    O(keys) state (the same three scalars, now in a ValueState cell).
+
+    Runtime requirements: the RocksDB state store provider and the
+    ``protobuf`` package (the API's Python-runner wire format). Where
+    protobuf is absent the full-runner parity test import-skips and the
+    HARNESS-equivalence twin (the processor driven handler-by-handler
+    against a fake state store, vs the applyInPandasWithState operator)
+    carries the check; :func:`stream_running_ema` remains the
+    in-container production path.
+    """
     return (
         events.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=EmaProcessor(),
+            statefulProcessor=make_ema_processor(alpha),
             outputStructType="user_id bigint, n_events bigint, ema double",
             outputMode="Update",
             timeMode="None",

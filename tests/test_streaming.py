@@ -1106,3 +1106,82 @@ def test_corpus_prep_ingest_equals_batch_modulo_arrival_order(
         map(tuple, spark.read.parquet(sink).drop("_batch_id").collect())
     )
     assert after == before
+
+
+def test_transform_with_state_processor_harness_equivalence(spark, sf_dir):
+    """Non-protobuf state-equivalence twin for stream_running_ema_tws:
+    drive the StatefulProcessor's lifecycle directly — init against a
+    fake handle/ValueState, handleInputRows once per (key, micro-batch)
+    with the rows split into multiple Arrow-like chunks — and assert the
+    final snapshots equal the batch EMA, exactly what the full-runner
+    parity test asserts where protobuf exists. This pins the processor's
+    state logic (read-modify-write, chunk concat, ordering) minus only
+    the wire format."""
+    import pandas as pd
+
+    from stock_data_pipeline_spark.operators.timeseries import with_indicators
+    from stock_data_pipeline_spark.streaming.jobs import make_ema_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    events = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    # three micro-batches by day-of-month, as the streaming tests split
+    batches = [
+        events[events.ts.dt.day <= 10],
+        events[(events.ts.dt.day > 10) & (events.ts.dt.day <= 20)],
+        events[events.ts.dt.day > 20],
+    ]
+
+    # one processor instance per key-partition in production; the state
+    # is keyed, so a single instance + per-key fake handles is equivalent
+    final = {}
+    handles = {}
+    for batch in batches:
+        for uid, grp in batch.groupby("user_id"):
+            proc = make_ema_processor()
+            proc.init(handles.setdefault(int(uid), FakeHandle()))
+            # feed shuffled multi-chunk input: the handler must reorder
+            chunks = [
+                grp.sample(frac=1.0, random_state=7).iloc[i::2]
+                for i in range(2)
+            ]
+            (out,) = list(proc.handleInputRows((uid,), iter(chunks), None))
+            proc.close()
+            final[int(uid)] = (
+                int(out.n_events.iloc[0]),
+                float(out.ema.iloc[0]),
+            )
+
+    want = {
+        r.user_id: (r.n, r.ema)
+        for r in with_indicators(load(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max_by("ema", "ts").alias("ema"))
+        .collect()
+    }
+    assert set(final) == set(want) and want
+    for uid, (n, ema) in want.items():
+        assert final[uid][0] == n
+        assert final[uid][1] == pytest.approx(ema, rel=1e-9)
