@@ -381,17 +381,39 @@ def minhash_lsh_pairs(
     threshold: float = 0.1,
     k: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash, verified with exact Jaccard."""
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard.
+
+    ``max_bucket_size`` is the adversarial-skew guard for 100 TB runs:
+    the bucket self-join is Σ_bucket |bucket|², so ONE hot bucket — a
+    mega-cluster of identical documents, or an adversarial corpus
+    engineered to collide a band — degrades the whole stage to O(n²).
+    With the cap, (band, bucket) groups above the cap are dropped before
+    the self-join, bounding every bucket's contribution to cap². Recall
+    contract: a pair losing a capped band still collides on its other
+    ``bands−1`` bands unless the docs are so similar that EVERY band is
+    a mega-bucket — i.e. the pair sits inside a duplicate mega-cluster,
+    which exact dedup (C1) removes more cheaply than pairwise LSH; the
+    skew stress test pins both the bound and the retained off-cluster
+    recall. Default None preserves the registered query's semantics.
+    """
     # Persist the bucket table: the LSH self-join reads it from BOTH sides,
     # and with AQE broadcasting one side there is no common shuffle exchange
     # for ReuseExchange to share — without a cache the whole shingle-explode
     # + 32-min-aggregate signature pass runs twice (observed 2.6 s -> 0.8 s
     # at sf0.1). Spark's CacheManager dedupes repeat calls by
     # canonicalized plan.
-    buckets = lsh_bucket_index(docs, k=k, bands=bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    buckets = lsh_bucket_index(docs, k=k, bands=bands)
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(small, ["band", "bucket"])
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

@@ -211,3 +211,125 @@ def test_conditional_ratio_invariant_under_replication(spark, sf_stress_dir, li_
         bs, bv = big[k]
         assert bs == s  # bit-identical ratio
         assert bv == pytest.approx(REPLICAS * v, abs=1e-6)
+
+
+def test_lsh_bucket_cap_bounds_adversarial_skew(spark, sf_stress_dir):
+    """Adversarial LSH skew: a 10x corpus with (a) a planted boilerplate
+    sentence on EVERY doc (hot shingles -> correlated signatures) and
+    (b) a planted mega-cluster of byte-identical docs (every band
+    collides -> one m^2 bucket per band). The bucket-capped candidate
+    generation must (1) keep the hot cluster's quadratic pairs out of
+    the join, (2) keep candidate counts within an explicit budget, and
+    (3) RETAIN the off-cluster near-dup candidates (recall outside the
+    mega-bucket is not sacrificed)."""
+    from stock_data_pipeline_spark.operators.dedup import lsh_bucket_index
+
+    docs = load(spark, sf_stress_dir, "documents").select("doc_id", "text")
+    base_n = docs.count()
+    boiler = " copyright terms apply all rights reserved see website for details"
+    reps = 10
+    big = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(boiler)).alias("text"),
+            )
+            for i in range(reps)
+        ],
+    )
+    # the mega-cluster: 200 byte-identical docs (signatures identical ->
+    # every band is one bucket of 200 -> 8 * C(200,2) raw collisions)
+    m = 200
+    cluster = spark.range(m).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.lit("the exact same adversarial document body" * 5).alias("text"),
+    )
+    big = big.unionAll(cluster)
+    cap = 50
+
+    def n_candidates(source, bucket_cap):
+        buckets = lsh_bucket_index(source)
+        if bucket_cap is not None:
+            small = (
+                buckets.groupBy("band", "bucket")
+                .agg(F.count("*").alias("sz"))
+                .filter(F.col("sz") <= bucket_cap)
+                .select("band", "bucket")
+            )
+            buckets = buckets.join(small, ["band", "bucket"])
+        a, b = buckets.alias("a"), buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+        )
+
+    capped = n_candidates(big, cap)
+    n_capped = capped.count()
+    # (1) the mega-cluster's pairs are excised: no candidate pair has both
+    # ends in the planted cluster
+    in_cluster = capped.filter(
+        (F.col("a.doc_id") >= 900_000_000) & (F.col("b.doc_id") >= 900_000_000)
+    ).count()
+    assert in_cluster == 0
+    # (2) explicit budget: every surviving bucket contributes <= C(cap,2)
+    # pairs; the planted replication would otherwise add ~C(10,2) * base_n
+    # cross-replica pairs per band plus the cluster's C(200,2) * 8. The
+    # budget asserts the candidate table stays in the "verify is cheap"
+    # regime rather than exploding quadratically.
+    # each base doc legitimately pairs with its 9 replicas: C(10,2)=45
+    # true pairs per doc; 60x covers that plus organic near-dups while
+    # still asserting LINEAR-in-corpus growth (the cluster alone would
+    # add ~C(200,2)=19900 quadratic pairs, and an uncapped run grows
+    # with bucket^2)
+    budget = 60 * base_n
+    assert n_capped <= budget, (n_capped, budget)
+    # (3) off-cluster recall: the capped candidates must still contain
+    # cross-replica self-pairs (true near-dups by construction) for most
+    # base docs — their buckets are replica-sized (10), far under the cap
+    base_pairs = capped.filter(
+        (F.col("a.doc_id") < 900_000_000)
+        & (F.col("b.doc_id") < 900_000_000)
+        & (F.col("a.doc_id") % 10_000_000 == F.col("b.doc_id") % 10_000_000)
+    )
+    covered = base_pairs.select(
+        (F.col("a.doc_id") % 10_000_000).alias("orig")
+    ).distinct().count()
+    assert covered >= 0.95 * base_n, (covered, base_n)
+
+
+def test_minhash_lsh_pairs_bucket_cap_end_to_end(spark, sf_stress_dir):
+    """The public max_bucket_size knob: capped minhash_lsh_pairs on the
+    planted-cluster corpus completes with verified pairs that (a) exclude
+    intra-mega-cluster pairs and (b) agree with the uncapped operator on
+    the unskewed base corpus (cap high enough to be inert there)."""
+    from stock_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_stress_dir, "documents").select("doc_id", "text")
+    cluster = spark.range(120).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.lit("identical adversarial body " * 8).alias("text"),
+    )
+    skewed = docs.unionAll(cluster)
+
+    capped = minhash_lsh_pairs(skewed, max_bucket_size=50).cache()
+    intra = capped.filter(
+        (F.col("doc_a") >= 900_000_000) & (F.col("doc_b") >= 900_000_000)
+    ).count()
+    assert intra == 0
+
+    base_uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    base_capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=50).collect()
+    }
+    assert base_capped == base_uncapped
+    capped.unpersist()
