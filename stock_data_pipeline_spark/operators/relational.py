@@ -641,37 +641,103 @@ def b14_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # B15 — approximate aggregates (no SQL oracle: HLL/GK sketches are
-# engine-specific; correctness is bounded-error, checked in pytest)
+# engine-specific; the registered projection is a DIGEST — exact twin
+# columns the oracle reproduces plus within-ε boolean claims computed
+# from the sketch estimates, so the driver hash-checks the error
+# contract (the C5 scalar-digest pattern); raw estimates stay on the
+# _full variant for the pytest error-bound tests)
 # --------------------------------------------------------------------------
-@query("b15_approx_aggregates", driver=False)
-def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B15: approx_count_distinct (HyperLogLog++) + approx percentiles.
+def approx_aggregates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 full surface: approx_count_distinct (HyperLogLog++) + approx
+    percentiles NEXT TO their exact twins and the bracketing claims.
 
-    Scale: these are THE dashboard aggregates at 100 TB — fixed-size
-    sketches merged across partitions, no exact-distinct shuffle.
-    Error bounds (rsd=0.01, percentile accuracy=10000) are asserted
-    against exact values in tests/test_relational.py.
+    Scale: the sketches are THE dashboard aggregates at 100 TB —
+    fixed-size, partition-mergeable, no exact-distinct shuffle. The
+    exact twins (exact distinct + exact interpolated quantiles at the
+    bracket ranks) ride the SAME single groupBy at test SF to ground
+    the claims; production dashboards would project only the sketch
+    columns.
     """
     li = load(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    # Flatten the quantile array to scalar columns: the verification
-    # driver's pandas canonicalizer cannot hash array cells
-    # (numpy.ndarray is unhashable in sort_values) — round-1 driver err.
-    return (
+    qa = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    # bracket ranks around each target quantile: approx_percentile's
+    # rank error (~1/accuracy = 1e-4) is far inside the ±0.02 bracket
+    qe = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(x) for x in
+                                     [0.48, 0.5, 0.52, 0.93, 0.95, 0.97, 0.98, 0.99, 1.0]])
+    )
+    # Flatten arrays to scalar columns: the verification driver's pandas
+    # canonicalizer cannot hash array cells — round-1 driver err.
+    g = (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            q.alias("_q"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            qa.alias("_qa"),
+            qe.alias("_qe"),
             F.count("*").alias("n"),
         )
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.col("_q")[0].alias("p50_price"),
-            F.col("_q")[1].alias("p95_price"),
-            F.col("_q")[2].alias("p99_price"),
-            "n",
-        )
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 0.05 * F.col("exact_parts")
+    )
+    bracket = (
+        (F.col("_qe")[0] <= F.col("_qa")[0]) & (F.col("_qa")[0] <= F.col("_qe")[2])
+        & (F.col("_qe")[3] <= F.col("_qa")[1]) & (F.col("_qa")[1] <= F.col("_qe")[5])
+        & (F.col("_qe")[6] <= F.col("_qa")[2]) & (F.col("_qa")[2] <= F.col("_qe")[8])
+    )
+    return g.select(
+        "l_returnflag",
+        "approx_parts",
+        "exact_parts",
+        F.col("_qa")[0].alias("p50_price"),
+        F.col("_qa")[1].alias("p95_price"),
+        F.col("_qa")[2].alias("p99_price"),
+        F.round(F.col("_qe")[1], 6).alias("p50_exact"),
+        F.round(F.col("_qe")[4], 6).alias("p95_exact"),
+        F.round(F.col("_qe")[7], 6).alias("p99_exact"),
+        "n",
+        within.alias("approx_parts_within_5pct"),
+        bracket.alias("approx_quantiles_bracketed"),
+    )
+
+
+@query(
+    "b15_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS approx_parts_within_5pct,
+           TRUE AS approx_quantiles_bracketed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    driver=False,
+)
+def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: sketch aggregates, digest-verified. The registered output is
+    the exact twin columns (which DuckDB reproduces bit-for-bit: Spark
+    ``percentile`` ≡ ``quantile_cont``, both R-7) plus boolean claims
+    computed FROM the sketch estimates — approx distinct within 5 % of
+    exact, each approx quantile inside its ±0.02-rank exact bracket. The
+    oracle spells the claims as TRUE literals, so a sketch drifting out
+    of contract hash-mismatches in the driver. Raw estimates:
+    :func:`approx_aggregates_full` (error bounds also asserted in
+    tests/test_relational.py).
+    """
+    return approx_aggregates_full(spark, sf_dir).select(
+        "l_returnflag",
+        "exact_parts",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        "n",
+        "approx_parts_within_5pct",
+        "approx_quantiles_bracketed",
     )
 
 
@@ -713,40 +779,88 @@ def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B15c — mergeable HLL sketches (Datasketches), the re-aggregation path
 # --------------------------------------------------------------------------
-@query("b15_hll_union", driver=False)  # sketch internals → no SQL oracle;
-# mergeability + error bounds asserted in tests/test_relational.py
-def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B15c: persistable distinct-count sketches — ``hll_sketch_agg`` per
-    event type, then ``hll_union_agg`` to roll the partial sketches up to
-    a corpus total WITHOUT rescanning rows. This is the continuous-
-    aggregate pattern at 100 TB: store one ~KB sketch per (day, type)
-    partition, answer any distinct-users rollup by unioning sketches.
-    ``approx_count_distinct`` (b15_approx_aggregates) gives numbers only;
-    the Datasketches form is what makes incremental refresh possible
-    (sources/maintenance.py uses the same mergeable-partial-state idea).
+def hll_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15c full surface: persistable distinct-count sketches —
+    ``hll_sketch_agg`` per event type, then ``hll_union_agg`` to roll
+    the partial sketches up to a corpus total WITHOUT rescanning rows.
+    This is the continuous-aggregate pattern at 100 TB: store one ~KB
+    sketch per (day, type) partition, answer any distinct-users rollup
+    by unioning sketches. ``approx_count_distinct``
+    (b15_approx_aggregates) gives numbers only; the Datasketches form is
+    what makes incremental refresh possible (sources/maintenance.py uses
+    the same mergeable-partial-state idea).
 
     Output is atomic (estimates as BIGINT); the sketch binaries never
     leave the plan. Union-of-partials equals the direct whole-corpus
-    sketch exactly (HLL insertion is deterministic and merge is
-    lossless at fixed lgConfigK) — asserted in tests.
+    sketch exactly (HLL insertion is deterministic and merge is lossless
+    at fixed lgConfigK) — asserted in tests. The exact twins ride the
+    same aggregates (exact-distinct shuffle is affordable at test SF;
+    production projects only the sketch columns).
     """
     ev = load(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
     per_type = sk.select(
         "event_type",
         F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "exact_users",
         "n_events",
     )
+    exact_total = ev.agg(F.countDistinct("user_id")).first()[0]
     total = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("bigint")
         .alias("approx_users"),
         F.sum("n_events").alias("n_events"),
-    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "approx_users",
+        F.lit(exact_total).cast("bigint").alias("exact_users"),
+        "n_events",
+    )
     return per_type.unionByName(total)
+
+
+@query(
+    "b15_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           TRUE
+    FROM events
+    """,
+    driver=False,
+)
+def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15c digest: the per-type and unioned-total rows with EXACT
+    distinct counts (oracle-reproducible) plus a boolean claim that the
+    sketch estimate — per-type direct, total via ``hll_union_agg`` over
+    the partials — lands within 5 % of exact. A lossy merge or drifting
+    sketch flips the boolean and hash-mismatches against the oracle's
+    TRUE literal. Raw estimates + the exact union==direct mergeability
+    assert: :func:`hll_union_full` / tests/test_relational.py.
+    """
+    out = hll_union_full(spark, sf_dir)
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    return out.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        within.alias("approx_within_5pct"),
+    )
 
 
 @query(
@@ -1158,14 +1272,11 @@ def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B60 — sliding-window distinct counts via mergeable HLL partials
 # --------------------------------------------------------------------------
-@query("b60_sliding_distinct", driver=False)  # sketch estimates are
-# engine-specific → no SQL oracle; error vs exact trailing distinct and
-# the partial-merge property are asserted in tests/test_relational.py
-def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B60: distinct users in the TRAILING 24 hours, per hour and event
-    type — the sliding-distinct query that has no scalable exact form
-    (COUNT(DISTINCT) cannot be a window function, and a 24-way self-join
-    rescans the fact table per offset).
+def sliding_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60 full surface: distinct users in the TRAILING 24 hours, per
+    hour and event type — the sliding-distinct query that has no
+    scalable exact form (COUNT(DISTINCT) cannot be a window function,
+    and a 24-way self-join rescans the fact table per offset).
 
     The mergeable-partial formulation: ONE scan builds an hourly HLL
     sketch per (type, hour) — KB-sized state per bucket regardless of
@@ -1176,12 +1287,18 @@ def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the facts. This is the streaming-dashboard shape: store the
     hourly sketches, answer ANY trailing-window distinct question by
     unioning them.
+
+    The exact twins (collect_set per bucket, distinct-flatten over the
+    same ROWS frame) ride the same scan; they are user-set-sized per
+    bucket — fine at test SF, and exactly what production would NOT
+    materialize (that's the sketches' job).
     """
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.collect_set("user_id").alias("us"),
         F.count("*").alias("n_events"),
     )
     w = (
@@ -1195,10 +1312,71 @@ def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sketches, 1),
         lambda acc, s: F.hll_union(acc, s),
     )
+    exact_trailing = F.size(
+        F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+    )
     return hourly.select(
         "event_type",
         "bucket",
         "n_events",
         F.hll_sketch_estimate(F.col("sk")).alias("distinct_hour"),
         F.hll_sketch_estimate(trailing).alias("distinct_trailing_24h"),
+        F.size("us").cast("bigint").alias("exact_hour"),
+        exact_trailing.cast("bigint").alias("exact_trailing_24h"),
+    )
+
+
+@query(
+    "b60_sliding_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_hour
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY bucket) AS rn
+      FROM h
+    ),
+    u AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS bucket, user_id
+      FROM events
+    )
+    SELECT a.event_type, a.bucket, a.n_events, a.exact_hour,
+           (SELECT CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+            FROM ranked b JOIN u
+              ON u.event_type = b.event_type AND u.bucket = b.bucket
+            WHERE b.event_type = a.event_type
+              AND b.rn BETWEEN a.rn - 23 AND a.rn) AS exact_trailing_24h,
+           TRUE AS hour_within_5pct,
+           TRUE AS trailing_within_5pct
+    FROM ranked a
+    """,
+    driver=False,
+)
+def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60 digest: exact hourly and trailing-24-bucket distinct counts
+    (the oracle rebuilds the ROWS-frame semantics with a rank-range
+    correlated subquery) plus boolean claims that the HLL estimates —
+    hourly sketch and the window-folded ``hll_union`` of 24 partials —
+    land within 5 % of exact. Raw estimates:
+    :func:`sliding_distinct_full` / tests/test_relational.py.
+    """
+    out = sliding_distinct_full(spark, sf_dir)
+
+    def within(est, exact):
+        return F.abs(F.col(est) - F.col(exact)) <= 0.05 * F.col(exact)
+
+    return out.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "exact_hour",
+        "exact_trailing_24h",
+        within("distinct_hour", "exact_hour").alias("hour_within_5pct"),
+        within("distinct_trailing_24h", "exact_trailing_24h").alias(
+            "trailing_within_5pct"
+        ),
     )

@@ -11,9 +11,13 @@ from stock_data_pipeline_spark.registry import get
 
 
 def test_approx_count_distinct_within_rsd(spark, sf_check_dir):
+    from stock_data_pipeline_spark.operators.relational import (
+        approx_aggregates_full,
+    )
+
     got = {
         r.l_returnflag: r
-        for r in get("b15_approx_aggregates").fn(spark, sf_check_dir).collect()
+        for r in approx_aggregates_full(spark, sf_check_dir).collect()
     }
     li = load(spark, sf_check_dir, "lineitem")
     exact = {
@@ -28,7 +32,11 @@ def test_approx_count_distinct_within_rsd(spark, sf_check_dir):
 
 
 def test_percentile_approx_ordered_and_bounded(spark, sf_check_dir):
-    rows = get("b15_approx_aggregates").fn(spark, sf_check_dir).collect()
+    from stock_data_pipeline_spark.operators.relational import (
+        approx_aggregates_full,
+    )
+
+    rows = approx_aggregates_full(spark, sf_check_dir).collect()
     li = load(spark, sf_check_dir, "lineitem")
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     for r in rows:
@@ -143,8 +151,10 @@ def test_hll_union_mergeability_and_error(spark, sf_check_dir):
     """Union-of-partial-sketches must equal the direct whole-corpus sketch
     (lossless merge), and every estimate must be within HLL error bounds
     of the exact distinct count."""
+    from stock_data_pipeline_spark.operators.relational import hll_union_full
+
     rows = {
-        r.event_type: r for r in get("b15_hll_union").fn(spark, sf_check_dir).collect()
+        r.event_type: r for r in hll_union_full(spark, sf_check_dir).collect()
     }
     ev = load(spark, sf_check_dir, "events")
 
@@ -230,9 +240,13 @@ def test_sliding_distinct_sketches_near_exact_and_mergeable(spark, sf_dir):
     exact at this cardinality (HLL is exact well below sketch capacity)."""
     from collections import defaultdict
 
+    from stock_data_pipeline_spark.operators.relational import (
+        sliding_distinct_full,
+    )
+
     got = {
         (r.event_type, r.bucket): (r.distinct_hour, r.distinct_trailing_24h)
-        for r in get("b60_sliding_distinct").fn(spark, sf_dir).collect()
+        for r in sliding_distinct_full(spark, sf_dir).collect()
     }
 
     ev = load(spark, sf_dir, "events").select(
