@@ -13,6 +13,15 @@ SF_CHECK = "/root/testdata/sf0.01"
 SF_STRESS = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--live",
+        action="store_true",
+        default=False,
+        help="run opt-in live-transport smokes (network + yfinance)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("tests", shuffle_partitions=8)

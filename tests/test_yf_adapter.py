@@ -120,3 +120,30 @@ def test_live_transport_is_import_gated():
             live_yfinance_transport()
     else:  # pragma: no cover - yfinance present
         assert callable(live_yfinance_transport())
+
+
+def test_live_single_ticker_fetch_opt_in(request, spark):
+    """Opt-in live smoke (`pytest --live`): ONE ticker through the full
+    adapter path — live transport -> yfinance_fetcher -> fetch_batch —
+    asserting a priced row or an explicit quarantine row (a dead market
+    feed must not look like silent success). CI-default: skipped, and
+    the import gate's actionable message is covered by
+    test_live_transport_is_import_gated."""
+    if not request.config.getoption("--live"):
+        pytest.skip("live transport smoke runs only with --live")
+    from stock_data_pipeline_spark.sources.fetch import fetch_batch
+    from stock_data_pipeline_spark.sources.yf_adapter import (
+        live_yfinance_transport,
+        yfinance_fetcher,
+    )
+
+    fetcher = yfinance_fetcher("ticker_data", live_yfinance_transport())
+    tickers = spark.createDataFrame([("AAPL",)], "Ticker string")
+    rows = fetch_batch(
+        tickers, fetcher, ("Price", "Volume"), datetime(2024, 1, 2, 9, 30)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.fetch_error is None and r.Price is not None) or (
+        r.fetch_error is not None
+    )
