@@ -601,6 +601,43 @@ def write_batch_idempotent(df: DataFrame, batch_id: int, sink_dir: str) -> None:
     )
 
 
+def latest_batch_id(spark, sink_dir: str) -> int:
+    """Highest landed ``_batch_id`` — the current snapshot version.
+    Resolved from the partition listing (no data read: the scan projects
+    only the partition column, so the job touches footers, not rows)."""
+    row = (
+        spark.read.parquet(sink_dir)
+        .agg(F.max(BATCH_COL).alias("v"))
+        .first()
+    )
+    if row is None or row.v is None:
+        raise ValueError(f"no batches landed under {sink_dir}")
+    return int(row.v)
+
+
+def read_as_of(spark, sink_dir: str, batch_id: int) -> DataFrame:
+    """Snapshot read of the idempotent sink AS OF ``batch_id`` — the
+    reproducible-training-set primitive: a run that pins its snapshot
+    version reads the same rows forever, no matter how many batches land
+    after it (and no matter how often earlier batches are crash-replayed,
+    because replays OVERWRITE their own partition — see
+    :func:`write_batch_idempotent`).
+
+    ``_batch_id`` is a PARTITION column, so the predicate resolves at
+    planning time: the scan lists only partitions ≤ the snapshot
+    (non-empty ``PartitionFilters``, asserted in tests). At 100 TB this
+    is "read the first N micro-batches", never "scan and filter the
+    table" — the same pruning contract as ``read_sink_day``. The
+    returned frame drops the version column: consumers see the logical
+    table, versioning stays a storage concern.
+    """
+    return (
+        spark.read.parquet(sink_dir)
+        .filter(F.col(BATCH_COL) <= F.lit(int(batch_id)))
+        .drop(BATCH_COL)
+    )
+
+
 def run_stream_at_cadence(
     df: DataFrame, sink_dir: str, *, checkpoint: str, cadence: str
 ):

@@ -1185,3 +1185,51 @@ def test_transform_with_state_processor_harness_equivalence(spark, sf_dir):
     for uid, (n, ema) in want.items():
         assert final[uid][0] == n
         assert final[uid][1] == pytest.approx(ema, rel=1e-9)
+
+
+def test_snapshot_read_as_of_is_stable_and_pruned(spark, tmp_path):
+    """Dataset versioning over the idempotent sink: read_as_of(v) must
+    return exactly the rows of batches <= v, stay BIT-STABLE after later
+    batches land AND after an earlier batch is crash-replayed, and prune
+    partitions at planning time (PartitionFilters on _batch_id, never a
+    full-table filter)."""
+    from stock_data_pipeline_spark.streaming.jobs import (
+        latest_batch_id,
+        read_as_of,
+        write_batch_idempotent,
+    )
+
+    sink = str(tmp_path / "versioned")
+    for bid in range(3):
+        write_batch_idempotent(
+            spark.range(bid * 10, bid * 10 + 10).withColumn(
+                "payload", F.col("id") * 2
+            ),
+            bid,
+            sink,
+        )
+    assert latest_batch_id(spark, sink) == 2
+
+    snap1 = {r.id for r in read_as_of(spark, sink, 1).collect()}
+    assert snap1 == set(range(20))
+
+    # later batch lands: snapshot 1 unchanged
+    write_batch_idempotent(
+        spark.range(30, 40).withColumn("payload", F.col("id") * 2), 3, sink
+    )
+    assert {r.id for r in read_as_of(spark, sink, 1).collect()} == snap1
+
+    # crash-replay of batch 1 (same content): snapshot 1 still identical,
+    # not doubled — replay overwrites its own partition
+    write_batch_idempotent(
+        spark.range(10, 20).withColumn("payload", F.col("id") * 2), 1, sink
+    )
+    assert {r.id for r in read_as_of(spark, sink, 1).collect()} == snap1
+    assert read_as_of(spark, sink, 1).count() == 20
+
+    # planning-time pruning: the snapshot predicate is a PartitionFilter
+    df = read_as_of(spark, sink, 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_batch_id" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
