@@ -32,6 +32,14 @@ QUERIES = [
     "c01_exact_dedup",
     "c04_tfidf_terms",
     "c09_curriculum_order",
+    # round-5 digest twins: the within-ε booleans must not flip under a
+    # different partitioning (sketch insertion order varies; estimates
+    # may move inside the ε budget but exact twins and claims may not)
+    "b15_approx_aggregates",
+    "b15_hll_union",
+    "b60_sliding_distinct",
+    # promoted percentile-family representative
+    "b82_var_cvar",
 ]
 
 
