@@ -325,6 +325,142 @@ def decode_wav_header(payload: bytes) -> "tuple[int, int, int, int]":
     return (channels, sample_rate, bits, data_size // block_align)
 
 
+def encode_wav(
+    channels: int, sample_rate: int, bits: int, n_frames: int
+) -> bytes:
+    """Minimal RIFF/WAVE file: fmt + zeroed data chunk (header metadata is
+    the parse target; samples are silence)."""
+    block_align = channels * (bits // 8)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = bytes(n_frames * block_align)
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_flac_header(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """fLaC magic + a last-flagged STREAMINFO metadata block (34-byte
+    body per the FLAC spec): enough for any header reader; no frames."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        (4096).to_bytes(2, "big")       # min blocksize
+        + (4096).to_bytes(2, "big")     # max blocksize
+        + (0).to_bytes(3, "big")        # min framesize (unknown)
+        + (0).to_bytes(3, "big")        # max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + bytes(16)                     # MD5 of unencoded audio (zeroed)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def decode_flac_streaminfo(payload: bytes) -> "tuple[int, int, int, int]":
+    """(sample_rate, channels, bits_per_sample, total_samples) from a FLAC
+    STREAMINFO block — walks the metadata-block list (STREAMINFO is
+    mandated first, but the walk also rejects truncation explicitly).
+    Raises ValueError on non-FLAC / torn payloads — quarantine, never
+    silent (the C5 error discipline)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if len(payload) >= 5 and (payload[4] & 0x7F) != 0:
+        raise ValueError("corrupt FLAC: STREAMINFO must be the first block")
+    if len(payload) < 8 + 34:
+        raise ValueError("corrupt FLAC: truncated STREAMINFO")
+    size = int.from_bytes(payload[5:8], "big")
+    body = payload[8 : 8 + size]
+    if size < 34 or len(body) < 34:
+        raise ValueError("corrupt FLAC: truncated STREAMINFO")
+    packed = int.from_bytes(body[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("corrupt FLAC: zero sample rate")
+    return (sample_rate, channels, bits, total_samples)
+
+
+# MPEG1 Layer III tables (ISO/IEC 11172-3): bitrate index 1..14, kbps;
+# sample-rate index 0..2.
+_MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG1 Layer III constant
+
+
+def encode_mp3(
+    bitrate_kbps: int, sample_rate: int, channels: int, *, id3_pad: int = 17
+) -> bytes:
+    """ID3v2 tag (synchsafe-sized padding) + one MPEG1 Layer III frame
+    header + zeroed frame body — the minimal file every MP3 header
+    reader must handle (the tag-skip is where naive parsers break)."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps) + 1
+    sr_idx = _MP3_RATES.index(sample_rate)
+    tag = (
+        b"ID3\x04\x00\x00"
+        + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+             (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        )
+        + bytes(id3_pad)
+    )
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG1 + Layer III + no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            (0x03 if channels == 1 else 0x00) << 6,
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    return tag + hdr + bytes(max(0, frame_len - 4))
+
+
+def decode_mp3_header(payload: bytes) -> "tuple[int, int, int]":
+    """(bitrate_kbps, sample_rate, channels) from the first MPEG1
+    Layer III frame header, skipping a leading ID3v2 tag (synchsafe
+    size). Raises ValueError on missing sync / reserved indices /
+    non-MPEG1-Layer-III streams — quarantine, never silent."""
+    i = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("corrupt MP3: truncated ID3v2 tag")
+        size = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        i = 10 + size
+    if len(payload) < i + 4:
+        raise ValueError("corrupt MP3: no frame header after tag")
+    b0, b1, b2, b3 = payload[i : i + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("not an MP3 frame (missing sync)")
+    if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+        raise ValueError("unsupported MP3: expected MPEG1 Layer III")
+    br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("corrupt MP3: reserved bitrate/samplerate index")
+    channels = 1 if (b3 >> 6) == 0x3 else 2
+    return (_MP3_BITRATES[br_idx - 1], _MP3_RATES[sr_idx], channels)
+
+
 IMAGE_SCHEMA = "doc_id bigint, fmt string, width int, height int, img_bytes int"
 
 
@@ -654,6 +790,100 @@ def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_codepoint_energy, _SIGNAL_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# C5g — audio container headers (WAV / FLAC / MP3), decode roundtrip
+# --------------------------------------------------------------------------
+_AUDIO_HDR_SCHEMA = (
+    "doc_id bigint, fmt string, channels int, sample_rate int, "
+    "depth int, n_frames bigint"
+)
+
+
+def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a deterministic WAV / FLAC / MP3 file per document, then
+    recover its parameters by PARSING the bytes — the decoded values are
+    emitted, so every parser (chunk walk, STREAMINFO bit unpack, ID3
+    skip + frame sync) is on the oracle-verified path, the
+    c05_image_decode discipline applied to audio containers."""
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("fmt", "channels", "sample_rate", "depth", "n_frames")}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            ch = 1 + d % 2
+            if d % 3 == 0:
+                sr, bits, nf = 8000 * (1 + d % 5), 8 * (1 + d % 3), 100 + d % 50
+                got = decode_wav_header(encode_wav(ch, sr, bits, nf))
+                vals = ("wav", got[0], got[1], got[2], got[3])
+            elif d % 3 == 1:
+                sr, bits, total = 8000 * (1 + d % 5), 8 * (1 + d % 3), 1000 + d % 997
+                g = decode_flac_streaminfo(
+                    encode_flac_header(sr, ch, bits, total)
+                )
+                vals = ("flac", g[1], g[0], g[2], g[3])
+            else:
+                br = _MP3_BITRATES[(d // 3) % 14]
+                sr = _MP3_RATES[(d // 3) % 3]
+                g = decode_mp3_header(encode_mp3(br, sr, ch))
+                vals = ("mp3", g[2], g[1], g[0], MP3_SAMPLES_PER_FRAME)
+            for k, v in zip(rows, vals):
+                rows[k].append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": rows["fmt"],
+                "channels": pd.array(rows["channels"], dtype="int32"),
+                "sample_rate": pd.array(rows["sample_rate"], dtype="int32"),
+                "depth": pd.array(rows["depth"], dtype="int32"),
+                "n_frames": pd.array(rows["n_frames"], dtype="int64"),
+            }
+        )
+
+
+@query(
+    "c05_audio_header",
+    oracle="""
+    SELECT
+      doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END
+        AS fmt,
+      CAST(1 + doc_id % 2 AS INT) AS channels,
+      CAST(CASE WHEN doc_id % 3 = 2
+        THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 32000 END
+        ELSE 8000 * (1 + doc_id % 5) END AS INT) AS sample_rate,
+      CAST(CASE WHEN doc_id % 3 = 2
+        THEN CASE (doc_id // 3) % 14
+             WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48 WHEN 3 THEN 56
+             WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+             WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+             WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END
+        ELSE 8 * (1 + doc_id % 3) END AS INT) AS depth,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 50
+           WHEN 1 THEN 1000 + doc_id % 997 ELSE 1152 END AS BIGINT)
+        AS n_frames
+    FROM documents
+    """,
+    driver=False,
+)
+def c05_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5g: REAL audio container parsing — per document a deterministic
+    WAV (RIFF chunk walk), FLAC (STREAMINFO 64-bit bit-unpack), or MP3
+    (ID3v2 synchsafe skip + MPEG1 Layer III frame-header decode) file is
+    encoded and its parameters recovered by parsing the bytes. The
+    oracle recomputes every expected value arithmetically from doc_id,
+    so a parser bug (wrong bit offset, un-skipped tag, misread
+    endianness) breaks parity. ``depth`` is bits/sample for WAV/FLAC and
+    bitrate-kbps for MP3; ``n_frames`` is data frames (WAV), total
+    samples (FLAC), or the Layer III samples-per-frame constant (MP3).
+
+    Scale: map-only Arrow-batched Python (the codec shape of C5), no
+    shuffle; payloads are header-sized.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_audio_headers, _AUDIO_HDR_SCHEMA)
+
+
 def payload_format(col: "str | F.Column") -> "F.Column":
     """JVM-side magic-byte format sniffing for a binary payload column —
     the dispatch step of a mixed-modality pipeline (route JPEGs to the
@@ -663,7 +893,10 @@ def payload_format(col: "str | F.Column") -> "F.Column":
     (:func:`decode_image_dims`) stay for the per-format parsing; THIS
     keeps the corpus-wide scan that decides who parses what on the fast
     path. Returns 'jpeg' | 'png' | 'gif' | 'bmp' | 'ppm' | 'wav' |
-    'unknown'.
+    'flac' | 'mp3' | 'unknown'. MP3 is sniffed by the ID3v2 tag or the
+    common MPEG1/2 Layer III sync byte pairs (a raw sync needs a
+    bit-mask; the four whole-byte prefixes cover the files real
+    encoders emit).
     """
     b = F.col(col) if isinstance(col, str) else col
     return (
@@ -673,5 +906,14 @@ def payload_format(col: "str | F.Column") -> "F.Column":
         .when(F.substring(b, 1, 2) == F.lit(b"BM"), "bmp")
         .when(F.substring(b, 1, 2) == F.lit(b"P6"), "ppm")
         .when(F.substring(b, 1, 4) == F.lit(b"RIFF"), "wav")
+        .when(F.substring(b, 1, 4) == F.lit(b"fLaC"), "flac")
+        .when(F.substring(b, 1, 3) == F.lit(b"ID3"), "mp3")
+        .when(
+            (F.substring(b, 1, 2) == F.lit(b"\xff\xfb"))
+            | (F.substring(b, 1, 2) == F.lit(b"\xff\xfa"))
+            | (F.substring(b, 1, 2) == F.lit(b"\xff\xf3"))
+            | (F.substring(b, 1, 2) == F.lit(b"\xff\xf2")),
+            "mp3",
+        )
         .otherwise("unknown")
     )

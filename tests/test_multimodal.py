@@ -375,3 +375,87 @@ def test_corrupt_gif_wav_raise(spark):
         decode_wav_header(b"RIFFxxxxNOPE")
     with _pytest.raises(ValueError):
         decode_wav_header(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+# --------------------------------------------------------------------------
+# C5g — audio container headers (WAV / FLAC / MP3)
+# --------------------------------------------------------------------------
+def test_flac_streaminfo_roundtrip_and_corruption():
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_flac_streaminfo,
+        encode_flac_header,
+    )
+
+    # bit-boundary values: 20-bit sample rate, 3-bit channels, 5-bit bps,
+    # 36-bit total samples
+    for sr, ch, bits, total in [
+        (8000, 1, 8, 0),
+        (96000, 8, 32, (1 << 36) - 1),
+        (44100, 2, 16, 123456789),
+    ]:
+        assert decode_flac_streaminfo(
+            encode_flac_header(sr, ch, bits, total)
+        ) == (sr, ch, bits, total)
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_streaminfo(b"fLaX" + bytes(40))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac_streaminfo(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(10))
+    with pytest.raises(ValueError, match="first block"):
+        # a padding block (type 1) where STREAMINFO must be
+        decode_flac_streaminfo(b"fLaC" + bytes([0x01, 0, 0, 34]) + bytes(34))
+
+
+def test_mp3_header_roundtrip_tag_skip_and_corruption():
+    from stock_data_pipeline_spark.operators.multimodal import (
+        decode_mp3_header,
+        encode_mp3,
+    )
+
+    for br in (32, 128, 320):
+        for sr in (44100, 48000, 32000):
+            for ch in (1, 2):
+                assert decode_mp3_header(encode_mp3(br, sr, ch)) == (br, sr, ch)
+    # a tag-less raw frame must also parse (sync-first file)
+    raw = encode_mp3(192, 44100, 2)
+    tagless = raw[raw.index(b"\xff\xfb"):]
+    assert decode_mp3_header(tagless) == (192, 44100, 2)
+    # and a big synchsafe tag size must be skipped correctly (>7 bits)
+    big = encode_mp3(64, 32000, 1, id3_pad=300)
+    assert decode_mp3_header(big) == (64, 32000, 1)
+
+    with pytest.raises(ValueError, match="missing sync"):
+        decode_mp3_header(bytes([0xFE, 0xFB, 0x92, 0x00]))
+    with pytest.raises(ValueError, match="reserved"):
+        decode_mp3_header(bytes([0xFF, 0xFB, 0xF0, 0x00]))  # bitrate idx 15
+    with pytest.raises(ValueError, match="MPEG1 Layer III"):
+        decode_mp3_header(bytes([0xFF, 0xF9, 0x92, 0x00]))  # MPEG2
+    with pytest.raises(ValueError, match="no frame header"):
+        decode_mp3_header(b"ID3\x04\x00\x00\x00\x00\x00\x10")  # tag only
+
+
+def test_payload_format_dispatches_audio_containers(spark):
+    from stock_data_pipeline_spark.operators.multimodal import (
+        encode_flac_header,
+        encode_mp3,
+        encode_wav,
+        payload_format,
+    )
+
+    rows = (
+        spark.createDataFrame(
+            [
+                (1, encode_flac_header(8000, 1, 8, 10)),
+                (2, encode_mp3(128, 44100, 2)),             # ID3-prefixed
+                (3, bytes([0xFF, 0xFB, 0x92, 0x00])),       # raw sync
+                (4, encode_wav(1, 8000, 8, 10)),
+                (5, b"\x00garbage"),
+            ],
+            "id int, payload binary",
+        )
+        .select("id", payload_format("payload").alias("fmt"))
+        .collect()
+    )
+    assert {(r.id, r.fmt) for r in rows} == {
+        (1, "flac"), (2, "mp3"), (3, "mp3"), (4, "wav"), (5, "unknown")
+    }
