@@ -404,7 +404,12 @@ def minhash_lsh_pairs(
     # + 32-min-aggregate signature pass runs twice (observed 2.6 s -> 0.8 s
     # at sf0.1). Spark's CacheManager dedupes repeat calls by
     # canonicalized plan.
-    buckets = lsh_bucket_index(docs, k=k, bands=bands)
+    # persist BEFORE the size-filter derivation: `small` aggregates the
+    # bucket table and the self-join reads it twice more — without the
+    # cache the signature pass would run three times on the capped path
+    buckets = lsh_bucket_index(docs, k=k, bands=bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("band", "bucket")
@@ -413,7 +418,6 @@ def minhash_lsh_pairs(
             .select("band", "bucket")
         )
         buckets = buckets.join(small, ["band", "bucket"])
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

@@ -169,7 +169,10 @@ def invalidate_hourly_series(
     ALL sf_dirs when None) so the next b51/b53/b88 call rebuilds it from
     the current source data. Returns whether anything was dropped — the
     hook an ingest job calls after landing a batch that touches events."""
-    per_session = _SERIES_MEMO.get(spark)
+    try:
+        per_session = _SERIES_MEMO.get(spark)
+    except TypeError:  # unhashable session object (same guard as the memo)
+        return False
     if not per_session:
         return False
     if sf_dir is None:

@@ -811,12 +811,18 @@ def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             ch = 1 + d % 2
+            # depth varies on (d // 3) so every format branch (fixed by
+            # d % 3) still sees all three bit depths on the verified path
             if d % 3 == 0:
-                sr, bits, nf = 8000 * (1 + d % 5), 8 * (1 + d % 3), 100 + d % 50
+                sr, bits, nf = (
+                    8000 * (1 + d % 5), 8 * (1 + (d // 3) % 3), 100 + d % 50
+                )
                 got = decode_wav_header(encode_wav(ch, sr, bits, nf))
                 vals = ("wav", got[0], got[1], got[2], got[3])
             elif d % 3 == 1:
-                sr, bits, total = 8000 * (1 + d % 5), 8 * (1 + d % 3), 1000 + d % 997
+                sr, bits, total = (
+                    8000 * (1 + d % 5), 8 * (1 + (d // 3) % 3), 1000 + d % 997
+                )
                 g = decode_flac_streaminfo(
                     encode_flac_header(sr, ch, bits, total)
                 )
@@ -858,7 +864,7 @@ def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
              WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
              WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320 END
-        ELSE 8 * (1 + doc_id % 3) END AS INT) AS depth,
+        ELSE 8 * (1 + (doc_id // 3) % 3) END AS INT) AS depth,
       CAST(CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 50
            WHEN 1 THEN 1000 + doc_id % 997 ELSE 1152 END AS BIGINT)
         AS n_frames

@@ -809,17 +809,28 @@ def hll_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         "n_events",
     )
-    exact_total = ev.agg(F.countDistinct("user_id")).first()[0]
-    total = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("bigint")
-        .alias("approx_users"),
-        F.sum("n_events").alias("n_events"),
-    ).select(
-        F.lit("__all__").alias("event_type"),
-        "approx_users",
-        F.lit(exact_total).cast("bigint").alias("exact_users"),
-        "n_events",
+    # exact corpus total as a LAZY 1-row frame crossJoined in (broadcast
+    # of a scalar): an eager .first() here would run a full events scan
+    # at plan-construction time — breaking the registry's pure-builder
+    # contract — and freeze the count as a literal that goes stale if
+    # the source changes under the memoized plan
+    exact_total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    total = (
+        sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "approx_users",
+            "exact_users",
+            "n_events",
+        )
     )
     return per_type.unionByName(total)
 

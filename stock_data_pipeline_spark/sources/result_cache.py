@@ -81,13 +81,18 @@ def _hadoop_fs(spark, path: str):
     return fs, jpath
 
 
-def _exists(spark, path: str) -> bool:
-    fs, jpath = _hadoop_fs(spark, path)
+def _data_present(spark, data_path: str) -> bool:
+    """Whether a committed data entry exists. Classic sessions check the
+    ``_SUCCESS`` marker via the Hadoop FS; a Connect session (no gateway)
+    probes the parquet DIRECTORY by read — probing the marker file itself
+    would always fail (a zero-byte '_'-prefixed file is not a parquet
+    dataset) and silently kill the cache. The probe accepts a torn write
+    (files, no marker); the fingerprint check downstream rejects it."""
+    fs, jpath = _hadoop_fs(spark, f"{data_path}/_SUCCESS")
     if fs is not None:
         return bool(fs.exists(jpath))
-    # Connect fallback: probe by read — an absent path raises
     try:
-        spark.read.parquet(path).schema
+        spark.read.parquet(data_path).schema
         return True
     except Exception:
         return False
@@ -108,20 +113,30 @@ def cached_result(
     path = _entry_path(cache_dir, df)
     data_path, meta_path = f"{path}/data", f"{path}/__meta"
     fp = _plan_fingerprint(df)
-    if not refresh and _exists(spark, f"{data_path}/_SUCCESS"):
+    had_entry = _data_present(spark, data_path)
+    if not refresh and had_entry:
         try:
             meta = spark.read.parquet(meta_path).collect()
         except Exception:
             meta = []
         if len(meta) == 1 and meta[0].plan_sha256 == fp:
             return spark.read.parquet(data_path)
-    # write data first, fingerprint last: a torn write leaves a stale or
-    # absent fingerprint and the next call recomputes
+    # Rewrite protocol: tombstone the OLD fingerprint first, then data,
+    # then the new fingerprint. A crash at any point leaves either
+    # (tombstone, old-or-torn data) or (tombstone, new data) — both a
+    # cache miss on the next call — never a stale fingerprint validating
+    # another query's freshly-written rows (the collision-crash serve).
+    if had_entry:
+        _write_meta(spark, meta_path, "__rewriting__")
     df.write.mode("overwrite").parquet(data_path)
+    _write_meta(spark, meta_path, fp)
+    return spark.read.parquet(data_path)
+
+
+def _write_meta(spark, meta_path: str, fp: str) -> None:
     spark.createDataFrame([(fp,)], "plan_sha256 string").coalesce(1).write.mode(
         "overwrite"
     ).parquet(meta_path)
-    return spark.read.parquet(data_path)
 
 
 def invalidate(df: DataFrame, cache_dir: str) -> bool:
@@ -142,9 +157,7 @@ def invalidate(df: DataFrame, cache_dir: str) -> bool:
             fs.delete(jpath, True)
             return True
         return False
-    existed = _exists(spark, f"{path}/data/_SUCCESS")
+    existed = _data_present(spark, f"{path}/data")
     if existed:
-        spark.createDataFrame(
-            [("__invalidated__",)], "plan_sha256 string"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/__meta")
+        _write_meta(spark, f"{path}/__meta", "__invalidated__")
     return existed

@@ -291,3 +291,38 @@ def test_result_cache_collision_degrades_to_recompute(spark, tmp_path, monkeypat
     assert result_cache.cached_result(q(9), cache).collect()[0].s == 36
     # and re-asking the first query recomputes again (entry was overwritten)
     assert result_cache.cached_result(q(5), cache).collect()[0].s == 10
+
+
+def test_result_cache_torn_rewrite_never_serves_wrong_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window between a collision recompute's data write and its
+    fingerprint write: the tombstone written FIRST must leave the entry
+    a cache miss, so the old query can never have another query's
+    freshly-written rows validated by its own stale fingerprint."""
+    from stock_data_pipeline_spark.sources import result_cache
+
+    src = str(tmp_path / "src4")
+    cache = str(tmp_path / "cache4")
+    spark.range(10).write.parquet(src)
+
+    def q(lim):
+        return (
+            spark.read.parquet(src)
+            .filter(f"id < {lim}")
+            .selectExpr("sum(id) AS s")
+        )
+
+    monkeypatch.setattr(
+        result_cache, "_entry_path", lambda cd, df: f"{cd}/q_collide"
+    )
+    assert result_cache.cached_result(q(5), cache).collect()[0].s == 10
+
+    # simulate query B's rewrite crashing AFTER the tombstone + data
+    # overwrite but BEFORE the new fingerprint lands
+    entry = f"{cache}/q_collide"
+    result_cache._write_meta(spark, f"{entry}/__meta", "__rewriting__")
+    q(9).write.mode("overwrite").parquet(f"{entry}/data")
+
+    # A must recompute (tombstone != A's fingerprint), not serve B's 36
+    assert result_cache.cached_result(q(5), cache).collect()[0].s == 10
