@@ -954,3 +954,157 @@ def c04_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against a local single-process recompute and planted
     high/low-entropy documents in tests/test_text.py."""
     return compression_ratio(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# C4 — boilerplate line removal (the CCNet/web-corpus cleaning step)
+# --------------------------------------------------------------------------
+def boilerplate_lines(lines: DataFrame, max_line_df: int) -> DataFrame:
+    """The SMALL side: lines whose corpus-wide DOCUMENT frequency
+    exceeds ``max_line_df`` — navigation chrome, cookie banners, and
+    license footers repeat across many documents; body text does not.
+    Output cardinality is the number of OFFENDING distinct lines (tiny
+    relative to the corpus), which is why the rebuild pass joins against
+    THIS set rather than the keep-set complement (corpus-sized)."""
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_line_df)
+        .select("line")
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    max_line_df: int = 5,
+    text_col: str = "text",
+    sep: str = "\n",
+    chunk_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, cleaned): drop boilerplate lines —
+    lines appearing in more than ``max_line_df`` documents — and
+    reassemble each document from its surviving lines in order.
+
+    Line definition: split on ``sep`` (newline for real web corpora).
+    ``chunk_tokens`` instead segments the token stream into fixed-size
+    chunks — the mode for corpora without line structure (and the one
+    the registered query verifies against DuckDB, since the synthetic
+    fixture is single-line).
+
+    Scale: TWO corpus passes, the c08_quantile_bucketize shape — pass 1
+    aggregates line document-frequencies down to the (small) offending
+    boilerplate set; pass 2 re-explodes, marks each line by a left join
+    against that set (broadcastable — its size is #offending lines, not
+    corpus), and reassembles per doc in ONE grouped aggregate computing
+    n_lines / n_kept / cleaned together (``array_sort`` of (pos, line)
+    structs — no window). Every document yields ≥1 line (splitting even
+    an empty string gives one element), so doc coverage needs no third
+    scan. Documents whose every line is boilerplate survive as empty
+    strings (n_kept = 0) — dropping them is the caller's explicit gate,
+    not a silent side effect.
+    """
+    base = docs.select("doc_id", F.col(text_col).alias("__t"))
+    if chunk_tokens is None:
+        lines = base.select(
+            "doc_id", F.posexplode(F.split("__t", sep)).alias("pos", "line")
+        )
+        joiner = sep
+    else:
+        toks = F.split("__t", " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+        idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        lines = base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+                            " ",
+                        ).alias("line"),
+                    ),
+                )
+            ).alias("pl"),
+        ).select("doc_id", F.col("pl.pos").alias("pos"), F.col("pl.line").alias("line"))
+        joiner = " "
+    bl = boilerplate_lines(lines, max_line_df).withColumn(
+        "__bl", F.lit(True)
+    )
+    marked = lines.join(bl, "line", "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.col("__bl").isNull().alias("keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.count(F.when(F.col("keep"), 1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "keep"))),
+                    lambda s: s.keep,
+                ),
+                lambda s: s.line,
+            ),
+            joiner,
+        ).alias("cleaned"),
+    )
+
+
+@query(
+    "c04_boilerplate_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    lines AS (
+      SELECT t.doc_id, g.i AS pos,
+             array_to_string(t.toks[2*g.i+1:2*g.i+2], ' ') AS line
+      FROM t, LATERAL (SELECT unnest(range(
+        0, CAST(ceil(len(t.toks) / 2.0) AS BIGINT))) AS i) g
+    ),
+    df AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) <= 5
+    ),
+    kept AS (SELECT l.* FROM lines l JOIN df USING (line)),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY pos) AS body
+      FROM kept GROUP BY doc_id
+    ),
+    nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(nl.n_lines, 0) AS INT) AS n_lines,
+           CAST(COALESCE(agg.n_kept, 0) AS INT) AS n_kept,
+           sha256(COALESCE(agg.body, '')) AS cleaned_sha
+    FROM documents d
+    LEFT JOIN nl ON nl.doc_id = d.doc_id
+    LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+    driver=False,
+)
+def c04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: corpus-level boilerplate removal — the web-corpus cleaning
+    step (CCNet-style): segment each document, drop segments whose
+    document frequency across the corpus exceeds a cap (repeated
+    chrome/footer/banner text), reassemble the survivors in order.
+
+    The fixture corpus is single-line, so the registered query runs the
+    token-chunk mode (2-token segments, max_df=5) — high-frequency
+    chunks really are removed on this corpus, exercising the prune
+    path, and DuckDB reproduces the entire pipeline (chunking, distinct-
+    doc DF, ordered reassembly, sha256 of the rebuilt text). Newline
+    mode — the production default — is unit-tested with crafted
+    multi-line documents in tests/test_text.py.
+    """
+    out = remove_boilerplate_lines(
+        load(spark, sf_dir, "documents"), max_line_df=5, chunk_tokens=2
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.sha2("cleaned", 256).alias("cleaned_sha")
+    )

@@ -48,6 +48,7 @@ ALLOWED_MULTI_SCAN = {
     "c04_unigram_logprob": "corpus-as-LM: vocabulary pass + scoring pass share the collapsed index, plus a 1-row total",
     "c08_distribution_drift": "two dataset versions are two filtered slices of documents",
     "c08_quantile_bucketize": "exact-percentile bounds pass + assignment pass (bounds broadcast back; 2 scans beat a fact shuffle)",
+    "c04_boilerplate_removal": "line-DF boilerplate-set pass + rebuild pass (offending set joined back; 2 scans beat materializing the line table)",
     "c08_split_leakage": "train vs val/test are two filtered slices",
 }
 

@@ -172,3 +172,78 @@ def test_compression_ratio_separates_boilerplate_from_noise(spark):
     assert out[0] < 0.1
     assert out[1] > 0.5
     assert out[0] < out[1]
+
+
+def test_boilerplate_newline_mode_removes_repeated_lines(spark):
+    """Production (newline) mode: a footer line shared by many docs is
+    removed everywhere; unique body lines survive in order; a doc made
+    ENTIRELY of boilerplate becomes an empty string (n_kept=0), never
+    silently disappears."""
+    from stock_data_pipeline_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    footer = "all rights reserved - example.com"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n{footer}\nbeta body two"),
+            (2, f"{footer}\ngamma body"),
+            (3, f"delta body\n{footer}"),
+            (4, footer),  # all boilerplate
+            (5, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, max_line_df=2).collect()
+    }
+    assert out[1].cleaned == "alpha body one\nbeta body two"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].cleaned == "gamma body"
+    assert out[3].cleaned == "delta body"
+    assert out[4].cleaned == "" and out[4].n_kept == 0 and out[4].n_lines == 1
+    assert out[5].cleaned == "unique only" and out[5].n_kept == 1
+
+
+def test_boilerplate_chunk_mode_matches_python_model(spark):
+    """Chunk mode on a tiny corpus equals a plain-Python recompute of
+    the same (chunk -> distinct-doc DF -> prune -> reassemble) model."""
+    from collections import defaultdict
+
+    from stock_data_pipeline_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    texts = {
+        1: "a b c d a b",
+        2: "a b x y",
+        3: "a b c d",
+        4: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    chunk, cap = 2, 2
+    model_lines = {
+        d: [
+            " ".join(t.split(" ")[i : i + chunk])
+            for i in range(0, len(t.split(" ")), chunk)
+        ]
+        for d, t in texts.items()
+    }
+    df = defaultdict(set)
+    for d, ls in model_lines.items():
+        for ln in ls:
+            df[ln].add(d)
+    want = {
+        d: " ".join(ln for ln in ls if len(df[ln]) <= cap)
+        for d, ls in model_lines.items()
+    }
+    got = {
+        r.doc_id: r.cleaned
+        for r in remove_boilerplate_lines(
+            docs, max_line_df=cap, chunk_tokens=chunk
+        ).collect()
+    }
+    assert got == want
