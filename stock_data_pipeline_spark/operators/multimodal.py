@@ -633,6 +633,7 @@ def _text_thumbnail(
         END AS thumb
       FROM documents)
     """,
+    driver=False,
 )
 def c05_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5c: resize/thumbnail plumbing — every document downsampled to a
@@ -869,8 +870,7 @@ def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            WHEN 1 THEN 1000 + doc_id % 997 ELSE 1152 END AS BIGINT)
         AS n_frames
     FROM documents
-    """,
-    driver=False,
+    """
 )
 def c05_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5g: REAL audio container parsing — per document a deterministic

@@ -392,6 +392,7 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
+    driver=False,
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: global top-k by price (tie-broken by key for determinism).
@@ -715,8 +716,7 @@ def approx_aggregates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS approx_parts_within_5pct,
            TRUE AS approx_quantiles_bracketed
     FROM lineitem GROUP BY l_returnflag
-    """,
-    driver=False,
+    """
 )
 def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15: sketch aggregates, digest-verified. The registered output is
@@ -849,8 +849,7 @@ def hll_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT),
            TRUE
     FROM events
-    """,
-    driver=False,
+    """
 )
 def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15c digest: the per-type and unioned-total rows with EXACT
@@ -1364,8 +1363,7 @@ def sliding_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS hour_within_5pct,
            TRUE AS trailing_within_5pct
     FROM ranked a
-    """,
-    driver=False,
+    """
 )
 def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B60 digest: exact hourly and trailing-24-bucket distinct counts

@@ -382,6 +382,7 @@ def chunk_documents(
       FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
     )
     """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
+    driver=False,
 )
 def c09_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9b: context-window chunking — every document split into 32-token

@@ -112,6 +112,7 @@ def cosine_pandas_scores(
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
+    driver=False,
 )
 def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3a: exact top-k nearest neighbors by cosine for a query set.

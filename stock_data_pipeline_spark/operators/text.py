@@ -330,6 +330,7 @@ def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM term_freq t JOIN doc_freq d ON t.token = d.token CROSS JOIN corpus c
     ) WHERE term_rank <= 5
     """,
+    driver=False,
 )
 def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4f: top-5 characteristic terms per source by TF-IDF — the standard
@@ -1085,8 +1086,7 @@ def remove_boilerplate_lines(
     FROM documents d
     LEFT JOIN nl ON nl.doc_id = d.doc_id
     LEFT JOIN agg ON agg.doc_id = d.doc_id
-    """,
-    driver=False,
+    """
 )
 def c04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: corpus-level boilerplate removal — the web-corpus cleaning
