@@ -999,16 +999,28 @@ def remove_boilerplate_lines(
     against that set (broadcastable — its size is #offending lines, not
     corpus), and reassembles per doc in ONE grouped aggregate computing
     n_lines / n_kept / cleaned together (``array_sort`` of (pos, line)
-    structs — no window). Every document yields ≥1 line (splitting even
-    an empty string gives one element), so doc coverage needs no third
-    scan. Documents whose every line is boilerplate survive as empty
+    structs — no window). Every document yields ≥1 line (NULL text
+    coalesces to '' first — splitting even an empty string gives one
+    element), so doc coverage needs no third scan and NULL-text docs
+    are RETAINED as empty-cleaned rows, never silently dropped.
+    Documents whose every line is boilerplate likewise survive as empty
     strings (n_kept = 0) — dropping them is the caller's explicit gate,
     not a silent side effect.
+
+    ``sep`` is a LITERAL separator: Spark's ``split`` takes a regex, so
+    it is ``\\Q…\\E``-quoted here — ``sep='.'`` splits on dots, it does
+    not regex-match every character — keeping split and the reassembly
+    joiner symmetric.
     """
-    base = docs.select("doc_id", F.col(text_col).alias("__t"))
+    base = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    )
     if chunk_tokens is None:
+        # Pattern.quote: literal match for any separator, incl. regex
+        # metachars; an embedded \E ends the quote, so re-open around it
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
         lines = base.select(
-            "doc_id", F.posexplode(F.split("__t", sep)).alias("pos", "line")
+            "doc_id", F.posexplode(F.split("__t", quoted)).alias("pos", "line")
         )
         joiner = sep
     else:
@@ -1036,7 +1048,10 @@ def remove_boilerplate_lines(
     bl = boilerplate_lines(lines, max_line_df).withColumn(
         "__bl", F.lit(True)
     )
-    marked = lines.join(bl, "line", "left").select(
+    # explicit broadcast: bl's size (an aggregation output) is unknown at
+    # planning time, and without the hint the pre-AQE plan can shuffle
+    # the corpus-sized line table on 'line' instead
+    marked = lines.join(F.broadcast(bl), "line", "left").select(
         "doc_id",
         "pos",
         "line",
@@ -1061,7 +1076,8 @@ def remove_boilerplate_lines(
 @query(
     "c04_boilerplate_removal",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+               FROM documents),
     lines AS (
       SELECT t.doc_id, g.i AS pos,
              array_to_string(t.toks[2*g.i+1:2*g.i+2], ' ') AS line

@@ -247,3 +247,27 @@ def test_boilerplate_chunk_mode_matches_python_model(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_boilerplate_null_text_and_regex_separator(spark):
+    """NULL-text documents must be RETAINED (one empty line, never
+    silently dropped), and a regex-metachar separator like '.' must
+    split literally on dots — not regex-match every character."""
+    from stock_data_pipeline_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.a"), (2, None), (3, "x.y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            docs, max_line_df=5, sep="."
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # NULL doc retained
+    assert (out[2].n_lines, out[2].n_kept, out[2].cleaned) == (1, 1, "")
+    assert out[1].cleaned == "a.b.a" and out[1].n_lines == 3
+    assert out[3].cleaned == "x.y" and out[3].n_lines == 2
