@@ -85,3 +85,43 @@ def test_binary_file_source_feeds_feature_extraction(spark, tmp_path):
     for i, b in payloads.items():
         assert feats[i].n_bytes == len(b)
         assert feats[i].payload_sha256 == hashlib.sha256(b).hexdigest()
+
+
+def test_xml_file_source_roundtrip_with_declared_schema(spark, tmp_path):
+    """Spark 4's native XML file source: write the ticker rows as XML,
+    read them back under the declared schema — the file-level
+    counterpart of the landed-HTML fragment parsing in
+    sources/landed.py (from_xml handles embedded fragments; this is the
+    whole-document landing format, e.g. vendor XML feeds). NULL
+    elements must survive the hop (the reference's nullable quote
+    fields)."""
+    df = _ticker_rows(spark)
+    path = str(tmp_path / "ticks_xml")
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "quotes")
+        .option("rowTag", "quote")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(df.schema)
+        .format("xml")
+        .option("rowTag", "quote")
+        .load(path)
+    )
+    _assert_roundtrip(df, back)
+
+
+def test_avro_is_absent_and_fails_loudly(spark, tmp_path):
+    """Avro is an EXTERNAL Spark module (spark-avro jar), not deployed in
+    this container: the engine takes no Avro dependency, and an
+    accidental .format('avro') must fail with the deploy-the-module
+    error, never write something else silently. MIGRATION.md's format
+    list stays honest because this pins the actual support matrix."""
+    import pytest
+
+    with pytest.raises(Exception, match="[Aa]vro"):
+        _ticker_rows(spark).write.mode("overwrite").format("avro").save(
+            str(tmp_path / "ticks_avro")
+        )
