@@ -131,12 +131,37 @@ def sample_frames(docs: DataFrame) -> DataFrame:
     return with_binary_payload(docs).mapInPandas(_frame_sample, FRAME_SCHEMA)
 
 
-@query("c05_frame_sample", driver=False)  # byte-slice digests aren't
-# SQL-expressible in the oracle dialect (no BLOB substring); checked against
-# an in-process recompute in tests/test_multimodal.py
+@query(
+    "c05_frame_sample",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    f AS (
+      SELECT t.doc_id, t.text, g.idx
+      FROM t, LATERAL (SELECT unnest(range(
+        0, greatest(CAST(ceil(t.n / 16.0) AS BIGINT), 1))) AS idx) g
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS frame_idx,
+           CAST(idx * 16 AS INT) AS frame_off,
+           CAST(length(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16))
+                AS INT) AS frame_bytes,
+           sha256(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16))
+             AS frame_sha256
+    FROM f WHERE idx % 4 = 0
+    """,
+    driver=False,
+)
 def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling over opaque media payloads — every 4th 16-byte
-    frame's offset and sha256, the keyframe-extraction plumbing shape."""
+    frame's offset and sha256, the keyframe-extraction plumbing shape.
+
+    Oracle note: the payload is the utf-8 encoding of ``text``, and the
+    fixture corpus is pure ASCII (asserted in tests/test_multimodal.py),
+    so DuckDB's character ``substring`` equals the operator's BYTE slice
+    and the per-frame digests are exactly reproducible. The operator
+    itself stays byte-domain — on non-ASCII payloads only the oracle's
+    equivalence assumption (not the operator) would need revisiting.
+    """
     return sample_frames(load(spark, sf_dir, "documents"))
 
 

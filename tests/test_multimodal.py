@@ -459,3 +459,22 @@ def test_payload_format_dispatches_audio_containers(spark):
     assert {(r.id, r.fmt) for r in rows} == {
         (1, "flac"), (2, "mp3"), (3, "mp3"), (4, "wav"), (5, "unknown")
     }
+
+
+def test_fixture_corpus_is_ascii_for_frame_oracle(spark, sf_check_dir):
+    """c05_frame_sample's oracle relies on char-substring == byte-slice,
+    which holds iff the fixture text is pure ASCII. Pin the assumption:
+    if the driver ever regenerates documents with multibyte text, THIS
+    fails (with a clear pointer) instead of a confusing digest
+    mismatch."""
+    from stock_data_pipeline_spark.catalog import load
+
+    n_multibyte = (
+        load(spark, sf_check_dir, "documents")
+        .filter(F.octet_length(F.encode("text", "UTF-8")) != F.length("text"))
+        .count()
+    )
+    assert n_multibyte == 0, (
+        "documents fixture now contains non-ASCII text; drop "
+        "c05_frame_sample's oracle (byte-slice != char-substring there)"
+    )
