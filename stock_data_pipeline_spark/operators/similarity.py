@@ -65,23 +65,42 @@ def cosine_pandas_scores(
     import numpy as np
     import pandas as pd
 
-    out_schema = ", ".join(
+    passthrough = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in pairs.schema.fields
         if f.name not in (a_col, b_col)
-    ) + ", cos_sim double"
+    ]
+    if not passthrough:
+        raise ValueError(
+            "cosine_pandas_scores needs at least one passthrough column "
+            f"besides {a_col!r}/{b_col!r} to key the scores by"
+        )
+    out_schema = ", ".join(passthrough) + ", cos_sim double"
 
     def score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
-            a = np.stack(pdf[a_col].map(np.asarray, na_action=None).to_numpy())
-            b = np.stack(pdf[b_col].map(np.asarray, na_action=None).to_numpy())
-            a = a.astype(np.float64)
-            b = b.astype(np.float64)
-            sims = (a * b).sum(axis=1) / (
-                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-            )
+            # NULL-vector rows score NULL — the same semantics as the
+            # JVM twin cosine(); np.stack over a None would otherwise
+            # raise and kill the whole task
+            valid = pdf[a_col].notna() & pdf[b_col].notna()
+            sims = np.full(len(pdf), np.nan)
+            if valid.any():
+                sub = pdf[valid]
+                a = np.stack(sub[a_col].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                b = np.stack(sub[b_col].map(np.asarray).to_numpy()).astype(
+                    np.float64
+                )
+                sims[valid.to_numpy()] = (a * b).sum(axis=1) / (
+                    np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+                )
             out = pdf.drop(columns=[a_col, b_col])
-            out["cos_sim"] = sims
+            # masked Float64 so invalid rows arrive as SQL NULL (a bare
+            # NaN would survive as NaN, which is not what cosine() emits)
+            out["cos_sim"] = pd.arrays.FloatingArray(
+                sims, mask=(~valid).to_numpy()
+            )
             yield out
 
     return pairs.mapInPandas(score, out_schema)
@@ -253,10 +272,24 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: LSH candidate generation + exact re-rank."""
-    corpus_sig = lsh_signatures(corpus, n_planes=n_planes, n_tables=n_tables)
-    query_sig = lsh_signatures(queries, n_planes=n_planes, n_tables=n_tables).select(
+    """Approximate top-k: LSH candidate generation + exact re-rank.
+
+    ``dim`` must match the embedding dimension: shorter hyperplanes
+    would null-pad in ``zip_with`` and zero EVERY signature — all
+    vectors land in one bucket and the candidate join silently
+    degenerates to the corpus×queries cross product the LSH path exists
+    to avoid (results stay correct via the exact rerank, so nothing
+    alerts). Exposed here so non-64-dim corpora can use the operator at
+    all.
+    """
+    corpus_sig = lsh_signatures(
+        corpus, n_planes=n_planes, n_tables=n_tables, dim=dim
+    )
+    query_sig = lsh_signatures(
+        queries, n_planes=n_planes, n_tables=n_tables, dim=dim
+    ).select(
         F.col("vec_id").alias("query_id"), "table_id", "sig"
     )
     candidates = (
@@ -356,6 +389,37 @@ def ivf_index(
     return assign_to_cells(feats, centers_list), centers_list
 
 
+
+def _probe_cells(
+    queries: DataFrame,
+    centers: list[list[float]],
+    n_probe: int,
+    *,
+    keep_q_emb: bool = False,
+) -> DataFrame:
+    """(query_id[, q_emb], cell): the n_probe nearest coarse cells per
+    query — literal-centroid distances, no join; shared by the IVF and
+    IVF-PQ search paths so a fix to the probe logic cannot miss one."""
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode(F.expr(_centroid_sql(centers))).alias("cell", "centroid"),
+    )
+    sq_dist = F.expr(
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"), F.asc("cell"))
+    cols = ["query_id", "cell"] + (["q_emb"] if keep_q_emb else [])
+    return (
+        probes.withColumn("cell_dist", sq_dist)
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(*cols)
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -376,7 +440,20 @@ def ann_ivf_topk(
     per query; the probe-cell computation is |queries| × n_cells distances
     against a literal centroid array — no join, no shuffle on the corpus
     side beyond the candidate equi-join on ``cell``.
+
+    ``index`` and the build knobs are mutually exclusive: a prebuilt
+    index already fixed its n_cells/seed/train_fraction, and silently
+    ignoring different values here is the trap (a caller "tuning"
+    n_cells against a cached index would get no effect and no warning).
     """
+    if index is not None and (
+        n_cells != 16 or seed != 42 or train_fraction is not None
+    ):
+        raise ValueError(
+            "ann_ivf_topk: pass EITHER a prebuilt index OR build knobs "
+            "(n_cells/seed/train_fraction); the knobs cannot retune a "
+            "prebuilt index"
+        )
     assigned, centers = (
         index
         if index is not None
@@ -390,23 +467,7 @@ def ann_ivf_topk(
             F.col("vec_id").alias("query_id"), "vec_id"
         ).limit(0)
         return _exact_rerank(empty_cand, corpus, queries, k)
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.posexplode(F.expr(_centroid_sql(centers))).alias("cell", "centroid"),
-    )
-    sq_dist = F.expr(
-        "aggregate(zip_with(q_emb, centroid, (x, y) -> "
-        "(cast(x as double) - y) * (cast(x as double) - y)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"), F.asc("cell"))
-    probe_cells = (
-        probes.withColumn("cell_dist", sq_dist)
-        .withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "cell")
-    )
+    probe_cells = _probe_cells(queries, centers, n_probe)
     candidates = (
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -428,9 +489,13 @@ def save_ivf_index(
     offline build job; every search job afterwards just reads the index.
     """
     assigned, centers = index
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/assignments"
-    )
+    # partitionBy on a zero-row frame writes NO files (an unreadable
+    # directory); an empty index lands unpartitioned so the schema
+    # survives and load/search degrade to empty results, not crashes
+    writer = assigned.write.mode("overwrite")
+    if assigned.limit(1).count() > 0:
+        writer = writer.partitionBy("cell")
+    writer.parquet(f"{path}/assignments")
     spark = assigned.sparkSession
     spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
@@ -476,12 +541,21 @@ def append_ivf_batch(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     ).parquet(f"{path}/assignments")
 
 
-def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
+def ivf_cell_stats(assigned: DataFrame, *, n_cells: int | None = None) -> DataFrame:
     """Per-cell occupancy of an IVF assignment table plus the imbalance
     signal that schedules offline retraining: ``share`` (fraction of the
     corpus in the cell) and ``skew`` (cell count / ideal uniform count).
     One count aggregate over the ~5 B/vector assignments — cheap enough
     to run after every :func:`append_ivf_batch`.
+
+    ``n_cells`` is the CONFIGURED cell count (``len(centers)``) — pass
+    it whenever known. The ideal uniform count must divide by the cells
+    the quantizer HAS, not the cells that happen to be occupied:
+    counting occupied cells makes total collapse into one cell read as
+    skew 1.0 (perfectly balanced), exactly the hot-cell drift the
+    monitor exists to catch. Without ``n_cells`` the occupied count is
+    used as a lower-bound fallback (skew is then an underestimate —
+    documented, not silent).
 
     Retrain policy (documented, not automated — retraining invalidates
     every assignment so it is an operator decision): when ``max(skew)``
@@ -491,7 +565,10 @@ def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
     """
     counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
     totals = counts.agg(
-        F.sum("n_vectors").alias("total"), F.count("*").alias("n_cells")
+        F.sum("n_vectors").alias("total"),
+        (
+            F.lit(n_cells) if n_cells is not None else F.count("*")
+        ).alias("n_cells"),
     )
     return counts.crossJoin(F.broadcast(totals)).select(
         "cell",
@@ -533,8 +610,13 @@ _IVF_INDEX_CACHE = weakref.WeakKeyDictionary()
 def c03_ivf_cached_index(spark: SparkSession, sf_dir: str):
     try:
         per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
-    except TypeError:  # session not weak-referenceable
-        per_session = {}
+    except TypeError:  # session not weak-referenceable: no memo possible
+        # do NOT persist here — with a fresh dict per call, every
+        # invocation would persist() a new frame that nothing ever
+        # unpersists (a storage leak for the session's lifetime); an
+        # unmemoized rebuild is the lesser cost
+        emb = load(spark, sf_dir, "embeddings")
+        return ivf_index(emb, train_fraction=0.25)
     if sf_dir not in per_session:
         emb = load(spark, sf_dir, "embeddings")
         assigned, centers = ivf_index(emb, train_fraction=0.25)
@@ -553,7 +635,6 @@ def c03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < _N_QUERIES),
         k=_TOP_K,
-        train_fraction=0.25,
         index=c03_ivf_cached_index(spark, sf_dir),
     )
 
@@ -821,6 +902,7 @@ def pq_train(
     n_codes: int = _PQ_N_CODES,
     seed: int = 42,
     sample_cap: int = 4096,
+    sample_fraction: float | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): split the vector into ``n_sub`` contiguous
@@ -828,8 +910,18 @@ def pq_train(
     centroids. Like the IVF coarse quantizer, training runs on a BOUNDED
     driver-side sample (codebooks are n_sub·n_codes·d_sub floats — KB —
     regardless of corpus size); the full-corpus work is all map-side.
+
+    ``sample_fraction`` samples BEFORE the cap — at corpus scale a bare
+    ``limit`` is a storage-order PREFIX (typically one partition / one
+    time shard), and codebooks fit to a correlated prefix quantize the
+    rest of the corpus badly. Same knob and rationale as
+    :func:`ivf_index`'s ``train_fraction``; the default stays prefix
+    (exact and cheap at test SF, where the fixture is unordered).
     """
-    sample = corpus.select("embedding").limit(sample_cap).toPandas()
+    src = corpus.select("embedding")
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    sample = src.limit(sample_cap).toPandas()
     x = np.asarray(
         [np.asarray(e, dtype=np.float64) for e in sample["embedding"]]
     )
@@ -852,6 +944,16 @@ def pq_train(
 def _books_sql(books: list[list[list[float]]]) -> str:
     """3-level SQL literal: array(book_0, ..., book_{n_sub-1})."""
     return "array(" + ",".join(_centroid_sql(b) for b in books) + ")"
+
+
+def _recon_expr(books: list[list[list[float]]]) -> F.Column:
+    """Reconstruction of a ``pq_codes`` column from the codebooks —
+    shared by pq_reconstruct and the IVF-PQ ADC pass (1-based
+    element_at over 0-based codes)."""
+    return F.expr(
+        f"flatten(transform(pq_codes, (c, i) -> "
+        f"element_at(element_at({_books_sql(books)}, i + 1), c + 1)))"
+    )
 
 
 def pq_encode(
@@ -895,11 +997,7 @@ def pq_reconstruct(encoded: DataFrame, books: list[list[list[float]]]) -> DataFr
             "vec_id",
             F.expr("array()").cast("array<double>").alias("recon"),
         ).limit(0)
-    recon = F.expr(
-        f"flatten(transform(pq_codes, (c, i) -> "
-        f"element_at(element_at({_books_sql(books)}, i + 1), c + 1)))"
-    )
-    return encoded.select("vec_id", recon.alias("recon"))
+    return encoded.select("vec_id", _recon_expr(books).alias("recon"))
 
 
 def pq_topk(
@@ -933,7 +1031,7 @@ def pq_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine_double(F.col("q_emb"), F.col("recon")).alias("approx_sim"),
+            cosine(F.col("q_emb"), F.col("recon")).alias("approx_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -945,26 +1043,6 @@ def pq_topk(
         .select("query_id", "vec_id")
     )
     return _exact_rerank(cand, corpus, queries, k)
-
-
-def cosine_double(a, b) -> F.Column:
-    """:func:`cosine` where ``b`` is already array<double> (PQ recon)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    return dot / (na * nb)
 
 
 @query("c03_pq_topk", driver=False)
@@ -989,6 +1067,7 @@ def save_pq_index(
     n_sub: int = _PQ_N_SUB,
     n_codes: int = _PQ_N_CODES,
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> None:
     """Persist an IVF-PQ index: (vec_id, pq_codes) rows partitioned BY
     CELL (probes prune at the file level, exactly like save_ivf_index)
@@ -996,14 +1075,28 @@ def save_pq_index(
     codebooks — as parquet. The serving footprint per vector is the cell
     partition key + n_sub code ints; the original vectors are needed
     only by the final rerank (and can live in cold storage).
+
+    Set ``train_fraction`` on real corpora so both quantizers train on a
+    sample, not a storage-order prefix (see :func:`ivf_index`).
     """
     spark = corpus.sparkSession
-    assigned, centers = ivf_index(corpus, n_cells=n_cells, seed=seed)
-    books = pq_train(corpus, n_sub=n_sub, n_codes=n_codes, seed=seed)
+    assigned, centers = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+    )
+    books = pq_train(
+        corpus,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        seed=seed,
+        sample_fraction=train_fraction,
+    )
     encoded = pq_encode(corpus, books)
-    assigned.join(encoded, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/cells")
+    joined = assigned.join(encoded, "vec_id")
+    # empty-corpus guard: see save_ivf_index — keep the schema readable
+    writer = joined.write.mode("overwrite")
+    if joined.limit(1).count() > 0:
+        writer = writer.partitionBy("cell")
+    writer.parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centers)],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -1033,7 +1126,8 @@ def load_pq_index(
     book_rows = (
         spark.read.parquet(f"{path}/codebooks").orderBy("sub", "code").collect()
     )
-    n_sub = 1 + max(r.sub for r in book_rows)
+    # empty index (routine for a fresh/filtered-out corpus): no codebooks
+    n_sub = 1 + max((r.sub for r in book_rows), default=-1)
     books: list[list[list[float]]] = [[] for _ in range(n_sub)]
     for r in book_rows:
         books[r.sub].append(list(map(float, r.centroid)))
@@ -1065,34 +1159,21 @@ def ivfpq_topk(
     """
     spark = corpus.sparkSession
     cells, centers, books = load_pq_index(spark, index_path)
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.posexplode(F.expr(_centroid_sql(centers))).alias("cell", "centroid"),
-    )
-    sq_dist = F.expr(
-        "aggregate(zip_with(q_emb, centroid, (x, y) -> "
-        "(cast(x as double) - y) * (cast(x as double) - y)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("cell_dist"), F.asc("cell"))
-    probe_cells = (
-        probes.withColumn("cell_dist", sq_dist)
-        .withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
-    recon = F.expr(
-        f"flatten(transform(pq_codes, (c, i) -> "
-        f"element_at(element_at({_books_sql(books)}, i + 1), c + 1)))"
-    )
+    if not centers or not books:
+        # empty persisted index: empty result with the contract schema
+        # (the probe/ADC expressions cannot even ANALYZE over zero-length
+        # centroid/codebook literals)
+        empty = spark.createDataFrame([], "query_id bigint, vec_id bigint")
+        return _exact_rerank(empty, corpus, queries, k)
+    probe_cells = _probe_cells(queries, centers, n_probe, keep_q_emb=True)
+    recon = _recon_expr(books)
     adc = (
         cells.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine_double(F.col("q_emb"), recon).alias("approx_sim"),
+            cosine(F.col("q_emb"), recon).alias("approx_sim"),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(

@@ -1031,9 +1031,11 @@ def write_batch_ivf(
 
     spark = batch_df.sparkSession
     append_ivf_batch(spark, batch_df, index_path)
-    assigned, _ = load_ivf_index(spark, index_path)
+    assigned, centers = load_ivf_index(spark, index_path)
     agg = (
-        ivf_cell_stats(assigned)
+        # denominator = CONFIGURED cells: collapse into one hot cell must
+        # read as skew == n_cells, not as a balanced single-cell index
+        ivf_cell_stats(assigned, n_cells=len(centers))
         .agg(
             F.max("skew").alias("max_skew"),
             F.sum("n_vectors").alias("n_vectors"),

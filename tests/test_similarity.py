@@ -174,7 +174,7 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
         q = e.filter(F.col("vec_id") % 100 == 0)
         return sorted(
             (r.query_id, r.vec_id, r.sim_rank)
-            for r in ann_ivf_topk(e, q, k=5, n_cells=8, index=index).collect()
+            for r in ann_ivf_topk(e, q, k=5, index=index).collect()
         )
 
     assert run(sib, loaded) == run(spark, built)
@@ -214,7 +214,7 @@ def test_incremental_ivf_assignment_equals_rebuild(spark, tmp_path):
     hits = {
         r.vec_id
         for r in ann_ivf_topk(
-            emb, q, k=10, n_cells=8, index=(assigned, centers)
+            emb, q, k=10, index=(assigned, centers)
         ).collect()
     }
     assert hits & {r.vec_id for r in new.select("vec_id").collect()}
@@ -415,3 +415,76 @@ def test_ivfpq_roundtrip_recall_and_pruning(spark, sf_dir, tmp_path):
 
     parts = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
     assert len(parts) > 1  # layout exists for pruning to exploit
+
+
+def test_ivf_cell_stats_detects_total_collapse(spark):
+    """The drift case the monitor exists for: every vector in ONE of the
+    configured cells. With the configured n_cells the skew reads as
+    n_cells (maximal); the occupied-cells fallback would read 1.0
+    (looks balanced) and never trigger retraining."""
+    from stock_data_pipeline_spark.operators.similarity import ivf_cell_stats
+
+    assigned = spark.createDataFrame(
+        [(i, 7) for i in range(50)], "vec_id long, cell int"
+    )
+    collapsed = ivf_cell_stats(assigned, n_cells=16).collect()
+    assert len(collapsed) == 1 and abs(collapsed[0].skew - 16.0) < 1e-12
+    # fallback (unknown config) documents the underestimate
+    fallback = ivf_cell_stats(assigned).collect()
+    assert abs(fallback[0].skew - 1.0) < 1e-12
+
+
+def test_empty_persisted_index_roundtrips_and_searches_empty(spark, tmp_path):
+    """An empty corpus is routine at scale (fresh table, filtered-out
+    batch): save_ivf_index / save_pq_index must land a READABLE empty
+    index (partitionBy of zero rows would write no files at all), load
+    must not crash on the zero-row codebooks, and searches against the
+    empty index must return empty results with the contract schema."""
+    from stock_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        load_ivf_index,
+        load_pq_index,
+        save_ivf_index,
+        save_pq_index,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id bigint, embedding array<float>"
+    )
+
+    ivf_path = str(tmp_path / "ivf_empty")
+    save_ivf_index(ivf_index(empty), ivf_path)
+    assigned, centers = load_ivf_index(spark, ivf_path)
+    assert assigned.count() == 0 and centers == []
+
+    pq_path = str(tmp_path / "pq_empty")
+    save_pq_index(empty, pq_path, n_sub=4)
+    cells, centers2, books = load_pq_index(spark, pq_path)
+    assert cells.count() == 0 and centers2 == [] and books == []
+    out = ivfpq_topk(empty, queries, pq_path, k=3)
+    assert out.count() == 0
+    assert {"query_id", "vec_id"} <= set(out.columns)
+
+
+def test_cosine_pandas_scores_null_embedding_yields_null(spark):
+    """Parity with the JVM cosine(): a NULL vector on either side scores
+    NULL — it must not crash the Arrow worker (np.stack over None)."""
+    from stock_data_pipeline_spark.operators.similarity import (
+        cosine_pandas_scores,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 1.0], None),
+        ],
+        "pair_id long, q_emb array<double>, embedding array<double>",
+    )
+    got = {r.pair_id: r.cos_sim for r in cosine_pandas_scores(pairs).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None and got[3] is None
