@@ -36,6 +36,16 @@ from ..registry import query
 _MERSENNE_P = (1 << 31) - 1
 
 
+def canonical_fingerprint(text_col: "str | F.Column" = "text") -> F.Column:
+    """THE exact-dedup identity: md5 of the lowercased,
+    whitespace-normalized text. One definition shared by c01/c09 batch
+    dedup, the corpus prep chain (operators/sampling.py), and the
+    streaming cross-batch dedup sinks (streaming/jobs.py) — the
+    cross-pipeline dedup joins are only correct because every producer
+    uses THIS expression, so it must not be re-spelled inline."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+
+
 def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -69,7 +79,7 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew; the shuffle carries (hash, id, n_chars), not the document text.
     """
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    fp = canonical_fingerprint("text")
     return (
         docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
         .groupBy("fingerprint")
@@ -113,7 +123,7 @@ def c01_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique doc_id.
     """
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    fp = canonical_fingerprint("text")
     sized = docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
     w = Window.partitionBy("fingerprint").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -925,7 +935,7 @@ def dedup_against(
     """
     from ..functions.bloom import bloom_build, with_bloom_probe
 
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+    fp = canonical_fingerprint(text_col)
     new_fp = new_docs.withColumn("_fp", fp)
     ref_fp = reference_docs.select(fp.alias("_fp"))
     words, m_bits = bloom_build(ref_fp, "_fp")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load, register_views
 from ..functions.exact import sql_dec_sum
 from ..registry import query
+from .dedup import canonical_fingerprint
 
 # --------------------------------------------------------------------------
 # Deterministic hash bucketing (shared by split + stratified sample)
@@ -551,9 +552,7 @@ def prep_pipeline(
         F.size(tok).alias("n_tokens"),
         stopword_count(tok).alias("n_stop"),
         "n_chars",
-        F.md5(
-            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
-        ).alias("fingerprint"),
+        canonical_fingerprint("text").alias("fingerprint"),
     ).withColumn(
         "quality_score",
         trunc6(

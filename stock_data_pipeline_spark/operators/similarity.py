@@ -521,12 +521,23 @@ def assign_to_cells(
     )
 
 
-def append_ivf_batch(spark: SparkSession, new_vectors: DataFrame, path: str) -> None:
+def append_ivf_batch(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    index: "tuple[DataFrame, list[list[float]]] | None" = None,
+) -> None:
     """Incremental IVF maintenance for one ingest batch: assign the NEW
     vectors against the PERSISTED centroids (loaded once — n_cells rows)
     and append their (vec_id, cell) rows to the cell-partitioned
-    assignment table. No retraining, no rescan of existing assignments —
-    per batch the cost is one map-side argmin pass over the batch.
+    assignment table. No retraining; per batch the cost is one map-side
+    argmin pass over the batch plus one anti-join against the existing
+    assignments (vec_id is the identity, so the append is IDEMPOTENT:
+    a crash-replayed foreachBatch — at-least-once by contract — or a
+    duplicate id within the batch re-appends NOTHING, where a bare
+    append would double-count cell stats and surface the same vec_id
+    twice in search top-k).
 
     The quantizer is deliberately frozen: IVF practice retrains the
     coarse centroids OFFLINE when drift makes cells imbalanced (monitor
@@ -534,11 +545,17 @@ def append_ivf_batch(spark: SparkSession, new_vectors: DataFrame, path: str) -> 
     because retraining invalidates every existing assignment. Frozen
     centroids keep incremental assignment exactly equal to what a full
     rebuild with the same centroids would produce (asserted in tests).
+    ``index`` lets a caller that already loaded the index (the streaming
+    monitor) avoid a second load.
     """
-    _, centers = load_ivf_index(spark, path)
-    assign_to_cells(new_vectors, centers).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/assignments")
+    assigned, centers = index if index is not None else load_ivf_index(spark, path)
+    fresh = (
+        assign_to_cells(new_vectors.dropDuplicates(["vec_id"]), centers)
+        .join(assigned.select("vec_id"), "vec_id", "left_anti")
+    )
+    fresh.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/assignments"
+    )
 
 
 def ivf_cell_stats(assigned: DataFrame, *, n_cells: int | None = None) -> DataFrame:

@@ -355,8 +355,15 @@ def stream_zscore_anomalies(events: DataFrame, *, window: int = 100) -> DataFram
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
-        (buf,) = state.get if state.exists else ([],)
-        buf = list(buf)
+        from collections import deque
+
+        (buf_l,) = state.get if state.exists else ([],)
+        buf = deque(buf_l)
+        # running EXACT integer sums: maintained incrementally (add the
+        # entering tick, subtract the leaving one) — bit-identical to
+        # re-summing the ring but O(1) per row instead of O(window)
+        sv_i = sum(buf)
+        svv_i = sum(b * b for b in buf)
         batch = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
@@ -364,14 +371,18 @@ def stream_zscore_anomalies(events: DataFrame, *, window: int = 100) -> DataFram
         for row in batch.itertuples(index=False):
             v2 = math.floor(float(row.value) * 100.0 + 0.5)
             buf.append(v2)
+            sv_i += v2
+            svv_i += v2 * v2
             if len(buf) > window:
-                buf.pop(0)
+                gone = buf.popleft()
+                sv_i -= gone
+                svv_i -= gone * gone
             n = len(buf)
             if n >= 30:
                 # identical op sequence to the batch SQL: exact int sums,
                 # then the same IEEE double expressions
-                sv = float(sum(buf)) / 100.0
-                svv = float(sum(b * b for b in buf)) / 10000.0
+                sv = float(sv_i) / 100.0
+                svv = float(svv_i) / 10000.0
                 px = float(v2) / 100.0
                 mu = sv / n
                 var = (svv - sv * sv / n) / (n - 1)
@@ -385,7 +396,7 @@ def stream_zscore_anomalies(events: DataFrame, *, window: int = 100) -> DataFram
                         out["zscore"].append(
                             math.floor(z * 1000000) / 1000000
                         )
-        state.update((buf,))
+        state.update((list(buf),))
         yield pd.DataFrame(out)
 
     return events.select("event_type", "event_id", "ts", "value").groupBy(
@@ -419,19 +430,37 @@ def stream_zscore_anomalies_ordered(
     computes the watermark from the PREVIOUS batch's max event time, so
     emission lags one micro-batch behind arrival (asserted in the test
     by cutting the batch comparison at the final watermark).
+
+    Liveness: EventTimeTimeout (set to the oldest pending row) flushes a
+    key whose pending rows the watermark has passed even when the key
+    receives NO further data — under NoTimeout a key that goes quiet
+    while other keys advance the watermark would hold its confirmed
+    anomalies in state forever.
+
+    Per-tick cost: the ring's Σv and Σv² are EXACT integers maintained
+    incrementally (add entering tick, subtract leaving tick — deque for
+    the ring), bit-identical to re-summing but O(1) per row instead of
+    O(window); the floats are derived from the same integer sums as the
+    batch SQL.
     """
     import math
+    from collections import deque
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
-        p_ts, p_eid, p_v2, ring = (
-            state.get if state.exists else ([], [], [], [])
-        )
+        if state.hasTimedOut:
+            p_ts, p_eid, p_v2, ring_l = state.get
+        else:
+            p_ts, p_eid, p_v2, ring_l = (
+                state.get if state.exists else ([], [], [], [])
+            )
         pend = list(zip(p_ts, p_eid, p_v2))
-        ring = list(ring)
-        chunks = list(pdf_iter)
+        ring = deque(ring_l)
+        sv_i = sum(ring)
+        svv_i = sum(b * b for b in ring)
+        chunks = [] if state.hasTimedOut else list(pdf_iter)
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
             for row in batch.itertuples(index=False):
@@ -448,12 +477,16 @@ def stream_zscore_anomalies_ordered(
         out = {"event_id": [], "event_type": [], "ts": [], "px": [], "zscore": []}
         for ts_us, eid, v2 in ready:
             ring.append(v2)
+            sv_i += v2
+            svv_i += v2 * v2
             if len(ring) > window:
-                ring.pop(0)
+                gone = ring.popleft()
+                sv_i -= gone
+                svv_i -= gone * gone
             n = len(ring)
             if n >= 30:
-                sv = float(sum(ring)) / 100.0
-                svv = float(sum(b * b for b in ring)) / 10000.0
+                sv = float(sv_i) / 100.0
+                svv = float(svv_i) / 10000.0
                 px = float(v2) / 100.0
                 mu = sv / n
                 var = (svv - sv * sv / n) / (n - 1)
@@ -467,8 +500,15 @@ def stream_zscore_anomalies_ordered(
                         out["zscore"].append(math.floor(z * 1000000) / 1000000)
         state.update((
             [r[0] for r in pend], [r[1] for r in pend], [r[2] for r in pend],
-            ring,
+            list(ring),
         ))
+        if pend:
+            # wake this key when the watermark passes its oldest pending
+            # row, data or no data (must be strictly beyond the current
+            # watermark per the EventTimeTimeout contract)
+            state.setTimeoutTimestamp(
+                max(pend[0][0] // 1000, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(out)
 
     return events.withWatermark("ts", watermark).select(
@@ -484,7 +524,7 @@ def stream_zscore_anomalies_ordered(
             "pend_v2 array<bigint>, ring array<bigint>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -761,8 +801,12 @@ def attribute_purchases(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
 # Continuous corpus ingestion with cross-batch exact dedup
 # --------------------------------------------------------------------------
 def _norm_fingerprint(text_col: str = "text") -> F.Column:
-    """Whitespace-normalized md5 fingerprint (same key as c01/c09 dedup)."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+    """Whitespace-normalized md5 fingerprint — the SHARED definition
+    from operators/dedup.py (cross-batch dedup joins are only correct
+    while every producer fingerprints identically)."""
+    from ..operators.dedup import canonical_fingerprint
+
+    return canonical_fingerprint(text_col)
 
 
 def write_batch_deduped(
@@ -948,10 +992,17 @@ def write_batch_near_deduped(
 
 
 def _dir_has_data(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a readable parquet dataset. Catches ONLY
+    AnalysisException (path absent / empty): a transient IO or
+    permission error must FAIL the batch — swallowing it here would
+    silently probe an empty near-dup index, permanently ingesting
+    duplicates of already-landed docs into the append-only corpus."""
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(path).schema
         return True
-    except Exception:
+    except AnalysisException:
         return False
 
 
@@ -992,8 +1043,10 @@ def quotes_to_vectors(quotes: DataFrame, *, dim: int = VECTOR_DIM) -> DataFrame:
     distance.
 
     vec_id is the content hash of (Ticker, batch_time) — stable across
-    replays, so checkpoint recovery re-appends identical rows; components
-    are per-dimension hashes scaled to [0, 1).
+    replays, which is what makes the sink's vec_id anti-join idempotent
+    (a replayed batch re-derives the SAME ids and appends nothing; see
+    append_ivf_batch). Components are per-dimension hashes scaled to
+    [0, 1).
     """
     components = [
         (
@@ -1025,13 +1078,32 @@ def write_batch_ivf(
     the coarse quantizer invalidates every existing assignment, so it is
     an offline operator action (operators/similarity.py::ivf_cell_stats);
     the flag is the automation hook. Driver-side state: one aggregated
-    row per batch.
+    row per batch. The pre-append index load is SHARED by the dimension
+    check and the idempotent append (no load inside append_ivf_batch);
+    the monitor re-reads after the append because the parquet file
+    listing is captured at read time and must include the new files.
     """
-    from ..operators.similarity import append_ivf_batch, ivf_cell_stats, load_ivf_index
+    from ..operators.similarity import (
+        append_ivf_batch,
+        ivf_cell_stats,
+        load_ivf_index,
+    )
 
     spark = batch_df.sparkSession
-    append_ivf_batch(spark, batch_df, index_path)
-    assigned, centers = load_ivf_index(spark, index_path)
+    index = load_ivf_index(spark, index_path)
+    _, centers = index
+    if centers:
+        # fail FAST on a producer/index dimension mismatch: zip_with over
+        # mismatched lengths null-pads, every distance goes NULL, and the
+        # poisoned assignments would be appended permanently
+        head = batch_df.select(F.size("embedding").alias("d")).first()
+        if head is not None and head.d != len(centers[0]):
+            raise ValueError(
+                f"embedding dim {head.d} != index dim {len(centers[0])}; "
+                "refusing to append poisoned assignments"
+            )
+    append_ivf_batch(spark, batch_df, index_path, index=index)
+    assigned, _ = load_ivf_index(spark, index_path)
     agg = (
         # denominator = CONFIGURED cells: collapse into one hot cell must
         # read as skew == n_cells, not as a balanced single-cell index
@@ -1042,13 +1114,16 @@ def write_batch_ivf(
         )
         .collect()[0]
     )
+    # empty index + empty batch: a zero-row health record, not a TypeError
+    n_vectors = int(agg.n_vectors) if agg.n_vectors is not None else 0
+    max_skew = float(agg.max_skew) if agg.max_skew is not None else 0.0
     spark.createDataFrame(
         [
             (
                 int(batch_id),
-                int(agg.n_vectors),
-                float(agg.max_skew),
-                bool(agg.max_skew > skew_threshold),
+                n_vectors,
+                max_skew,
+                bool(max_skew > skew_threshold),
             )
         ],
         "batch_id BIGINT, n_vectors BIGINT, max_skew DOUBLE,"

@@ -137,3 +137,44 @@ def test_skewed_batch_flags_retrain(spark, sf_dir, tmp_path):
     assert health[0].n_vectors == 64 + 512
     assert health[0].max_skew > 4.0
     assert health[0].retrain_needed is True
+
+
+def test_replayed_ivf_batch_appends_nothing(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash-replayed micro-batch must
+    NOT duplicate (vec_id, cell) assignment rows — duplicates would
+    double-count the drift monitor's n_vectors/skew and rank the same
+    vec_id twice in search top-k. The vec_id anti-join makes the append
+    idempotent; a duplicate id WITHIN one batch is also collapsed."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "ivf_replay")
+    save_ivf_index(ivf_index(base, n_cells=4), path)
+    n0 = load_ivf_index(spark, path)[0].count()
+
+    newv = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    write_batch_ivf(newv, 1, path)
+    n1 = load_ivf_index(spark, path)[0].count()
+    assert n1 == n0 + 20
+
+    # replay the SAME batch (crash-after-write, retry-before-commit)
+    write_batch_ivf(newv, 1, path)
+    assert load_ivf_index(spark, path)[0].count() == n1
+
+    # intra-batch duplicate ids collapse too
+    write_batch_ivf(newv.unionAll(newv).filter(F.col("vec_id") == 40), 2, path)
+    assigned = load_ivf_index(spark, path)[0]
+    assert assigned.filter(F.col("vec_id") == 40).count() == 1
+
+
+def test_ivf_batch_dimension_mismatch_fails_fast(spark, sf_dir, tmp_path):
+    """A producer misconfigured to a different embedding width must be
+    REFUSED (zip_with null-pads and the poisoned assignments would land
+    permanently), not silently appended."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_dim")
+    save_ivf_index(ivf_index(emb.filter(F.col("vec_id") < 40), n_cells=4), path)
+    bad = spark.createDataFrame(
+        [(999, [0.1, 0.2, 0.3])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        write_batch_ivf(bad, 9, path)

@@ -730,18 +730,15 @@ def test_stream_zscore_ordered_correct_under_disorder(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM zscore_ord_out").collect()
     }
 
-    # the watermark visible to the LAST batch comes from the prior
-    # batches' max event time minus the delay: everything at or before
-    # that instant was flushed in order
+    # the FINAL watermark is all batches' max event time minus the delay;
+    # the EventTimeTimeout flush closes the old one-batch emission lag,
+    # so every tick the final watermark passed must be emitted — even for
+    # keys that received no rows in the last micro-batch (the liveness
+    # property the timeout exists for)
     import datetime
 
-    max_prior = (
-        events.filter(F.dayofmonth("ts") <= 22)
-        .agg(F.max("ts").alias("m"))
-        .collect()[0]
-        .m
-    )
-    cutoff = max_prior - datetime.timedelta(days=10)
+    max_all = events.agg(F.max("ts").alias("m")).collect()[0].m
+    cutoff = max_all - datetime.timedelta(days=10)
     batch = registry.full_queries()["b52_zscore_anomaly"](spark, sf_dir).collect()
     want = {
         r.event_id: (r.event_type, r.px, r.zscore)
