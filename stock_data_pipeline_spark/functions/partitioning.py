@@ -93,3 +93,32 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if _estimated_scan_partitions(df, target) >= target:
         return df
     return df.repartition(target)
+
+
+# --------------------------------------------------------------------------
+# Deterministic md5 hash bucketing — THE shared spelling for every salted
+# bucket/shard assignment (train/val/test split, source mixing, export
+# shards, interleaved read order). md5 is identical in Spark and DuckDB,
+# so assignments are engine-independent; a single drifting re-spelling of
+# the substring/conv arithmetic would silently desynchronize producers
+# (e.g. the exported shard directories vs the reader's computed shard).
+# --------------------------------------------------------------------------
+def hash_bucket(col: str, *, salt: str = "", mod: int = 100):
+    from pyspark.sql import functions as F
+
+    keyed = F.col(col).cast("string")
+    if salt:
+        keyed = F.concat(F.lit(salt), keyed)
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % mod
+    )
+
+
+def sql_hash_bucket(expr: str, *, salt: str = "", mod: int = 100) -> str:
+    keyed = (
+        f"'{salt}' || CAST({expr} AS VARCHAR)" if salt
+        else f"CAST({expr} AS VARCHAR)"
+    )
+    return (
+        f"(CAST(('0x' || substr(md5({keyed}), 1, 8)) AS BIGINT) % {mod})"
+    )

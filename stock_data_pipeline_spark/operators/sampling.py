@@ -13,11 +13,13 @@ Design rules for 100 TB:
   RNG; re-running on a re-partitioned corpus yields the identical split
   (rerun-safety the reference's WRITE_APPEND retries need).
 - Packing is partition-local greedy first-fit — bins never cross a pack
-  group, so the only shuffle is the groupBy on the (salted) group key and
+  group, so the only shuffle is the groupBy on the hashed group key and
   state per task is O(open bins), not O(corpus).
 """
 
 from __future__ import annotations
+
+import math
 
 from typing import Iterable
 
@@ -39,19 +41,10 @@ from .dedup import canonical_fingerprint
 # streams are engine-private.
 
 
-def _hash_bucket(col: str) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-
-
-def _sql_hash_bucket(expr: str) -> str:
-    return (
-        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
-        " % 100)"
-    )
+# the canonical spelling lives in functions/partitioning.py (a layer both
+# this module and sources/export.py can import); these are local aliases
+from ..functions.partitioning import hash_bucket as _hash_bucket  # noqa: E402
+from ..functions.partitioning import sql_hash_bucket as _sql_hash_bucket  # noqa: E402
 
 
 def with_split(docs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -167,29 +160,31 @@ _PACK_SCHEMA = (
 )
 
 
-def _pack_group(pdf_iter: Iterable[pd.DataFrame], budget: int):
-    """Greedy first-fit-decreasing packing of one pack group.
+def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Greedy first-fit-decreasing packing of one pack group (one pandas
+    frame in, one out — the applyInPandas per-group contract).
 
     State is the open-bin list (fill levels), O(#bins) — never the docs.
     """
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        bins: list[int] = []  # fill level per bin
-        assign: list[int] = []
-        for ntok in pdf["n_tokens"]:
-            ntok = int(ntok)
-            for i, fill in enumerate(bins):
-                if fill + ntok <= budget:
-                    bins[i] = fill + ntok
-                    assign.append(i)
-                    break
-            else:
-                bins.append(ntok)  # oversize docs get a singleton bin
-                assign.append(len(bins) - 1)
-        out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
-        out["bin_id"] = assign
-        out["bin_fill"] = [bins[i] for i in assign]
-        yield out[["doc_id", "pack_group", "bin_id", "n_tokens", "bin_fill"]]
+    pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+    bins: list[int] = []  # fill level per bin
+    assign: list[int] = []
+    for ntok in pdf["n_tokens"]:
+        # NULL text -> NULL n_tokens -> NaN in pandas; pack as a
+        # zero-token doc instead of ValueError-ing the whole task
+        ntok = 0 if pd.isna(ntok) else int(ntok)
+        for i, fill in enumerate(bins):
+            if fill + ntok <= budget:
+                bins[i] = fill + ntok
+                assign.append(i)
+                break
+        else:
+            bins.append(ntok)  # oversize docs get a singleton bin
+            assign.append(len(bins) - 1)
+    out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
+    out["bin_id"] = assign
+    out["bin_fill"] = [bins[i] for i in assign]
+    return out[["doc_id", "pack_group", "bin_id", "n_tokens", "bin_fill"]]
 
 
 def pack_sequences(
@@ -214,7 +209,7 @@ def pack_sequences(
         F.size(tokens("text")).cast("int").alias("n_tokens"),
     )
     return sized.groupBy("pack_group").applyInPandas(
-        lambda pdf: next(iter(_pack_group([pdf], budget))),
+        lambda pdf: _pack_group(pdf, budget),
         schema=_PACK_SCHEMA,
     )
 
@@ -233,7 +228,10 @@ def c09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Target keep-rates per source: the corpus-mixing move behind every
 # pretraining data recipe (upsample curated sources, downsample crawl).
-_MIX_RATES = {"web": 35, "wiki": 95, "news": 70}
+# The strata are REAL sources of the fixture corpus (src0..src19) — a
+# review found the original web/wiki/news labels matched nothing, so
+# every per-source branch was dead and only the default rate ever ran.
+_MIX_RATES = {"src0": 35, "src1": 95, "src2": 70}
 _MIX_DEFAULT = 50
 
 
@@ -245,18 +243,7 @@ def source_mix(docs: DataFrame, rates: dict[str, int], default: int) -> DataFram
     of the train/val/test assignment (an unsalted reuse would correlate:
     every kept doc would also skew toward the 'train' buckets).
     """
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    b = _hash_bucket("doc_id", salt="mix:")
     rate = F.lit(default)
     for src, r in rates.items():
         rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
@@ -264,10 +251,7 @@ def source_mix(docs: DataFrame, rates: dict[str, int], default: int) -> DataFram
 
 
 def _sql_mix_bucket() -> str:
-    return (
-        "(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))"
-        " AS BIGINT) % 100)"
-    )
+    return _sql_hash_bucket("doc_id", salt="mix:")
 
 
 @query(
@@ -283,9 +267,9 @@ def _sql_mix_bucket() -> str:
     FROM (
       SELECT source, doc_id,
              {_sql_mix_bucket()} <
-               (CASE WHEN source = 'web' THEN {_MIX_RATES['web']}
-                     WHEN source = 'wiki' THEN {_MIX_RATES['wiki']}
-                     WHEN source = 'news' THEN {_MIX_RATES['news']}
+               (CASE WHEN source = 'src0' THEN {_MIX_RATES['src0']}
+                     WHEN source = 'src1' THEN {_MIX_RATES['src1']}
+                     WHEN source = 'src2' THEN {_MIX_RATES['src2']}
                      ELSE {_MIX_DEFAULT} END) AS keep
       FROM documents
     )
@@ -295,8 +279,10 @@ def _sql_mix_bucket() -> str:
 )
 def c08_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8c: weighted source mixing — per-source keep-rates rebalance the
-    corpus toward a target domain mixture (35% web / 95% wiki / 70% news),
-    deterministically and engine-independently.
+    corpus toward a target domain mixture (35% src0 / 95% src1 / 70%
+    src2, 50% elsewhere — strata that EXIST in the corpus, so the
+    per-source branches and the achieved-rate tracking are genuinely
+    exercised), deterministically and engine-independently.
 
     The achieved_rate column pins that realized proportions track the
     targets; kept_checksum pins the exact row set. Scale: one scan, one
@@ -413,7 +399,10 @@ def shuffled(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     shuffle_key = F.md5(
         F.concat(F.lit(_SHUFFLE_SEED), F.col(key).cast("string"))
     ).alias("shuffle_key")
-    return docs.select(F.col(key), shuffle_key).orderBy("shuffle_key")
+    # keep the PAYLOAD: the production path writes this ordering out as
+    # the training corpus, and a key-only projection would force every
+    # consumer into an extra full-corpus re-join to get the text back
+    return docs.withColumn("shuffle_key", shuffle_key).orderBy("shuffle_key")
 
 
 @query(
@@ -433,8 +422,14 @@ def c08_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort on the driver); the production path (:func:`shuffled`) writes
     the full range-partitioned ordering. md5 is engine-independent, so
     the permutation is identical in Spark and the oracle, unlike
-    ``rand(seed)`` whose stream is engine-private."""
-    return shuffled(load(spark, sf_dir, "documents")).limit(100)
+    ``rand(seed)`` whose stream is engine-private. The registered
+    projection keeps the hashable columns; :func:`shuffled` itself
+    carries the full payload."""
+    return (
+        shuffled(load(spark, sf_dir, "documents"))
+        .select("doc_id", "shuffle_key")
+        .limit(100)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -639,7 +634,7 @@ def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C8e — quantile bucketization (feature discretization for training prep)
+# C8g — quantile bucketization (feature discretization for training prep)
 # --------------------------------------------------------------------------
 @query(
     "c08_quantile_bucketize",
@@ -750,13 +745,7 @@ def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any input partitioning.
     """
     docs = load(spark, sf_dir, "documents")
-    shard = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long") % _N_INTERLEAVE_SHARDS
+    shard = _hash_bucket("doc_id", salt="shard:", mod=_N_INTERLEAVE_SHARDS)
     ord_key = F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("shard").orderBy(F.asc("ord_key"), F.asc("doc_id"))
     return (
@@ -778,7 +767,7 @@ def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C8e — cross-split leakage audit (train→eval contamination)
+# C8h — cross-split leakage audit (train→eval contamination)
 # --------------------------------------------------------------------------
 # Prefix fingerprint, not whole-document: boilerplate/templated documents
 # that share an opening (the dominant leakage class in scraped corpora)
@@ -841,7 +830,7 @@ def c08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C8f — distribution drift between dataset versions (exact TV distance)
+# C8i — distribution drift between dataset versions (exact TV distance)
 # --------------------------------------------------------------------------
 _DRIFT_SQL = """
     WITH bucketed AS (
@@ -961,18 +950,7 @@ def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quality_expr(F.size(tok), _stopword_count(tok), F.col("n_chars"))
     )
     bucket = F.least(F.floor(score * 4), F.lit(3)).cast("int")
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cshard:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 8
-    ).cast("int")
+    shard = _hash_bucket("doc_id", salt="cshard:", mod=8).cast("int")
     ord_key = F.md5(F.concat(F.lit("corder:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("difficulty_bucket", "shard").orderBy(
         F.asc("ord_key"), F.asc("doc_id")
@@ -993,7 +971,7 @@ def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C8f — weighted sampling without replacement (Efraimidis–Spirakis)
+# C8j — weighted sampling without replacement (Efraimidis–Spirakis)
 # --------------------------------------------------------------------------
 _WS_SEED = "wsamp:"
 _WS_K = 100
@@ -1057,7 +1035,7 @@ def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C8g — source-mixture solver: target proportions under a token budget
+# C8k — source-mixture solver: target proportions under a token budget
 # --------------------------------------------------------------------------
 def plan_source_mix(
     docs: DataFrame,
@@ -1114,9 +1092,14 @@ def plan_source_mix(
         s: {
             "available": totals.get(s, 0),
             "allocated": alloc[s],
+            # ceil for POSITIVE allocations: round() collapses any
+            # allocation under ~0.5% of its source to rate 0 — the mix
+            # would then keep NOTHING of a source the plan allocated
+            # tokens to. Ceiling overshoots by <1% of the source, which
+            # the budget note documents; a zero allocation stays 0.
             "keep_rate_pct": (
-                min(100, round(100 * alloc[s] / totals[s]))
-                if totals.get(s, 0)
+                min(100, math.ceil(100 * alloc[s] / totals[s]))
+                if totals.get(s, 0) and alloc[s] > 0
                 else 0
             ),
         }

@@ -39,13 +39,16 @@ DEFAULT_N_SHARDS = 8
 
 
 def with_shard(docs: DataFrame, *, n_shards: int) -> DataFrame:
-    """Stable shard id in [0, n_shards): md5 of the doc_id string."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return docs.withColumn(SHARD_COL, (bucket % n_shards).cast("int"))
+    """Stable shard id in [0, n_shards): the CANONICAL md5 bucket
+    (functions/partitioning.py) salted 'shard:' — the interleaved-read
+    query computes shard ids with the same helper, so reader shards
+    correspond 1:1 to exported shard directories by construction, not
+    by two inline spellings happening to match."""
+    from ..functions.partitioning import hash_bucket
+
+    return docs.withColumn(
+        SHARD_COL, hash_bucket("doc_id", salt="shard:", mod=n_shards).cast("int")
+    )
 
 
 def export_jsonl_shards(

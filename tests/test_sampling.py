@@ -403,3 +403,60 @@ def test_plan_source_mix_waterfall(spark, sf_dir):
     for s in srcs:
         if plan[s]["allocated"]:
             assert kept.get(s, 0) > 0
+
+
+def test_source_mix_rates_actually_differentiate_strata(spark, sf_check_dir):
+    """Regression trap for dead strata: the configured per-source rates
+    must target sources that EXIST (a review found the original
+    web/wiki/news labels matched nothing, so every branch silently fell
+    to the default). Achieved rates must track each configured target
+    and differ from the default for the configured strata."""
+    from stock_data_pipeline_spark.operators.sampling import (
+        _MIX_DEFAULT,
+        _MIX_RATES,
+    )
+    from stock_data_pipeline_spark.registry import get
+
+    docs_sources = {
+        r.source
+        for r in load(spark, sf_check_dir, "documents")
+        .select("source").distinct().collect()
+    }
+    missing = set(_MIX_RATES) - docs_sources
+    assert not missing, f"configured mix strata absent from corpus: {missing}"
+
+    rates = {
+        r.source: r.achieved_rate
+        for r in get("c08_source_mix").fn(spark, sf_check_dir).collect()
+    }
+    for src, target in _MIX_RATES.items():
+        assert abs(rates[src] - target / 100.0) < 0.12, (src, rates[src])
+        if abs(target - _MIX_DEFAULT) >= 20:
+            # a stratum configured far from the default must not look
+            # like the default (the dead-branch failure mode)
+            assert abs(rates[src] - _MIX_DEFAULT / 100.0) > 0.05, src
+
+
+def test_plan_source_mix_small_allocation_keeps_nonzero_rate(spark):
+    """A source allocated a sliver of its available tokens must get a
+    POSITIVE keep rate — round() collapsed anything under ~0.5% to rate
+    0, so the mix would keep nothing of a source the plan explicitly
+    allocated tokens to. Ceiling overshoots by <1% of the source, which
+    is the documented quantization."""
+    from stock_data_pipeline_spark.operators.sampling import plan_source_mix
+
+    rows = [(i, "curated", 10_000) for i in range(10)] + [
+        (100 + i, "crawl", 100) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    plan = plan_source_mix(
+        docs, targets={"curated": 0.004, "crawl": 0.996}, token_budget=800
+    )
+    assert plan["curated"]["allocated"] > 0
+    assert plan["curated"]["keep_rate_pct"] >= 1  # was 0 with round()
+    # a genuinely zero allocation still reports rate 0
+    plan2 = plan_source_mix(
+        docs, targets={"curated": 1.0, "crawl": 0.0}, token_budget=500
+    )
+    assert plan2["crawl"]["allocated"] == 0
+    assert plan2["crawl"]["keep_rate_pct"] == 0
