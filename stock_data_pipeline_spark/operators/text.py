@@ -15,10 +15,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.exact import sql_dec_avg, sql_dec_sum, sql_trunc6, trunc6
+from ..functions.partitioning import hash_bucket, sql_hash_bucket
 from ..functions.textfns import (
     BPE_TOKEN_RE,
-    EN_STOPWORDS,
     quality_expr,
+    sql_word_shingles,
     sql_quality_expr,
     sql_stopword_count,
     sql_tokens,
@@ -43,11 +44,8 @@ from ..registry import query
         WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.03 THEN 'en'
         ELSE 'unknown'
       END AS predicted_lang,
-      {sql_trunc6('''(
-        0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-        + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)
-        + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
-      )''')} AS quality_score,
+      {sql_trunc6(sql_quality_expr('n_tokens', 'n_stop', 'n_chars'))}
+        AS quality_score,
       md5(lower(norm)) AS fingerprint,
       CAST(length(norm) AS BIGINT) AS norm_len
     FROM (
@@ -64,15 +62,12 @@ from ..registry import query
     driver=False,
 )
 def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: the per-document text-analysis panel, one driver-verified
-    representative for the whole family — token counts (whitespace + the
-    BPE-ish pre-tokenizer), quality score, language-ID heuristic, and the
-    canonical md5 fingerprint, all from ONE scan of ``documents``.
-
-    The narrower single-metric queries (c04_text_stats / quality_score /
-    lang_id / fingerprint / token_count_bpe) stay on the full surface for
-    the local oracle-parity sweep; this panel is the C4 row inside the
-    driver's 50-name verification window.
+    """C4: the per-document text-analysis panel — token counts
+    (whitespace + the BPE-ish pre-tokenizer), quality score, language-ID
+    heuristic, and the canonical md5 fingerprint, all from ONE scan of
+    ``documents``. Previously the family's driver-window row; rotated to
+    the full-surface tier (local oracle-parity sweep) as hard driver
+    coverage accumulated over the narrower C4 queries.
 
     Scale: map-only — every metric is a built-in string/array expression
     over scan columns (one tokenize pass reused by four metrics), so the
@@ -113,9 +108,9 @@ def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
         .alias("predicted_lang"),
         trunc6(
-            0.4 * F.least(n_tokens_d / 100.0, F.lit(1.0))
-            + 0.3 * (n_stop_d / F.col("n_tokens"))
-            + 0.3 * F.least(n_chars_d / F.col("n_tokens") / 10.0, F.lit(1.0))
+            quality_expr(
+                F.col("n_tokens"), F.col("n_stop"), F.col("n_chars")
+            )
         ).alias("quality_score"),
         F.md5(F.lower("norm")).alias("fingerprint"),
         F.length("norm").cast("bigint").alias("norm_len"),
@@ -142,15 +137,19 @@ def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokenization is per-row; the group-by on ``lang`` (≤ tens of
     values) is a trivially small shuffle after map-side combine.
     """
+    from ..functions.exact import dec_avg, dec_sum
+
     docs = load(spark, sf_dir, "documents")
     ntok = F.size(tokens("text"))
+    # the SHARED exact spellings (functions/exact.py), matching the
+    # oracle's sql_dec_avg/sql_dec_sum arithmetic exactly — a hand-rolled
+    # DECIMAL(18,6) sum agrees only while total*1e6 <= 2^53, which a
+    # 100 TB language bucket exceeds
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        (F.sum(ntok.cast("decimal(18,6)")).cast("double") / F.count(ntok)).alias(
-            "avg_tokens"
-        ),
-        F.sum(ntok.cast("decimal(18,0)")).cast("double").alias("total_tokens"),
+        dec_avg(ntok, 6).alias("avg_tokens"),
+        dec_sum(ntok, 0).alias("total_tokens"),
     )
 
 
@@ -248,8 +247,8 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       lang AS labeled_lang,
-      round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS en_score,
-      round(CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1), 6) AS cjk_score,
+      {sql_trunc6('CAST(n_stop AS DOUBLE) / n_tokens')} AS en_score,
+      {sql_trunc6('CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1)')} AS cjk_score,
       CASE
         WHEN CAST(n_cjk AS DOUBLE) / greatest(n_chars, 1) > 0.2 THEN 'zh'
         WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.03 THEN 'en'
@@ -291,8 +290,12 @@ def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        F.round(en_score, 6).alias("en_score"),
-        F.round(cjk_score, 6).alias("cjk_score"),
+        # trunc6, not round(6): rational quotients can land on .xxxxxx5
+        # boundaries where Spark's BigDecimal half-round and DuckDB's
+        # arithmetic round disagree (functions/exact.py documents the
+        # observed 1-in-5000 case on exactly this stopword ratio)
+        trunc6(en_score).alias("en_score"),
+        trunc6(cjk_score).alias("cjk_score"),
         F.when(cjk_score > 0.2, "zh")
         .when(en_score >= 0.03, "en")
         .otherwise("unknown")
@@ -425,13 +428,17 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Python; at 100 TB this is a map-only pass that pipelines with the
     scan."""
     c = F.col(text_col)
+    # phones are counted on the EMAIL-REDACTED intermediate — the same
+    # text the phone replacement actually runs on — so n_phones equals
+    # the number of <PHONE> placeholders in the output (a digit run
+    # inside an email address is consumed by the email pass and must not
+    # be reported as a phantom phone redaction)
+    emailless = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return docs.select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ).alias("redacted"),
+        F.regexp_replace(emailless, PHONE_RE, "<PHONE>").alias("redacted"),
         F.regexp_count(c, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count(c, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(emailless, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
     )
 
 
@@ -444,7 +451,9 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
         '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
-      CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones
+      CAST(len(regexp_extract_all(
+        regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PHONE_RE}')) AS INT) AS n_phones
     FROM documents
     """,
     driver=False,
@@ -502,8 +511,6 @@ def decontaminate(
         .filter(F.col("n_shared") >= min_shared)
     )
 
-
-from ..functions.textfns import sql_word_shingles  # noqa: E402
 
 _DECON_SH_SQL = sql_word_shingles(sql_tokens("text"), _DECON_SHINGLE_K)
 
@@ -683,15 +690,13 @@ def winnow_fingerprints(
                range(1, greatest(len(tok) - {WINNOW_K - 1}, 0) + 1),
                i -> md5(array_to_string(tok[i:i+{WINNOW_K - 1}], ' '))
              ) AS g
-      FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
+      FROM (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents)
     )
     SELECT doc_id, unnest(list_distinct(list_transform(
              range(1, greatest(len(g) - {WINNOW_W - 1}, 0) + 1),
              j -> list_min(g[j:j+{WINNOW_W - 1}])))) AS fingerprint
     FROM grams
-    """.replace(
-        "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
-    ),
+    """,
     driver=False,
 )
 def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,9 +839,8 @@ _N_FEATURE_BUCKETS = 1024
     ),
     feats AS (
       SELECT doc_id,
-             (CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
-              % {_N_FEATURE_BUCKETS}) AS bucket
-      FROM toks WHERE token <> ''
+             {sql_hash_bucket('token', mod=_N_FEATURE_BUCKETS)} AS bucket
+      FROM toks WHERE token <> ''''
     )
     SELECT doc_id,
            COUNT(*) AS n_feats,
@@ -881,11 +885,7 @@ def c04_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select(
             "doc_id",
-            (
-                F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
-                .cast("bigint")
-                % _N_FEATURE_BUCKETS
-            ).alias("bucket"),
+            hash_bucket("token", mod=_N_FEATURE_BUCKETS).alias("bucket"),
         )
     )
     scored = (

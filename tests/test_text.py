@@ -271,3 +271,25 @@ def test_boilerplate_null_text_and_regex_separator(spark):
     assert (out[2].n_lines, out[2].n_kept, out[2].cleaned) == (1, 1, "")
     assert out[1].cleaned == "a.b.a" and out[1].n_lines == 3
     assert out[3].cleaned == "x.y" and out[3].n_lines == 2
+
+
+def test_redact_pii_counts_match_placeholders(spark):
+    """n_phones must equal the <PHONE> placeholders actually in the
+    output: a digit run INSIDE an email address is consumed by the email
+    pass and must not be reported as a phantom phone redaction."""
+    from stock_data_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at 12345678901@mail.com"),
+            (2, "call +1 (555) 123-4567 or mail a@b.io"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    for r in rows.values():
+        assert r.n_phones == r.redacted.count("<PHONE>"), r
+        assert r.n_emails == r.redacted.count("<EMAIL>"), r
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 0
+    assert rows[2].n_emails == 1 and rows[2].n_phones == 1
