@@ -76,6 +76,7 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
         "c05_image_decode",
         "c05_audio_energy",
         "c05_audio_header",
+        "c05_frame_sample",
         "c05_resize_thumbnail",
     }
     for name in full_oracles():
