@@ -40,14 +40,17 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
     (no extra distinct-scan job, stable output schema — mandatory at scale)."""
     li = load(spark, sf_dir, "lineitem")
+    # ONE scan: the row count rides the same pivot aggregate (a second
+    # groupBy + join would re-scan the fact table — the b86 trap)
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(dec_sum("l_quantity"))
-        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
-        .join(
-            li.groupBy("l_returnflag").agg(F.count("*").alias("n")),
+        .agg(dec_sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+        .select(
             "l_returnflag",
+            F.col("O_qty").alias("qty_open"),
+            F.col("F_qty").alias("qty_filled"),
+            (F.col("O_n") + F.col("F_n")).alias("n"),
         )
     )
 
@@ -616,7 +619,12 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     #cohorts×#weeks.
     """
     events = load(spark, sf_dir, "events")
-    activity = events.select(
+    # user_id IS NOT NULL: the oracle's cohorts JOIN activity
+    # USING(user_id) drops NULL users, while a window partitionBy would
+    # group them into one phantom "anonymous" cohort — filter explicitly
+    # so both engines (and the semantics: cohorting is per-identity)
+    # agree even when the corpus contains anonymous events
+    activity = events.filter(F.col("user_id").isNotNull()).select(
         "user_id", F.date_trunc("week", "ts").alias("active_week")
     ).distinct()
     cohorted = activity.withColumn(
@@ -811,8 +819,6 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key; the frame is evaluated over the per-key sort with a
     sliding two-pointer, not a per-row rescan.
     """
-    from ..catalog import register_views
-
     register_views(spark, sf_dir)
     return spark.sql(_NUMERIC_RANGE_SQL)
 
@@ -846,8 +852,6 @@ def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sort. The naive formulation (groupBy total + rejoin) is two
     shuffles and a join.
     """
-    from ..catalog import register_views
-
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -960,7 +964,11 @@ def b57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with scale factor — let AQE pick its strategy
+        # (auto-broadcasts under the 32 MB threshold locally); a forced
+        # broadcast of a multi-GB dimension OOMs executors at 100 TB.
+        # nation is constant-size (25 rows): hint it.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1017,8 +1025,10 @@ def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer/supplier scale with SF — AQE decides (see b57 note);
+        # the two 25-row nation aliases stay hinted
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
