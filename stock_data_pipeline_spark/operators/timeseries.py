@@ -72,10 +72,10 @@ def flagship_event_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       date_trunc('day', ts) AS bar_date,
-      min_by(value, ts) AS open,
+      first(value ORDER BY ts, event_id) AS open,
       MAX(value) AS high,
       MIN(value) AS low,
-      max_by(value, ts) AS close,
+      last(value ORDER BY ts, event_id) AS close,
       COUNT(*) AS n_ticks,
       {sql_dec_sum('value')} AS volume
     FROM events
@@ -96,10 +96,14 @@ def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("bar_date")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        # tie-break on the unique event_id (struct ordering): two ticks
+        # sharing a timestamp must yield ONE deterministic open/close —
+        # bare min_by(value, ts) returns whichever the partial-agg merge
+        # saw first, unstable under repartitioning and engine-dependent
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
         F.count("*").alias("n_ticks"),
         dec_sum("value").alias("volume"),
     )
@@ -297,9 +301,13 @@ def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("ts"), F.asc("side"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # event_id ASC in the reversed scan so equal-ts future clicks
+    # resolve to the LARGEST event_id — the SAME tie convention as the
+    # backward carry (asc scan, last seen wins); desc here would pick
+    # the smallest, an inconsistent tie rule between the two directions
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.asc("side"), F.desc("event_id"))
+        .orderBy(F.desc("ts"), F.asc("side"), F.asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_both = (
@@ -374,15 +382,24 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice-referenced frame (the b86 CTE trap), which would scan and
     aggregate the raw stream twice.
     """
+    from pyspark import StorageLevel
+
     events = load(spark, sf_dir, "events")
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
+        # the SHARED scaled-integer sum (functions/exact.py), matching
+        # the oracle's sql_dec_sum arithmetic exactly — the naive
+        # DECIMAL(18,6) cast half-rounds differently on values like
+        # 0.0002465 (double 0.0002464999...)
         trunc6(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value")
+            dec_sum("value", 6) / F.count("value")
         ).alias("hour_avg")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist (lazy), not localCheckpoint (eager): the builder must stay
+    # a pure plan constructor — an eager checkpoint runs a full scan at
+    # PLAN BUILD time and pins stale data under the registry memo; the
+    # cache still computes the twice-referenced aggregate once
     # Spine bounds come from the hourly AGGREGATE, not a second raw scan —
     # min/max of the bucket column equal the truncated raw min/max.
     spine = (
@@ -482,7 +499,7 @@ def b30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A naive range join is O(n·m) per user (nested loop). The scalable
     formulation: clicks carry their hour bucket; each purchase PROBES the
-    two buckets its 1-hour window can touch (posexplode), so the range
+    two buckets its 1-hour window can touch (explode), so the range
     condition rides on an EQUI-join (user_id, bucket) — shuffle-hash-able,
     AQE-skew-splittable — with the interval predicate folded into the join
     condition (not a post-filter, preserving left-outer zero rows). Each
@@ -503,12 +520,12 @@ def b30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.posexplode(
+        F.explode(
             F.array(
                 F.date_trunc("hour", "ts"),
                 F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")),
             )
-        ).alias("probe_idx", "c_bucket"),
+        ).alias("c_bucket"),
     )
     joined = probes.join(
         clicks,
@@ -618,14 +635,50 @@ def with_indicators(events: DataFrame) -> DataFrame:
 EMA_TRUNC_WINDOW = 150  # (1-α)^150 ≈ 2.9e-15 at α=0.2: below double ulp
 
 
+def _ema_trunc_window(alpha: float) -> int:
+    """Window length where the truncated tail weight (1-α)^W drops below
+    double ulp (~1e-15) — DERIVED from alpha, because a fixed 150 is
+    calibrated for α=0.2 only: at α=0.01, (0.99)^150 ≈ 0.22 would
+    silently discard 22% of the weight mass."""
+    import math as _math
+
+    c = 1.0 - alpha
+    if c <= 0.0:
+        return 1
+    return max(1, _math.ceil(_math.log(1e-15) / _math.log(c)))
+
+
+def _ema_windowed_fold(col: str, w: Window, alpha: float) -> F.Column:
+    """Adjust-corrected EMA as a truncated-window weighted fold (shared
+    by ema_windowed and with_indicators_windowed — one copy of the
+    weight-ladder arithmetic). NULL-safe: collect_list skips nulls, so a
+    frame with no non-null values gives n=0, guarded to NULL instead of
+    an illegal sequence(-1, 0, -1)."""
+    c = 1.0 - alpha
+    hist = F.collect_list(col).over(w)
+    n = F.size(hist)
+    weights = F.transform(
+        F.sequence(n - F.lit(1), F.lit(0), F.lit(-1)),
+        lambda i: F.pow(F.lit(c), i.cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with(hist, weights, lambda x, p: x * p),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda acc, p: acc + p)
+    return F.when(n > 0, num / den)
+
+
 def ema_windowed(events: DataFrame, *, alpha: float = EMA_ALPHA) -> DataFrame:
     """JVM-only EMA twin: truncated-window weighted sum, no Python workers.
 
     The adjust-corrected EMA is ema_t = Σᵢ(1-α)ⁱ·x_{t-i} / Σᵢ(1-α)ⁱ; at
     α=0.2 the weight of lag 150 is ~2.9e-15, below double precision
-    relative to the head of the sum, so a 150-row window is exact to
-    ~1e-12 absolute (and EXACT for rows with fewer than 150 predecessors,
-    i.e. every series shorter than the window). Formulation:
+    relative to the head of the sum, so the window — DERIVED from alpha
+    via ``_ema_trunc_window`` (150 at α=0.2, longer for smaller α) — is
+    exact to ~1e-12 absolute (and EXACT for rows with fewer predecessors
+    than the window, i.e. every series shorter than it). Formulation:
     ``collect_list`` over the ordered frame, then a higher-order
     ``zip_with``/``aggregate`` fold against the weight ladder — all
     whole-stage-codegen-eligible expressions, zero Python.
@@ -641,27 +694,17 @@ def ema_windowed(events: DataFrame, *, alpha: float = EMA_ALPHA) -> DataFrame:
     not the fast path. Both are asserted equal to the pandas ``ewm``
     ground truth.
     """
-    c = 1.0 - alpha
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.asc("ts"), F.asc("event_id"))
-        .rowsBetween(-(EMA_TRUNC_WINDOW - 1), 0)
+        .rowsBetween(-(_ema_trunc_window(alpha) - 1), 0)
     )
-    hist = F.collect_list("value").over(w)  # frame order: oldest → current
-    n = F.size(hist)
-    # weights [(1-α)^(n-1), ..., (1-α)^0] aligned with hist's order
-    weights = F.transform(
-        F.sequence(n - F.lit(1), F.lit(0), F.lit(-1)),
-        lambda i: F.pow(F.lit(c), i.cast("double")),
-    )
-    num = F.aggregate(
-        F.zip_with(hist, weights, lambda x, p: x * p),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    den = F.aggregate(weights, F.lit(0.0), lambda acc, p: acc + p)
     return events.select(
-        "user_id", "event_id", "ts", "value", (num / den).alias("ema")
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        _ema_windowed_fold("value", w, alpha).alias("ema"),
     )
 
 
@@ -719,24 +762,12 @@ def with_indicators_windowed(events: DataFrame) -> DataFrame:
     ema_w = key.rowsBetween(-(EMA_TRUNC_WINDOW - 1), 0)
     rsi_w = key.rowsBetween(-(RSI_TRUNC_WINDOW - 1), 0)
 
-    c = 1.0 - EMA_ALPHA
-    hist = F.collect_list("value").over(ema_w)
-    n = F.size(hist)
-    weights = F.transform(
-        F.sequence(n - F.lit(1), F.lit(0), F.lit(-1)),
-        lambda i: F.pow(F.lit(c), i.cast("double")),
-    )
-    num = F.aggregate(
-        F.zip_with(hist, weights, lambda x, p: x * p),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    den = F.aggregate(weights, F.lit(0.0), lambda acc, p: acc + p)
+    ema = _ema_windowed_fold("value", ema_w, EMA_ALPHA)
 
     delta = F.col("value") - F.lag("value").over(key)
     base = events.select("user_id", "event_id", "ts", "value").withColumns(
         {
-            "ema": num / den,
+            "ema": ema,
             # keep the first row's delta NULL: greatest(NULL, 0.0) is 0.0
             # in Spark, which would inject a spurious 0-gain seed —
             # collect_list must skip the warm-up row like pandas skips NaN

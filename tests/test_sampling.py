@@ -460,3 +460,45 @@ def test_plan_source_mix_small_allocation_keeps_nonzero_rate(spark):
     )
     assert plan2["crawl"]["allocated"] == 0
     assert plan2["crawl"]["keep_rate_pct"] == 0
+
+
+def test_ema_windowed_alpha_derived_window_and_null_guard(spark, sf_dir):
+    """The JVM-only EMA fallback must (a) match pandas ewm for a SMALL
+    alpha — the fixed 150-row window it used to hardcode would discard
+    ~22% of the weight mass at alpha=0.01 — and (b) survive a leading
+    NULL value (empty collect_list frame -> guarded NULL, not an illegal
+    sequence(-1, 0, -1))."""
+    import datetime as dt
+
+    from stock_data_pipeline_spark.operators.timeseries import (
+        _ema_trunc_window,
+        ema_windowed,
+    )
+
+    assert _ema_trunc_window(0.2) >= 150
+    assert _ema_trunc_window(0.01) > 3000  # window grows as alpha shrinks
+
+    events = load(spark, sf_dir, "events")
+    got = {r.event_id: r.ema for r in ema_windowed(events, alpha=0.01).collect()}
+    pdf = (
+        events.select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref = pdf.groupby("user_id")["value"].transform(
+        lambda x: x.ewm(alpha=0.01, adjust=True).mean()
+    )
+    assert max(
+        abs(got[e] - r) for e, r in zip(pdf["event_id"], ref)
+    ) < 1e-9
+
+    # leading-NULL frame: first row's EMA is NULL, later rows recover
+    nully = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2024, 1, 1), None),
+            (1, 11, dt.datetime(2024, 1, 2), 5.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    rows = {r.event_id: r.ema for r in ema_windowed(nully).collect()}
+    assert rows[10] is None and rows[11] == pytest.approx(5.0)
