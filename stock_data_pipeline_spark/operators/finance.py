@@ -33,6 +33,12 @@ from ..registry import query
 
 # Daily close bars shared by the returns/drawdown queries. max_by on the
 # tick timestamp = "last trade of the day"; one shuffle at O(#bars).
+# Known limitation: ties on ts resolve arbitrarily — these texts must be
+# valid in BOTH SQL dialects, and no shared spelling expresses a
+# struct/ordered tie-break (Spark max_by(struct) vs DuckDB ordered
+# last() are mutually untranslatable). The registered B3 bars
+# (operators/timeseries.py b03_ohlcv_bars) carry the deterministic
+# event_id tie-break; the fixture has no equal-ts ticks.
 _DAILY_BARS = """
     SELECT event_type,
            date_trunc('day', ts) AS bar_date,
@@ -152,14 +158,17 @@ def _hourly_series_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     session. A job that mutates the events source mid-session must call
     ``invalidate_hourly_series`` (mirroring ``result_cache.invalidate``)
     before re-querying, or it will be served the stale series."""
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)  # same identity rule as registry._memoized
     try:
         per_session = _SERIES_MEMO.setdefault(spark, {})
     except TypeError:
         per_session = {}
-    if sf_dir not in per_session:
+    if key not in per_session:
         register_views(spark, sf_dir)
-        per_session[sf_dir] = spark.sql(_HOURLY_SERIES).localCheckpoint()
-    return per_session[sf_dir]
+        per_session[key] = spark.sql(_HOURLY_SERIES).localCheckpoint()
+    return per_session[key]
 
 
 def invalidate_hourly_series(
@@ -168,7 +177,27 @@ def invalidate_hourly_series(
     """Drop the memoized hourly-series checkpoint for ``sf_dir`` (or for
     ALL sf_dirs when None) so the next b51/b53/b88 call rebuilds it from
     the current source data. Returns whether anything was dropped — the
-    hook an ingest job calls after landing a batch that touches events."""
+    hook an ingest job calls after landing a batch that touches events.
+
+    Also purges the REGISTRY plan memo for the three consuming queries:
+    their memoized plans are bound to the dropped checkpoint, so without
+    this the registered path would keep serving the stale series even
+    after the checkpoint memo is cleared. Dropped checkpoints are
+    unpersisted (best-effort) so executor blocks free now rather than at
+    some future GC.
+    """
+    import os as _os
+
+    from ..registry import invalidate_plans
+
+    _CONSUMERS = {"b51_pairwise_corr", "b53_market_beta", "b88_pairs_spread"}
+
+    def _free(df):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
     try:
         per_session = _SERIES_MEMO.get(spark)
     except TypeError:  # unhashable session object (same guard as the memo)
@@ -177,9 +206,17 @@ def invalidate_hourly_series(
         return False
     if sf_dir is None:
         dropped = bool(per_session)
+        for df in per_session.values():
+            _free(df)
         per_session.clear()
+        invalidate_plans(spark, None, _CONSUMERS)
         return dropped
-    return per_session.pop(sf_dir, None) is not None
+    df = per_session.pop(_os.path.abspath(sf_dir), None)
+    if df is None:
+        return False
+    _free(df)
+    invalidate_plans(spark, sf_dir, _CONSUMERS)
+    return True
 
 
 _B51_BODY = f"""
@@ -327,12 +364,19 @@ _B53_ORACLE = (
 _B56_SQL = f"""
     WITH bars AS ({_DAILY_BARS}),
     rets AS (
+      -- lag over ALL bars, THEN the penny guard on BOTH endpoints: a
+      -- pre-window filter would make returns BRIDGE excluded days,
+      -- reporting a multi-day move as one daily return
       SELECT event_type, bar_date,
-             CAST(FLOOR((close / lag(close) OVER w - 1) * 10000.0
+             CAST(FLOOR((close / prev - 1) * 10000.0
                         + 0.5) AS DECIMAL(18,0)) AS r4
-      FROM bars
-      WHERE close >= 1.0
-      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+      FROM (
+        SELECT event_type, bar_date, close,
+               lag(close) OVER (PARTITION BY event_type
+                                ORDER BY bar_date) AS prev
+        FROM bars
+      )
+      WHERE close >= 1.0 AND prev >= 1.0
     ),
     win AS (
       SELECT event_type, bar_date,
@@ -431,14 +475,17 @@ def b61_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B61_SQL)
 
 
-_B62_SQL = """
-    WITH bars AS (
-      SELECT event_type, date_trunc('day', ts) AS bar_date,
-             min_by(value, ts) AS open, MAX(value) AS high,
-             MIN(value) AS low, max_by(value, ts) AS close
-      FROM events
-      GROUP BY event_type, date_trunc('day', ts)
-    ),
+_OHLC_BARS = """
+    SELECT event_type, date_trunc('day', ts) AS bar_date,
+           min_by(value, ts) AS open, MAX(value) AS high,
+           MIN(value) AS low, max_by(value, ts) AS close
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+_B62_SQL = f"""
+    WITH bars AS ({_OHLC_BARS}),
     lagged AS (
       SELECT event_type, bar_date, open, high, low, close,
              lag(open) OVER w AS p_open,
@@ -482,15 +529,6 @@ def b62_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # OHLC daily bars shared by the indicator queries (b62's bar CTE).
-_OHLC_BARS = """
-    SELECT event_type, date_trunc('day', ts) AS bar_date,
-           min_by(value, ts) AS open, MAX(value) AS high,
-           MIN(value) AS low, max_by(value, ts) AS close
-    FROM events
-    GROUP BY event_type, date_trunc('day', ts)
-"""
-
-
 _B78_SQL = f"""
     WITH bars AS ({_DAILY_BARS}),
     k AS (
@@ -602,10 +640,10 @@ _B80_SQL = f"""
     SELECT event_type, bar_date, pct_k,
            floor(CAST(SUM(CAST(FLOOR(pct_k * 10000.0 + 0.5)
                                AS DECIMAL(18,0))) OVER u AS DOUBLE)
-                 / (10000.0 * COUNT(*) OVER u) * 1000000) / 1000000
+                 / (10000.0 * COUNT(pct_k) OVER u) * 1000000) / 1000000
              AS pct_d,
-           pct_k > 80.0 AS overbought,
-           pct_k < 20.0 AS oversold
+           COALESCE(pct_k > 80.0, FALSE) AS overbought,
+           COALESCE(pct_k < 20.0, FALSE) AS oversold
     FROM k
     WINDOW u AS (PARTITION BY event_type ORDER BY bar_date
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -675,18 +713,18 @@ def b81_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spelled `percentile` in Spark and `quantile_cont` in DuckDB (the
 # b15_exact_percentiles parity pair).
 _B82_BODY = """
-    WITH bars AS (
-      SELECT event_type, date_trunc('day', ts) AS bar_date,
-             max_by(value, ts) AS close
-      FROM events
-      GROUP BY event_type, date_trunc('day', ts)
-    ),
+    WITH bars AS (""" + _DAILY_BARS + """),
     rets AS (
+      -- endpoint guard AFTER the lag: see b56 (no gap-bridged returns)
       SELECT event_type, bar_date,
-             floor((close / lag(close) OVER w - 1) * 1000000) / 1000000 AS r
-      FROM bars
-      WHERE close >= 1.0
-      WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+             floor((close / prev - 1) * 1000000) / 1000000 AS r
+      FROM (
+        SELECT event_type, bar_date, close,
+               lag(close) OVER (PARTITION BY event_type
+                                ORDER BY bar_date) AS prev
+        FROM bars
+      )
+      WHERE close >= 1.0 AND prev >= 1.0
     ),
     scored AS (
       SELECT event_type, r,
@@ -733,14 +771,19 @@ def b82_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _B83_SQL = f"""
     WITH series AS ({_HOURLY_SERIES}),
     rets AS (
+      -- endpoint guard AFTER the lag: see b56 (no gap-bridged returns)
       SELECT event_type, bucket,
              date_trunc('day', bucket) AS trade_date,
              CAST(FLOOR(least(greatest(
-                    px / nullif(lag(px) OVER w, 0) - 1, -1.0), 1.0)
+                    px / prev - 1, -1.0), 1.0)
                   * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS r6
-      FROM series
-      WHERE px >= 1.0
-      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+      FROM (
+        SELECT event_type, bucket, px,
+               lag(px) OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS prev
+        FROM series
+      )
+      WHERE px >= 1.0 AND prev >= 1.0
     )
     SELECT event_type, trade_date,
            COUNT(r6) AS n_rets,
@@ -929,7 +972,7 @@ _B87_SQL = f"""
     ),
     rets AS (
       SELECT event_type, month,
-             floor((last_close / nullif(first_close, 0) - 1) * 1000000)
+             floor((last_close / first_close - 1) * 1000000)
                / 1000000 AS mom_return
       FROM monthly
       WHERE first_close >= 1.0

@@ -69,6 +69,35 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
     return wrapper
 
 
+def invalidate_plans(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    names: "set[str] | None" = None,
+) -> int:
+    """Drop memoized plans for ``sf_dir`` (all when None) / ``names``
+    (all when None); returns how many were dropped. The hook an operator
+    with its OWN materialization memo (e.g. the finance hourly-series
+    checkpoint) must call when it invalidates — otherwise the registry
+    keeps serving the plan bound to the dropped materialization and the
+    staleness it was meant to purge survives."""
+    try:
+        per_session = _PLAN_MEMO.get(spark)
+    except TypeError:
+        return 0
+    if not per_session:
+        return 0
+    sf_key = os.path.abspath(sf_dir) if sf_dir is not None else None
+    doomed = [
+        k
+        for k in per_session
+        if (sf_key is None or k[0] == sf_key)
+        and (names is None or k[1] in names)
+    ]
+    for k in doomed:
+        per_session.pop(k, None)
+    return len(doomed)
+
+
 @dataclass(frozen=True)
 class RegisteredQuery:
     name: str
