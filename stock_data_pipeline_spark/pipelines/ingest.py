@@ -130,18 +130,25 @@ class IngestPipeline:
                 num_partitions=self.spec.num_fetch_partitions,
             )
 
-        obs = Observation(f"{self.spec.name}_batch")
+        import uuid
+
+        # unique per run: two concurrent batches of the same spec (e.g.
+        # two pipeline instances over different sink roots on one
+        # session) must not cross-capture each other's metrics — Spark
+        # matches observations by NAME at query completion
+        obs = Observation(f"{self.spec.name}_batch_{uuid.uuid4().hex[:8]}")
         fetched = fetched.observe(
             obs,
             F.count(F.lit(1)).alias("n_fetched"),
             F.count(F.col("fetch_error")).alias("n_quarantined"),
         )
-        # Persist before the two sink actions: the ok-write and the
-        # quarantine-write would otherwise each re-execute the mapInPandas
-        # fetch — with a real (nondeterministic, networked) fetcher the two
-        # passes could disagree on the ok/quarantine split, double-writing
-        # or dropping a row, and every symbol would be fetched twice.
-        fetched = fetched.persist()
+        # EAGER lineage cut before the two sink actions: a lazy persist
+        # would re-execute the mapInPandas fetch if cached blocks are
+        # lost (executor death) — with a real nondeterministic fetcher
+        # the recomputed pass can disagree on the ok/quarantine split and
+        # silently drop a row between the two writes. localCheckpoint
+        # materializes ONCE and fails loudly if its blocks vanish.
+        fetched = fetched.localCheckpoint(eager=True)
         try:
             ok = fetched.filter(F.col("fetch_error").isNull()).drop(
                 "fetch_error"
@@ -160,10 +167,13 @@ class IngestPipeline:
             )
             # Quarantine is observable, append-only, and carries the error —
             # the anti-silent-drop counterpart of the reference's bare except
-            # (stock_data_to_gcp.py:48-50).
-            bad.write.mode("append").parquet(self.quarantine_path)
-
+            # (stock_data_to_gcp.py:48-50). Metrics are final after the
+            # ok-write's action, so the quarantine job is SKIPPED in the
+            # common clean-batch case (at a 120 s cadence, ~720 empty
+            # append jobs a day otherwise).
             m = obs.get
+            if int(m["n_quarantined"]) > 0:
+                bad.write.mode("append").parquet(self.quarantine_path)
         finally:
             fetched.unpersist()
         return BatchMetrics(
@@ -191,10 +201,13 @@ class IngestPipeline:
         (``on_retry(attempt, exc)`` observes each), then call
         ``on_failure(exc, spec_name, batch_time)`` — the alert hook where
         the reference sends email — and re-raise. The retry is safe
-        because the batch write is append-per-run and repaired by the
-        key-dedup read (``read_sink_deduped``): a partial append before a
-        crash is deduplicated, not double-counted.
+        because BOTH writes are append-per-run and repaired by key-dedup
+        reads (``read_sink_deduped`` / ``read_quarantine_deduped``): a
+        partial append before a crash is deduplicated, not
+        double-counted.
         """
+        if retries < 0:
+            raise ValueError(f"retries must be >= 0, got {retries}")
         last: Exception | None = None
         for attempt in range(retries + 1):
             try:
@@ -213,6 +226,18 @@ class IngestPipeline:
 
     def read_quarantine(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.quarantine_path)
+
+    def read_quarantine_deduped(self, spark: SparkSession) -> DataFrame:
+        """Retry-repaired quarantine view: like the sink, the quarantine
+        is append-per-run, so a batch that crashed AFTER its quarantine
+        write and was retried appends its failed rows twice — alerting
+        built on raw counts would double-fire. Same natural-key dedup as
+        ``read_sink_deduped``."""
+        time_col = schemas.SINK_SCHEMAS[self.spec.name].fields[0].name
+        keys = [time_col, "Ticker"]
+        if self.spec.news_shaped:
+            keys.append("Title")
+        return self.read_quarantine(spark).dropDuplicates(keys)
 
     def read_sink_deduped(self, spark: SparkSession) -> DataFrame:
         """Rerun-repair view (B11): retried batches may double-append
@@ -252,6 +277,12 @@ class IngestPipeline:
         untouched.
         """
         time_col = schemas.SINK_SCHEMAS[self.spec.name].fields[0].name
+        # accept sink-derived frames directly: read_sink_day keeps the
+        # ingest_date partition column, which is recomputed below anyway
+        # — without this drop the documented read->fix->write repair flow
+        # fails schema enforcement on an 'extra' column
+        if "ingest_date" in df.columns:
+            df = df.drop("ingest_date")
         enforced = enforce_schema(df, schemas.SINK_SCHEMAS[self.spec.name])
         day_df = enforced.withColumn(
             "ingest_date", F.to_date(F.col(time_col))
@@ -261,6 +292,18 @@ class IngestPipeline:
         # the very files it is deleting — FILE_NOT_EXIST mid-job. Cut the
         # lineage first; one day of rows is the bounded repair unit.
         day_df = day_df.localCheckpoint(eager=True)
+        if day_df.limit(1).count() == 0:
+            # dynamic overwrite of ZERO partitions deletes nothing: the
+            # "repair" would silently leave the bad day in place while
+            # reporting success. A repair frame with no rows on the
+            # target day is an operator error (wrong day, tz-shifted
+            # timestamps, over-aggressive fix filter) — say so.
+            raise ValueError(
+                f"backfill_day({day!r}): repair frame contains no rows for "
+                f"that day — nothing would be overwritten; check the "
+                f"{time_col} values (day-wipes need an explicit delete, "
+                f"not an empty overwrite)"
+            )
         (
             day_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -220,3 +220,63 @@ def test_transient_failure_recovers_within_retries(spark, tmp_path):
     assert m.n_ok == 5
     assert attempts == [0]
     assert alerts == []
+
+
+def test_spec_fields_match_sink_schemas():
+    """PipelineSpec.fields and schemas.SINK_SCHEMAS declare the measure
+    columns twice; drift between them only surfaces as a runtime schema
+    mismatch mid-batch. Pin the agreement here instead."""
+    from stock_data_pipeline_spark import schemas
+    from stock_data_pipeline_spark.pipelines.ingest import (
+        RATIO_SPEC,
+        STATEMENT_SPEC,
+        TICKER_SPEC,
+    )
+
+    for spec in (TICKER_SPEC, RATIO_SPEC, STATEMENT_SPEC):
+        declared = tuple(
+            f.name for f in schemas.SINK_SCHEMAS[spec.name].fields[2:]
+        )
+        assert spec.fields == declared, spec.name
+
+
+def test_backfill_day_accepts_sink_frames_and_rejects_empty(spark, tmp_path):
+    """The documented read->fix->write repair flow must work with
+    read_sink_day output verbatim (ingest_date is recomputed), and an
+    empty repair frame must FAIL LOUDLY instead of silently leaving the
+    bad day in place (dynamic overwrite of zero partitions deletes
+    nothing)."""
+    import pytest as _pytest
+
+    from stock_data_pipeline_spark.pipelines.ingest import (
+        TICKER_SPEC,
+        IngestPipeline,
+    )
+
+    p = IngestPipeline(TICKER_SPEC, str(tmp_path), symbols=SYMBOLS[:5])
+    p.run_batch(spark, datetime(2024, 3, 2, 9, 30))
+    day = "2024-03-02"
+
+    from pyspark.sql import functions as F
+
+    fixed = p.read_sink_day(spark, day).withColumn(
+        "Price", F.col("Price") * 0 + 1.0
+    )
+    p.backfill_day(fixed, day)  # ingest_date column accepted, not rejected
+    assert {r.Price for r in p.read_sink_day(spark, day).collect()} == {1.0}
+
+    with _pytest.raises(ValueError, match="no rows"):
+        p.backfill_day(fixed.filter(F.lit(False)), day)
+
+
+def test_retry_negative_retries_rejected(spark):
+    from stock_data_pipeline_spark.pipelines.ingest import (
+        TICKER_SPEC,
+        IngestPipeline,
+    )
+
+    p = IngestPipeline(TICKER_SPEC, "/tmp/never-used", symbols=SYMBOLS[:2])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retries"):
+        p.run_batch_with_retry(spark, datetime(2024, 1, 2), retries=-1)
