@@ -25,6 +25,7 @@ ALLOWED_MULTI_SCAN = {
     "b12_set_ops": "set ops over differently-filtered slices",
     "b15_hll_union": "comparative by design: sketch-of-partials vs direct sketch over the same rows",
     "b20_pivot": "pivot value discovery (Spark runs a values scan) + the pivot aggregate",
+    "b28_gap_fill": "ONE physical scan at runtime: the hourly aggregate is a lazy persist() shared by spine and join, and the plan TEXT prints the cached relation's parquet provenance under each InMemoryTableScan (an eager localCheckpoint would hide it but runs a job at plan-build time)",
     "b30_range_join": "clicks and purchases are two logical relations stored in one table (filter-pruned scans)",
     "b71_q17_small_quantity": "per-part AVG threshold: 2 pruned scans beat a full fact shuffle (the window form would sort the raw facts)",
     "b73_q21_waiting_supplier": "EXISTS + NOT EXISTS genuinely probe lineitem as separate relations (every engine's Q21 does)",
