@@ -102,4 +102,8 @@ def test_hourly_series_memo_invalidation(spark, sf_dir):
     # path-spelling variants resolve to one identity (abspath key)
     alias = sf_dir.rstrip("/") + "/."
     assert invalidate_hourly_series(spark, alias) is True
-    assert invalidate_hourly_series(spark) is False  # nothing left
+    # drop-all arm: other suites may have populated OTHER sf_dirs in the
+    # shared session memo, so only assert it leaves nothing behind for
+    # THIS sf_dir (the global return value is order-dependent)
+    invalidate_hourly_series(spark)
+    assert invalidate_hourly_series(spark, sf_dir) is False
