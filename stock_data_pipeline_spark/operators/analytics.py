@@ -175,7 +175,7 @@ LIMIT 10
 """
 
 
-@query("b24_sql_api", oracle=_Q3_SQL)
+@query("b24_sql_api", oracle=_Q3_SQL, driver=False)
 def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the engine's tables as temp views + ANSI SQL
     through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
@@ -891,7 +891,6 @@ def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN bounds b USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     """,
-    driver=False,
 )
 def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B55: per-group winsorized mean — cap values at the group's exact

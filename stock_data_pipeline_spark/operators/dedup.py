@@ -68,6 +68,7 @@ def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     FROM documents
     GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
     """,
+    driver=False,
 )
 def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: exact dedup — group by content hash, keep the smallest doc_id.
@@ -109,7 +110,6 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) WHERE rn = 1
     """,
-    driver=False,
 )
 def c01_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1b: exact dedup with a QUALITY keeper rule — within each content
@@ -213,7 +213,6 @@ _PRUNE_MAX_DF = 20
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
     """,
-    driver=False,
 )
 def c02_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2a at scale: the SAME inverted-index Jaccard with the
@@ -714,6 +713,7 @@ _CLOSURE_CTE = f"""
     + """
     SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
     """,
+    driver=False,
 )
 def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2e: connected components over the exact near-dup pairs — the
@@ -864,6 +864,7 @@ def duplicate_span_stats(docs: DataFrame, *, window: int = SPAN_TOKENS) -> DataF
     """.replace(
         "{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"
     ),
+    driver=False,
 )
 def c02_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2f: exact duplicated-span detection — per-doc count and fraction

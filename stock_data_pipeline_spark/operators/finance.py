@@ -71,7 +71,7 @@ _B49_SQL = f"""
 """
 
 
-@query("b49_daily_returns", oracle=_B49_SQL, driver=False)
+@query("b49_daily_returns", oracle=_B49_SQL)
 def b49_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B49: daily simple returns + cumulative return since inception.
 
@@ -115,7 +115,7 @@ _B50_SQL = f"""
 """
 
 
-@query("b50_drawdown", oracle=_B50_SQL, driver=False)
+@query("b50_drawdown", oracle=_B50_SQL)
 def b50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B50: maximum drawdown per instrument, with the trough row.
 
@@ -249,7 +249,7 @@ _B51_ORACLE = (
 )
 
 
-@query("b51_pairwise_corr", oracle=_B51_ORACLE, driver=False)
+@query("b51_pairwise_corr", oracle=_B51_ORACLE)
 def b51_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B51: pairwise price correlation matrix (upper triangle).
 
@@ -305,7 +305,7 @@ _B52_SQL = """
 """
 
 
-@query("b52_zscore_anomaly", oracle=_B52_SQL, driver=False)
+@query("b52_zscore_anomaly", oracle=_B52_SQL)
 def b52_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52: rolling z-score spike detection over the raw tick stream.
 
@@ -421,7 +421,7 @@ def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B56_SQL)
 
 
-@query("b53_market_beta", oracle=_B53_ORACLE, driver=False)
+@query("b53_market_beta", oracle=_B53_ORACLE)
 def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: per-instrument beta/alpha vs the equal-weight market index.
 
@@ -560,7 +560,7 @@ _B78_SQL = f"""
 """
 
 
-@query("b78_bollinger", oracle=_B78_SQL)
+@query("b78_bollinger", oracle=_B78_SQL, driver=False)
 def b78_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B78: Bollinger bands (5-day mean ± 2σ) with breakout flags.
 
@@ -603,7 +603,7 @@ _B79_SQL = f"""
 """
 
 
-@query("b79_atr", oracle=_B79_SQL)
+@query("b79_atr", oracle=_B79_SQL, driver=False)
 def b79_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B79: Average True Range (5-day simple mean of the true range).
 
@@ -650,7 +650,7 @@ _B80_SQL = f"""
 """
 
 
-@query("b80_stochastic", oracle=_B80_SQL)
+@query("b80_stochastic", oracle=_B80_SQL, driver=False)
 def b80_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B80: stochastic oscillator — %K over a 7-day high/low channel and
     the 3-day %D smoothing, with overbought/oversold flags.
@@ -692,7 +692,7 @@ _B81_SQL = """
 """
 
 
-@query("b81_obv", oracle=_B81_SQL)
+@query("b81_obv", oracle=_B81_SQL, driver=False)
 def b81_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B81: on-balance volume — the cumulative sum of volume signed by
     the day's price direction. Adaptation: the events feed carries no
@@ -748,6 +748,7 @@ _B82_BODY = """
 @query(
     "b82_var_cvar",
     oracle=_B82_BODY.replace("{PCTL}", "quantile_cont(r, 0.05)"),
+    driver=False,
 )
 def b82_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B82: historical 95% Value-at-Risk and conditional VaR (expected
@@ -795,7 +796,7 @@ _B83_SQL = f"""
 """
 
 
-@query("b83_realized_vol", oracle=_B83_SQL)
+@query("b83_realized_vol", oracle=_B83_SQL, driver=False)
 def b83_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B83: daily realized volatility — sqrt of the sum of squared
     intraday (hourly) returns, the standard high-frequency vol
@@ -840,7 +841,7 @@ _B84_SQL = f"""
 """
 
 
-@query("b84_up_streaks", oracle=_B84_SQL)
+@query("b84_up_streaks", oracle=_B84_SQL, driver=False)
 def b84_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B84: longest run of consecutive up-days per instrument — the
     gaps-and-islands pattern (b54's SCD machinery pointed at momentum
@@ -934,7 +935,7 @@ _B86_SQL = f"""
 """
 
 
-@query("b86_seasonal_decompose", oracle=_B86_SQL)
+@query("b86_seasonal_decompose", oracle=_B86_SQL, driver=False)
 def b86_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B86: additive seasonal decomposition of the hourly series —
     px = trend + seasonal + residual, the pre-processing step behind any

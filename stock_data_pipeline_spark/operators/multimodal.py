@@ -149,7 +149,6 @@ def sample_frames(docs: DataFrame) -> DataFrame:
              AS frame_sha256
     FROM f WHERE idx % 4 = 0
     """,
-    driver=False,
 )
 def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling over opaque media payloads — every 4th 16-byte
@@ -796,7 +795,7 @@ _AUDIO_ORACLE = f"""
 """
 
 
-@query("c05_audio_energy", oracle=_AUDIO_ORACLE)
+@query("c05_audio_energy", oracle=_AUDIO_ORACLE, driver=False)
 def c05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5d: audio-style windowed RMS energy — the DSP feature-extraction
     plumbing (frame → energy → aggregate) in Arrow-batched Python.
@@ -895,7 +894,8 @@ def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            WHEN 1 THEN 1000 + doc_id % 997 ELSE 1152 END AS BIGINT)
         AS n_frames
     FROM documents
-    """
+    """,
+    driver=False,
 )
 def c05_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5g: REAL audio container parsing — per document a deterministic

@@ -849,7 +849,8 @@ def hll_union_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT),
            TRUE
     FROM events
-    """
+    """,
+    driver=False,
 )
 def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15c digest: the per-type and unioned-total rows with EXACT
@@ -882,6 +883,7 @@ def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ) WHERE user_rank <= 20
     """,
+    driver=False,
 )
 def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15d: mergeable heavy-hitters — ``approx_top_k_accumulate`` builds
@@ -1363,7 +1365,8 @@ def sliding_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS hour_within_5pct,
            TRUE AS trailing_within_5pct
     FROM ranked a
-    """
+    """,
+    driver=False,
 )
 def b60_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B60 digest: exact hourly and trailing-24-bucket distinct counts

@@ -74,6 +74,7 @@ _SQL_SPLIT = f"""
     FROM (SELECT doc_id, n_chars, {_SQL_SPLIT} AS split FROM documents)
     GROUP BY split
     """,
+    driver=False,
 )
 def c08_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8a: deterministic 80/10/10 train/val/test split by content-stable
@@ -504,7 +505,6 @@ def token_budget_sample(
            CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
     """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
-    driver=False,
 )
 def c08_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: deterministic token-budget fill — up to 600 tokens of
@@ -625,6 +625,7 @@ def prep_pipeline(
         " + 0.3 * (CAST(n_stop AS DOUBLE) / n_tokens)"
         " + 0.3 * least(CAST(n_chars AS DOUBLE) / n_tokens / 10.0, 1.0))",
     ),
+    driver=False,
 )
 def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9c: the end-to-end corpus-prep composite — quality scoring, the
@@ -926,7 +927,6 @@ from ..functions.textfns import (
              AS pos_in_bucket
     FROM scored
     """,
-    driver=False,
 )
 def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9f: curriculum read order — documents banded by ABSOLUTE quality

@@ -58,7 +58,7 @@ _B54_SQL = """
 """
 
 
-@query("b54_scd2_history", oracle=_B54_SQL, driver=False)
+@query("b54_scd2_history", oracle=_B54_SQL)
 def b54_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B54: SCD2 history rebuild — gaps-and-islands over daily snapshots.
 
@@ -185,7 +185,7 @@ _B85_ORACLE = (
 )
 
 
-@query("b85_point_in_time", oracle=_B85_ORACLE)
+@query("b85_point_in_time", oracle=_B85_ORACLE, driver=False)
 def b85_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B85: point-in-time-correct join — each fact enriched with the
     dimension VERSION that was valid at the fact's event time, the

@@ -69,6 +69,7 @@ def parse_news_dom(html_col: Column | str) -> Column:
     FROM events
     GROUP BY event_type
     """,
+    driver=False,
 )
 def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: the JSON surface over ``events.props`` — typed ``from_json``
@@ -169,6 +170,7 @@ def c06_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
     FROM embeddings
     """,
+    driver=False,
 )
 def c07_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: higher-order array functions over the embedding vectors.
@@ -264,7 +266,6 @@ def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents, (SELECT unnest([0, 1]) AS item)
     WHERE doc_id % 7 = 0
     """,
-    driver=False,
 )
 def c06_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6c: the declarative XML/DOM extraction path, driver-checkable —
@@ -362,7 +363,6 @@ def a13_news_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS tag
     FROM embeddings
     """,
-    driver=False,
 )
 def c07_inline_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7b: struct-array construction and fan-out — ``arrays_zip`` pairs

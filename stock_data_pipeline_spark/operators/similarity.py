@@ -718,7 +718,6 @@ def quantize_embeddings(vecs: DataFrame, col: str = "embedding") -> DataFrame:
            END AS q8
     FROM n
     """,
-    driver=False,
 )
 def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3e: per-vector L2 norm + int8-quantized unit vector (emitted as a
@@ -753,7 +752,6 @@ def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
-    driver=False,
 )
 def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3f: filtered vector search — top-k cosine neighbors restricted by
@@ -881,6 +879,7 @@ def c03_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               >= {_SEMDEDUP_THRESHOLD}
     )
     """,
+    driver=False,
 )
 def c03_semdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: exact semantic-dedup ground truth — drop every vector with ANY

@@ -129,7 +129,6 @@ def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
-    driver=False,
 )
 def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4a: corpus-level token statistics per language.
@@ -532,6 +531,7 @@ _DECON_SH_SQL = sql_word_shingles(sql_tokens("text"), _DECON_SHINGLE_K)
     GROUP BY train_id, eval_id
     HAVING COUNT(*) >= {_DECON_MIN_SHARED}
     """,
+    driver=False,
 )
 def c04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4h: decontamination — training docs sharing ≥3 distinct 3-gram
@@ -851,6 +851,7 @@ _N_FEATURE_BUCKETS = 1024
     FROM feats
     GROUP BY doc_id
     """,
+    driver=False,
 )
 def c04_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: linear text-classifier scoring via the hashing trick
@@ -1102,7 +1103,8 @@ def remove_boilerplate_lines(
     FROM documents d
     LEFT JOIN nl ON nl.doc_id = d.doc_id
     LEFT JOIN agg ON agg.doc_id = d.doc_id
-    """
+    """,
+    driver=False,
 )
 def c04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: corpus-level boilerplate removal — the web-corpus cleaning

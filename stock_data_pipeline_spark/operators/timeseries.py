@@ -219,7 +219,6 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
-    driver=False,
 )
 def b07_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7c: as-of join with a staleness tolerance — the latest prior click

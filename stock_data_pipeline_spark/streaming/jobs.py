@@ -181,6 +181,7 @@ def b18_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered
     GROUP BY user_id, session_seq
     """,
+    driver=False,
 )
 def b19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 (batch check): 30-minute-gap sessions per user."""
@@ -214,7 +215,7 @@ _RECURSIVE_SESSION_SQL = """
 """
 
 
-@query("b19_sessionize_recursive", oracle=_RECURSIVE_SESSION_SQL, driver=False)
+@query("b19_sessionize_recursive", oracle=_RECURSIVE_SESSION_SQL)
 def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 twin on the Spark 4 recursive-CTE surface (WITH RECURSIVE,
     UNION ALL): walk each user's event chain in ts order, bumping the
