@@ -217,3 +217,35 @@ def test_optimistic_skip_batching_is_unsound():
         "the unsoundness argument needs re-checking before any "
         "relaxation of _select_batch"
     )
+
+
+def test_round_bound_on_above_cap_vocabulary(spark):
+    """Round-count bound for the distributed batched loop at production
+    shape: n_merges=200 on a synthetic vocabulary engineered so batches
+    can stay wide (64 word types over pairwise-disjoint alphabets, so
+    top pairs rarely share symbols). With batch_size=32 the provable
+    batch accepts at most 31 merges per Spark round (the close-frequency
+    truncation drops the closing pair); level boundaries — where a
+    type's level-k merge must land before its level-k+1 pairs exist —
+    fragment some rounds, observed 15 rounds ≈ 13 merges/round. The
+    bound pinned here (ceil(200/12) = 17) fails if batching ever
+    degrades toward one-merge-per-round, while the merge list must stay
+    EXACTLY the sequential reference's."""
+    import math
+
+    n_types, reps = 64, 8
+    rows, wf = [], {}
+    for i in range(n_types):
+        x, y = chr(0x4E00 + 2 * i), chr(0x4E00 + 2 * i + 1)
+        word = (x + y) * reps
+        f = 1600 - i
+        wf[word] = f
+        rows.append((i, " ".join([word] * f)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert {r.word: r.freq for r in word_freq_table(docs).collect()} == wf
+
+    stats = {}
+    merges = bpe_train(docs, n_merges=200, driver_vocab_cap=0, stats=stats)
+    assert merges == ref_bpe(wf, 200)
+    assert stats["strategy"] == "distributed"
+    assert stats["rounds"] <= math.ceil(200 / 12), stats
