@@ -680,7 +680,6 @@ def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
     """,
-    driver=False,
 )
 def b42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B42: the TPC-H Q3 shape — urgent-segment orders taken before the
@@ -744,7 +743,6 @@ _PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
             FROM orders''' for c in _PROFILE_STR_COLS
     )}
     """,
-    driver=False,
 )
 def b44_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B44: per-column profiling — row/null/distinct counts plus numeric
@@ -891,6 +889,7 @@ def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN bounds b USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     """,
+    driver=False,
 )
 def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B55: per-group winsorized mean — cap values at the group's exact
@@ -947,7 +946,6 @@ def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue_lost DESC, c.c_custkey ASC
     LIMIT 20
     """,
-    driver=False,
 )
 def b57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B57 (TPC-H Q10 shape): customers who returned the most revenue —
@@ -1001,7 +999,6 @@ def b57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ns.n_name < nc.n_name
     GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
     """,
-    driver=False,
 )
 def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B58 (TPC-H Q7 shape): trade volume between distinct nation pairs
@@ -1063,7 +1060,6 @@ def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN med m ON c.c_mktsegment = m.c_mktsegment
     GROUP BY c.c_mktsegment, m.median_bal
     """,
-    driver=False,
 )
 def b59_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B59: per-group median absolute deviation — the robust dispersion

@@ -71,7 +71,7 @@ _B49_SQL = f"""
 """
 
 
-@query("b49_daily_returns", oracle=_B49_SQL)
+@query("b49_daily_returns", oracle=_B49_SQL, driver=False)
 def b49_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B49: daily simple returns + cumulative return since inception.
 
@@ -115,7 +115,7 @@ _B50_SQL = f"""
 """
 
 
-@query("b50_drawdown", oracle=_B50_SQL)
+@query("b50_drawdown", oracle=_B50_SQL, driver=False)
 def b50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B50: maximum drawdown per instrument, with the trough row.
 
@@ -249,7 +249,7 @@ _B51_ORACLE = (
 )
 
 
-@query("b51_pairwise_corr", oracle=_B51_ORACLE)
+@query("b51_pairwise_corr", oracle=_B51_ORACLE, driver=False)
 def b51_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B51: pairwise price correlation matrix (upper triangle).
 
@@ -305,7 +305,7 @@ _B52_SQL = """
 """
 
 
-@query("b52_zscore_anomaly", oracle=_B52_SQL)
+@query("b52_zscore_anomaly", oracle=_B52_SQL, driver=False)
 def b52_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B52: rolling z-score spike detection over the raw tick stream.
 
@@ -398,7 +398,7 @@ _B56_SQL = f"""
 """
 
 
-@query("b56_rolling_sharpe", oracle=_B56_SQL, driver=False)
+@query("b56_rolling_sharpe", oracle=_B56_SQL)
 def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B56: 10-day rolling Sharpe ratio (mean/σ of daily returns).
 
@@ -421,7 +421,7 @@ def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_B56_SQL)
 
 
-@query("b53_market_beta", oracle=_B53_ORACLE)
+@query("b53_market_beta", oracle=_B53_ORACLE, driver=False)
 def b53_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: per-instrument beta/alpha vs the equal-weight market index.
 
@@ -462,7 +462,7 @@ _B61_SQL = """
 """
 
 
-@query("b61_mom_growth", oracle=_B61_SQL, driver=False)
+@query("b61_mom_growth", oracle=_B61_SQL)
 def b61_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61: month-over-month growth and indexed level per priority class —
     the period-over-period report every revenue dashboard opens with.
@@ -509,7 +509,7 @@ _B62_SQL = f"""
 """
 
 
-@query("b62_candle_patterns", oracle=_B62_SQL, driver=False)
+@query("b62_candle_patterns", oracle=_B62_SQL)
 def b62_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B62: candlestick pattern screen over the daily bars — doji
     (indecision: body within 10% of the range), bullish engulfing
@@ -1135,7 +1135,7 @@ _B88_ORACLE = (
 )
 
 
-@query("b88_pairs_spread", oracle=_B88_ORACLE, driver=False)
+@query("b88_pairs_spread", oracle=_B88_ORACLE)
 def b88_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B88: pairs-trading spread monitor — hedge one instrument against
     another with the OLS ratio (the b53 exact-moment machinery pointed

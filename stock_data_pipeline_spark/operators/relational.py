@@ -1166,7 +1166,6 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY p.p_brand
     """,
-    driver=False,
 )
 def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B41 (TPC-H Q14 shape): promotional revenue share per brand —
@@ -1223,7 +1222,6 @@ def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_id % 97 = 0
     """,
-    driver=False,
 )
 def b45_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B45: the ANSI-mode safety surface. Spark 4 runs ANSI on by default,
@@ -1263,7 +1261,7 @@ _LATERAL_TOPK_SQL = """
 """
 
 
-@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=False)
 def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B46: LATERAL correlated subquery — the two most expensive line
     items PER ORDER, written as a per-row dependent subquery. The

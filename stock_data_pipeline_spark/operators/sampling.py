@@ -276,7 +276,6 @@ def _sql_mix_bucket() -> str:
     )
     GROUP BY source
     """,
-    driver=False,
 )
 def c08_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8c: weighted source mixing — per-source keep-rates rebalance the
@@ -415,7 +414,6 @@ def shuffled(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     ORDER BY shuffle_key
     LIMIT 100
     """,
-    driver=False,
 )
 def c08_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8d: seeded deterministic corpus shuffle — the verified query
@@ -505,6 +503,7 @@ def token_budget_sample(
            CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
     """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
+    driver=False,
 )
 def c08_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: deterministic token-budget fill — up to 600 tokens of
@@ -661,7 +660,6 @@ def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN value <= q3 THEN 2
                 ELSE 3 END
     """,
-    driver=False,
 )
 def c08_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: discretize a numeric feature into corpus-quantile buckets —
@@ -729,7 +727,6 @@ from ..sources.export import DEFAULT_N_SHARDS as _N_INTERLEAVE_SHARDS
            seq * {_N_INTERLEAVE_SHARDS} + shard AS global_order
     FROM seqd
     """,
-    driver=False,
 )
 def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9e: the canonical data-loader read order over sharded exports —
@@ -795,7 +792,6 @@ _SQL_FP = f"md5(lower(substr(trim(text), 1, {_LEAK_PREFIX})))"
     WHERE t.split <> 'train'
     GROUP BY t.split
     """,
-    driver=False,
 )
 def c08_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: train→eval leakage audit — val/test documents whose content
@@ -866,7 +862,7 @@ _DRIFT_SQL = """
 """
 
 
-@query("c08_distribution_drift", oracle=_DRIFT_SQL, driver=False)
+@query("c08_distribution_drift", oracle=_DRIFT_SQL)
 def c08_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8f: distribution drift between two dataset versions — exact total
     variation distance over fixed-width value histograms, first half of
@@ -927,6 +923,7 @@ from ..functions.textfns import (
              AS pos_in_bucket
     FROM scored
     """,
+    driver=False,
 )
 def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9f: curriculum read order — documents banded by ABSOLUTE quality
@@ -995,7 +992,6 @@ _WS_K = 100
              doc_id ASC
     LIMIT {_WS_K}
     """,
-    driver=False,
 )
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8f: weighted sampling WITHOUT replacement (Efraimidis–Spirakis

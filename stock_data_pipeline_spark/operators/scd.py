@@ -58,7 +58,7 @@ _B54_SQL = """
 """
 
 
-@query("b54_scd2_history", oracle=_B54_SQL)
+@query("b54_scd2_history", oracle=_B54_SQL, driver=False)
 def b54_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B54: SCD2 history rebuild — gaps-and-islands over daily snapshots.
 

@@ -752,6 +752,7 @@ def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
+    driver=False,
 )
 def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3f: filtered vector search — top-k cosine neighbors restricted by

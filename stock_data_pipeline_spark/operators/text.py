@@ -129,6 +129,7 @@ def c04_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
+    driver=False,
 )
 def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4a: corpus-level token statistics per language.
@@ -396,7 +397,6 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_len
     FROM documents
     """,
-    driver=False,
 )
 def c04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4e: canonical document fingerprint — md5 over whitespace-normalized,
@@ -580,7 +580,6 @@ _TOP_BG_MAX = 0.06  # ...and most-frequent-bigram share <= this
              AS keep
     FROM a
     """,
-    driver=False,
 )
 def c04_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4i: repetition-based quality filtering, the Gopher repetition
@@ -697,7 +696,6 @@ def winnow_fingerprints(
              j -> list_min(g[j:j+{WINNOW_W - 1}])))) AS fingerprint
     FROM grams
     """,
-    driver=False,
 )
 def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4j: winnowing (MOSS) document fingerprints — per-window minimum
@@ -731,7 +729,6 @@ def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM td JOIN freq ON td.token = freq.token CROSS JOIN tot
     GROUP BY td.doc_id
     """,
-    driver=False,
 )
 def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4k: mean negative log-likelihood of each document under the
@@ -796,7 +793,6 @@ def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT len({sql_tokens('text')}) AS n_tok FROM documents)
     GROUP BY CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT)
     """,
-    driver=False,
 )
 def c04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4l: document-length distribution in log2 buckets — the first

@@ -60,6 +60,7 @@ def _rev() -> F.Column:
       AND l.l_discount BETWEEN 0.05 AND 0.07
       AND l.l_quantity < 24.0
     """,
+    driver=False,
 )
 def b63_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue lost to discounts in a band — a single
@@ -97,6 +98,7 @@ def b63_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     GROUP BY o.o_orderpriority
     """,
+    driver=False,
 )
 def b64_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders in a quarter with at least one late
@@ -147,6 +149,7 @@ def b64_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
     GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
     """,
+    driver=False,
 )
 def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of the ECONOMY-part
@@ -202,6 +205,7 @@ def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_name LIKE '%widget%'
     GROUP BY ns.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
     """,
+    driver=False,
 )
 def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on widget-line products by supplier nation
@@ -250,6 +254,7 @@ def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scoped l2
     )
     """,
+    driver=False,
 )
 def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value within a nation scope
@@ -316,6 +321,7 @@ def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_returnflag
     """,
+    driver=False,
 )
 def b68_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: line counts split by order urgency per shipping
@@ -359,6 +365,7 @@ def b68_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY c_count
     """,
+    driver=False,
 )
 def b69_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: how many customers placed how many (non-LOW)
@@ -407,6 +414,7 @@ def b69_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = r.max_revenue
     """,
+    driver=False,
 )
 def b70_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
@@ -455,6 +463,7 @@ def b70_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l2.l_partkey = l.l_partkey
       )
     """,
+    driver=False,
 )
 def b71_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders far below a part's average
@@ -501,6 +510,7 @@ def b71_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 20.0 AND 30.0)
     """,
+    driver=False,
 )
 def b72_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
@@ -672,6 +682,7 @@ def b75_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     GROUP BY p.p_brand, p.p_type, p.p_size
     """,
+    driver=False,
 )
 def b76_q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers ship each qualifying

@@ -29,8 +29,10 @@ REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     # Bollinger/ATR/seasonal are ROWS-frame window suites
     "b09": ["b09", "b47", "b78", "b79", "b86"],
     # B10 sort/limit/top-k: b46 is LATERAL top-k per key (same operator
-    # class, WindowGroupLimit plan) — b10 itself rotated out in round 5
-    "b10": ["b10", "b46"],
+    # class, WindowGroupLimit plan) — b10 itself rotated out in round 5;
+    # b42 (TPC-H Q3) is global ORDER BY revenue LIMIT 10, the canonical
+    # TakeOrderedAndProject shape, promoted in the round-7 rotation
+    "b10": ["b10", "b46", "b42"],
     "b11": ["b11"], "b12": ["b12"], "b13": ["b13"],
     "b14": ["b14"],
     # B15 approx distinct/percentiles: topk sketch + VaR/CVaR percentiles
