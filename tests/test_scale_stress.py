@@ -333,3 +333,129 @@ def test_minhash_lsh_pairs_bucket_cap_end_to_end(spark, sf_stress_dir):
     }
     assert base_capped == base_uncapped
     capped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall + candidate budgets under 8× embeddings scale (round-7 task:
+# the recall bounds were only ever asserted at base fixture scale)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_big(spark, sf_stress_dir):
+    """8× embeddings corpus of genuinely DISTINCT points: replica r rolls
+    each vector's coordinates by r positions. A coordinate permutation is
+    an orthogonal transform, so every replica preserves norms and the
+    uniform distribution — the corpus grows 8× in real content, not 8
+    exact copies whose recall an index gets for free (identical vectors
+    share a cell/signature by construction, which would test nothing)."""
+    emb = load(spark, sf_stress_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    replicas = []
+    for r in range(REPLICAS):
+        rolled = (
+            emb.select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", r + 1, dim - r),
+                    F.slice("embedding", 1, r),
+                ).alias("embedding")
+                if r
+                else F.col("embedding"),
+            )
+        )
+        replicas.append(rolled)
+    return reduce(lambda a, b: a.unionAll(b), replicas).cache()
+
+
+def _brute_truth(emb_big, queries, k=5):
+    from stock_data_pipeline_spark.operators.similarity import _exact_rerank
+
+    all_pairs = queries.select(
+        F.col("vec_id").alias("query_id")
+    ).crossJoin(emb_big.select("vec_id")).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    truth: dict[int, set[int]] = {}
+    for r in _exact_rerank(all_pairs, emb_big, queries, k).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    return truth
+
+
+def _recall(truth, rows):
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_ivf_recall_and_candidate_budget_at_8x(spark, emb_big):
+    """IVF on the 8× corpus: (1) the base-scale recall bound still holds
+    at the same n_probe/n_cells ratio, (2) the candidate join's actual
+    row count equals the Σ(probed cell sizes) accounting — the pruning
+    is real, not incidental — and stays well under brute force, and
+    (3) no cell is hot enough to void the n_probe/n_cells cost model
+    (the retrain trigger ivf_cell_stats documents)."""
+    from stock_data_pipeline_spark.operators.similarity import (
+        _probe_cells,
+        ann_ivf_topk,
+        ivf_index,
+    )
+
+    n = emb_big.count()
+    assert n == REPLICAS * 2000
+    queries = emb_big.filter(F.col("vec_id") < 10)
+    truth = _brute_truth(emb_big, queries)
+
+    n_cells, n_probe = 16, 8
+    index = ivf_index(emb_big, n_cells=n_cells, seed=42)
+    approx = ann_ivf_topk(
+        emb_big, queries, k=5, n_probe=n_probe, index=index
+    ).collect()
+    assert _recall(truth, approx) >= 0.7
+
+    # Candidate accounting: actual candidate rows == Σ probed-cell sizes
+    # (minus self-matches), computed from the SAME index.
+    assigned, centers = index
+    assigned = assigned.cache()
+    probe = _probe_cells(queries, centers, n_probe)
+    actual = (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+    cell_sizes = {r.cell: r.n for r in
+                  assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    probed = [(r.query_id, r.cell) for r in probe.collect()]
+    self_cell = {
+        r.vec_id: r.cell
+        for r in assigned.filter(F.col("vec_id") < 10).collect()
+    }
+    expect = sum(cell_sizes.get(c, 0) for _, c in probed) - sum(
+        1 for q, c in probed if self_cell.get(q) == c
+    )
+    assert actual == expect, (actual, expect)
+    # Pruning is real: probing half the cells must cost < 85% of brute
+    # force even under skew (random-uniform corpus → ~50% expected).
+    assert actual < 0.85 * 10 * n, (actual, n)
+    # Hot-cell bound: the documented skew-4 retrain trigger holds, so
+    # Σcell² (the all-pairs/semdedup candidate budget) stays ≤ 16·(4u)²
+    # = n²/u-bounded instead of collapsing toward n².
+    u = n / n_cells
+    assert max(cell_sizes.values()) <= 4 * u, cell_sizes
+    assert sum(s * s for s in cell_sizes.values()) <= n_cells * (4 * u) ** 2
+
+
+def test_pq_recall_at_8x(spark, emb_big):
+    """PQ ADC shortlist + exact rerank on the 8× corpus: the base-scale
+    recall bound holds at the same 10%-of-corpus shortlist ratio, and the
+    shortlist bound (queries × shortlist) caps the exact-rerank volume."""
+    from stock_data_pipeline_spark.operators.similarity import pq_topk
+
+    n = emb_big.count()
+    queries = emb_big.filter(F.col("vec_id") < 10)
+    truth = _brute_truth(emb_big, queries)
+    shortlist = n // 10
+    approx = pq_topk(emb_big, queries, k=5, shortlist=shortlist).collect()
+    assert _recall(truth, approx) >= 0.6
