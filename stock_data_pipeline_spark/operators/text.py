@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.exact import sql_dec_avg, sql_dec_sum, sql_trunc6, trunc6
 from ..functions.partitioning import hash_bucket, sql_hash_bucket
+from ..functions.zlib_pins import ZLIB_LEVEL
 from ..functions.textfns import (
     BPE_TOKEN_RE,
     quality_expr,
@@ -918,7 +919,10 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Arrow-batched ``mapInPandas`` (the C5 codec discipline), one pass,
     no shuffle. DEFLATE output is deterministic for a fixed zlib version
     and level, and the ratio is a quotient of exact integers, so the
-    operator is reproducible run-to-run on a pinned environment.
+    operator is reproducible run-to-run on a pinned environment. The
+    ratio is TRUNCATED at 1e-6 via exact integer floor-division (the
+    trunc6 discipline) so the oracle's integer math reproduces it bit
+    for bit — round() halfway cases differ between numpy and SQL.
     """
     import pandas as pd
 
@@ -928,15 +932,18 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             raw = pdf[text_col].fillna("").str.encode("utf-8")
             n_bytes = raw.str.len().astype("int64")
-            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, ZLIB_LEVEL))
+            ).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
                     "n_compressed": n_comp,
                     "compress_ratio": (
-                        n_comp / n_bytes.where(n_bytes > 0, 1)
-                    ).round(6),
+                        n_comp * 1_000_000 // n_bytes.where(n_bytes > 0, 1)
+                        / 1e6
+                    ),
                 }
             )
 
@@ -946,11 +953,41 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@query("c04_compression_ratio", driver=False)
+def _zlib_pin_values() -> str:
+    from stock_data_pipeline_spark.functions.zlib_pins import PINS
+
+    return ",\n      ".join(f"('{h}', {n})" for h, n in sorted(PINS.items()))
+
+
+@query(
+    "c04_compression_ratio",
+    oracle=f"""
+    WITH pins(h, n_comp) AS (VALUES
+      {_zlib_pin_values()}
+    ),
+    d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+    SELECT d.doc_id,
+           CAST(strlen(t) AS BIGINT) AS n_bytes,
+           CAST(p.n_comp AS BIGINT) AS n_compressed,
+           ((p.n_comp * 1000000) // greatest(strlen(t), 1)) / 1000000.0
+             AS compress_ratio
+    FROM d JOIN pins p ON md5(t) = p.h
+    """,
+    driver=False,
+)
 def c04_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: per-doc zlib compression ratio. Rows-only (no SQL codec);
-    checked against a local single-process recompute and planted
-    high/low-entropy documents in tests/test_text.py."""
+    """C4: per-doc zlib compression ratio, digest-oracle-backed.
+
+    DuckDB has no zlib, so the oracle joins the live documents table
+    against the fixture-pinned (md5(text) → compressed size) map in
+    ``functions/zlib_pins.py`` — the c05_frame_sample pattern with the
+    recompute replaced by a content-addressed pin (doc_id-free, so one
+    map serves all three fixture scales; an unpinned text DROPS its row
+    and fails the row-count gate loudly). Also checked against a local
+    single-process recompute and planted high/low-entropy documents in
+    tests/test_text.py. driver=False this round only because the 50-row
+    window was already frozen by the round-7 rotation — promote in r8.
+    """
     return compression_ratio(load(spark, sf_dir, "documents"))
 
 

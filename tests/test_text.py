@@ -293,3 +293,21 @@ def test_redact_pii_counts_match_placeholders(spark):
         assert r.n_emails == r.redacted.count("<EMAIL>"), r
     assert rows[1].n_emails == 1 and rows[1].n_phones == 0
     assert rows[2].n_emails == 1 and rows[2].n_phones == 1
+
+
+def test_zlib_pins_match_live_fixtures_and_runtime():
+    """The c04_compression_ratio oracle joins against the fixture-pinned
+    (md5(text) → zlib size) map; if the driver ever regenerates testdata
+    or the container's zlib drifts from the pinned version, this fails
+    with the regeneration instruction instead of letting a stale pin
+    reach the driver sweep as a silent row-drop."""
+    import zlib
+
+    from stock_data_pipeline_spark.functions import zlib_pins
+
+    assert zlib.ZLIB_RUNTIME_VERSION == zlib_pins.PINNED_ZLIB_VERSION
+    live = zlib_pins.derive_pins()
+    assert live == zlib_pins.PINS, (
+        "fixture texts or zlib output drifted from functions/zlib_pins.py "
+        "— rerun zlib_pins.regenerate()"
+    )
