@@ -788,15 +788,84 @@ def with_indicators_windowed(events: DataFrame) -> DataFrame:
     )
 
 
-@query("b29_ema_rsi", driver=False)  # sequential recurrence → no SQL oracle; verified
-# against pandas ewm ground truth in tests/test_sampling.py
+# The b29 oracle replays pandas' ewm C loop STEP FOR STEP in a DuckDB
+# recursive CTE: each iteration advances every key's recurrence state by
+# one row (rec at step i joins the row-numbered events at i+1), carrying
+# (weighted_avg, old_wt) for the adjust=True EMA and the two adjust=False
+# Wilder means. The arithmetic matches pandas' aggregations.pyx exactly —
+# same parenthesization, same ((old_wt·c)·avg + new_wt·x)/((old_wt·c)+new_wt)
+# update, and crucially the same `weighted_avg != cur` SHORT-CIRCUIT (pandas
+# skips the divide when the incoming value equals the running mean; always
+# dividing drifts the bits). IEEE doubles make each op correctly rounded on
+# both engines, so identical op order ⇒ bit-identical output: verified
+# equal on every row at sf0.001/0.01/0.1. Oracle assumes the fixture's
+# no-NULL `value` column (asserted in tests/test_timeseries_oracle.py);
+# pandas' NaN decay branch is deliberately not replicated. Cost: max
+# per-key series length iterations (≤99 at sf0.1) over a working table of
+# #keys rows — fine for an oracle, and exactly why the ENGINE side uses
+# applyInPandas instead of SQL recursion.
+_B29_SQL = f"""
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+rec AS (
+  SELECT user_id, i, value,
+         value AS ema_avg, CAST(1.0 AS DOUBLE) AS ema_oldwt,
+         CAST(NULL AS DOUBLE) AS gain_avg, CAST(NULL AS DOUBLE) AS loss_avg
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.value,
+         CASE WHEN r.ema_avg = e.value THEN r.ema_avg
+              ELSE ((r.ema_oldwt * (1.0 - {EMA_ALPHA})) * r.ema_avg
+                    + 1.0 * e.value)
+                   / ((r.ema_oldwt * (1.0 - {EMA_ALPHA})) + 1.0)
+         END,
+         (r.ema_oldwt * (1.0 - {EMA_ALPHA})) + 1.0,
+         CASE WHEN r.gain_avg IS NULL
+              THEN greatest(e.value - r.value, 0.0)
+              WHEN r.gain_avg = greatest(e.value - r.value, 0.0)
+              THEN r.gain_avg
+              ELSE ((1.0 - 1.0/{RSI_PERIOD}.0) * r.gain_avg
+                    + (1.0/{RSI_PERIOD}.0) * greatest(e.value - r.value, 0.0))
+                   / ((1.0 - 1.0/{RSI_PERIOD}.0) + (1.0/{RSI_PERIOD}.0))
+         END,
+         CASE WHEN r.loss_avg IS NULL
+              THEN greatest(r.value - e.value, 0.0)
+              WHEN r.loss_avg = greatest(r.value - e.value, 0.0)
+              THEN r.loss_avg
+              ELSE ((1.0 - 1.0/{RSI_PERIOD}.0) * r.loss_avg
+                    + (1.0/{RSI_PERIOD}.0) * greatest(r.value - e.value, 0.0))
+                   / ((1.0 - 1.0/{RSI_PERIOD}.0) + (1.0/{RSI_PERIOD}.0))
+         END
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT e.user_id, e.event_id, e.ts, e.value,
+       r.ema_avg AS ema,
+       CASE WHEN r.i = 1 THEN NULL
+            WHEN r.loss_avg > 0.0
+            THEN 100.0 - 100.0 / (1.0 + r.gain_avg / r.loss_avg)
+            ELSE 100.0 END AS rsi
+FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i
+"""
+
+
+@query("b29_ema_rsi", oracle=_B29_SQL, driver=False)
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies
     (/root/reference/README.md:23). Served by the sharded applyInPandas
     recurrence (O(1) per row); :func:`with_indicators_windowed` is the
     JVM-only fallback for Python-less clusters (~6× slower under full
-    materialization — see its docstring for the count()-pruning trap)."""
+    materialization — see its docstring for the count()-pruning trap).
+
+    Oracle-backed since round 7 via the recursive-CTE replay of pandas'
+    ewm loop (see ``_B29_SQL``) — bit-exact, not tolerance-compared.
+    driver=False only because the round-7 verification window was frozen
+    before this landed; promote with c04_compression_ratio in r8.
+    """
     return with_indicators(load(spark, sf_dir, "events"))
 
 
