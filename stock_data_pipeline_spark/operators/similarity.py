@@ -170,10 +170,88 @@ def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # C3b — random-hyperplane LSH bucketed ANN (the scale path)
 # --------------------------------------------------------------------------
-# driver=False: ANN family's driver representative is c03_ann_ivf (both are
-# rows-only no_oracle checks; recall bounds are pytest-asserted for each) —
-# the freed window slot carries the oracle-backed c06_variant instead.
-@query("c03_ann_lsh", driver=False)
+def _plane_literals(n_tables: int, n_planes: int, dim: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).tolist()
+
+
+def _lsh_oracle_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB oracle for c03_ann_lsh — the full LSH pipeline in SQL.
+
+    The hyperplanes are SEEDED DRIVER LITERALS (no RNG at execution), so
+    the oracle embeds the very same literals (repr round-trips the exact
+    doubles into both parsers) and recomputes each signature dot product
+    with the identical left-fold order Spark's ``aggregate(zip_with(...))``
+    uses — ``0.0 + e[1]·p1 + e[2]·p2 + …`` is left-associative in SQL, so
+    every sign decision, hence every bucket, hence the candidate SET, is
+    bit-for-bit the engine's. Rerank then reuses the c03_cosine_topk
+    oracle's proven round-6 ``list_cosine_similarity`` convention.
+    ~110 KB of generated SQL, <1 s in DuckDB at sf0.1.
+    """
+    planes = _plane_literals(n_tables, n_planes, dim)
+
+    def dot(plane: list[float]) -> str:
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(v)!r}"
+            for i, v in enumerate(plane)
+        )
+        return f"(0.0 + {terms})"
+
+    def sig(table: list[list[float]]) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(p)} > 0.0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(table)
+        ) + ")"
+
+    sig_cols = ",\n         ".join(
+        f"{sig(t)} AS s{ti}" for ti, t in enumerate(planes)
+    )
+    case_sig = (
+        "CASE t.table_id "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(n_tables - 1))
+        + f" ELSE s{n_tables - 1} END"
+    )
+    values = ",".join(f"({i})" for i in range(n_tables))
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             {sig_cols}
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT vec_id, t.table_id, {case_sig} AS sig
+      FROM sigs, (VALUES {values}) t(table_id)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM expl c JOIN expl q ON c.table_id = q.table_id AND c.sig = q.sig
+      WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, sim_rank FROM (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(
+               list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_cosine_similarity(
+                 list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+               cand.vec_id ASC
+             ) AS sim_rank
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ) WHERE sim_rank <= {_TOP_K}
+    """
+
+
+# driver=False: ANN family's driver representative is c03_ann_ivf (both were
+# rows-only no_oracle checks until round 7 gave THIS one a full SQL oracle;
+# the window was already frozen — promote in a future rotation).
+@query("c03_ann_lsh", oracle=_lsh_oracle_sql(), driver=False)
 def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b: approximate top-k via random-hyperplane LSH.
 
@@ -182,9 +260,11 @@ def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal — no executor-side RNG, no closure capture of numpy state).
     Multiple independent tables raise recall. Candidates share a (table,
     signature) bucket → equi-join; exact cosine re-ranks within candidates.
-    No SQL oracle (the plane set isn't SQL-expressible); recall vs C3a is
-    asserted in tests/test_similarity.py. Scale: the cross join disappears —
-    cost concentrates in Σ_bucket |bucket|², controlled by n_planes.
+    Oracle-backed since round 7: :func:`_lsh_oracle_sql` replays the whole
+    pipeline (same plane literals, same fold order → same buckets) in
+    DuckDB; recall vs C3a additionally asserted in tests/test_similarity.py.
+    Scale: the cross join disappears — cost concentrates in
+    Σ_bucket |bucket|², controlled by n_planes.
     """
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
@@ -194,11 +274,6 @@ def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=8,
         n_tables=4,
     )
-
-
-def _plane_literals(n_tables: int, n_planes: int, dim: int, seed: int = 42):
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_tables, n_planes, dim)).tolist()
 
 
 def lsh_signatures(
