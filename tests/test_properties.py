@@ -318,3 +318,33 @@ def test_obv_is_prefix_sum_of_signed_flow(spark, closes):
         acc += flow
         want.append((flow, acc))
     assert got == want
+
+
+def test_dec_sum_limb_recombination_at_extreme_magnitudes(spark):
+    """The round-7 limb decomposition must stay exact where the limbs
+    get large: values up to ~1e13 (scaled ints ~1e15, hi-limbs ~1.5e10)
+    mixed with negatives and sub-cent noise. Reference is exact Python
+    integer arithmetic — any wraparound or sign bug in the shift/mask
+    recombination shows up as a hard inequality."""
+    import math
+
+    import duckdb
+
+    from stock_data_pipeline_spark.functions.exact import dec_sum, sql_dec_sum
+
+    values = [
+        9.87654321e12, -9.87654321e12, 1.23456789e13, -42.005, 42.005,
+        0.005, -0.005, 1e-3, -1e-3, 65535.99, -65536.01, 7.0,
+    ]
+    want = sum(math.floor(v * 100.0 + 0.5) for v in values) / 100.0
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got_spark = df.agg(dec_sum("v").alias("s")).collect()[0].s
+    got_spark_7 = df.repartition(7).agg(dec_sum("v").alias("s")).collect()[0].s
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    got_duck = con.execute(f"SELECT {sql_dec_sum('v')} FROM t").fetchone()[0]
+
+    assert got_spark == got_spark_7 == got_duck == want
