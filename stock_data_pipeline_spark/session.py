@@ -42,6 +42,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # is owned by the same pin/heal machinery as every other conf instead
     # of leaking into the host session as a query side effect.
     "spark.sql.cteRecursionLevelLimit": "100000",
+    # spark.sql.files.maxPartitionBytes deliberately stays at the 128 MB
+    # default. Finer local splits (3-way → 6-32-way scans on the ~11 MB
+    # fixtures) were tested in round 5 AND re-tested in round 7 with an
+    # interleaved same-session A/B: net ≈ 0 at sf0.1 (the apparent −30%
+    # from a sequential A/B was JVM warm-up bias — BENCHNOTES round 7).
+    # Packing fewer bytes per task is also the wrong default for the
+    # 100 TB cluster profile this engine targets.
 }
 
 

@@ -66,18 +66,24 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
     """EVERY oracle-backed query must stay JVM-side (whole-stage codegen
     territory): no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas.
     Python is reserved for the explicitly-pandas operators (fetch UDFs,
-    multimodal decode, sequence packing, EMA recurrence), none of which
-    are oracle-backed except c05, which is exempted below."""
+    multimodal decode, sequence packing, EMA recurrence); the
+    oracle-backed ones among them are exempted below."""
     from stock_data_pipeline_spark.registry import full_oracles
 
-    # mapInPandas by design (C5 codec surface)
     exempt = {
+        # mapInPandas by design (C5 codec surface)
         "c05_multimodal_features",
         "c05_image_decode",
         "c05_audio_energy",
         "c05_audio_header",
         "c05_frame_sample",
         "c05_resize_thumbnail",
+        # zlib is a sequential codec — mapInPandas, digest-oracled (r7)
+        "c04_compression_ratio",
+        # applyInPandas O(1)-per-row recurrence by design (B20 surface;
+        # the JVM windowed twin is measured ~6× slower); its oracle is
+        # the r7 recursive-CTE replay, not a JVM plan
+        "b29_ema_rsi",
     }
     for name in full_oracles():
         if name in exempt:
