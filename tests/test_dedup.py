@@ -391,3 +391,26 @@ def test_sharded_bloom_no_false_negatives_and_bounded_fp(spark):
     tbl0, m0 = bloom_build_sharded(empty_ref, "k")
     got = with_sharded_bloom_probe(keys, "k", tbl0, m0).filter("bloom_maybe").count()
     assert got == 0
+
+
+def test_simhash_portable_agrees_with_xxhash_variant_on_planted(spark, doc_df):
+    """The portable (md5-bit, oracle-backed) and production (xxhash64)
+    SimHash variants implement the same algorithm over different hash
+    families — both must land the planted 2-word-substitution near-dups
+    within the same radius, and identical docs at distance zero."""
+    from stock_data_pipeline_spark.operators.dedup import simhash_portable_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_portable_pairs(doc_df, max_hamming=10).collect()
+    }
+    found = sum(1 for i in range(8) if (i, 100 + i) in pairs)
+    assert found >= 6, f"only {found}/8 planted pairs within radius"
+
+    dup = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = simhash_portable_pairs(dup, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in got] == [(0, 1, 0)]
