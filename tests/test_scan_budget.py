@@ -38,6 +38,7 @@ ALLOWED_MULTI_SCAN = {
     "c02_ngram_jaccard": "inverted-index self-join (ground-truth variant)",
     "c02_ngram_jaccard_pruned": "pruned inverted-index self-join + df-statistics pass",
     "c02_simhash": "signature self-join across chunk blocks",
+    "c02_simhash_portable": "signature self-join across chunk blocks (md5-bit oracle twin, same shape)",
     "c02_substring_dedup": "span-hash inverted-index self-join",
     "c03_ann_ivf": "index build + probe in one query (persisted-index path save_ivf_index avoids it)",
     "c03_ann_lsh": "corpus and query signatures derive from the same table",
