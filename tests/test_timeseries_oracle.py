@@ -78,3 +78,60 @@ def test_b29_oracle_matches_pandas_reference_bitwise(sf_dir):
         b = d[col].to_numpy(dtype=float)
         eq = (a == b) | (np.isnan(a) & np.isnan(b))
         assert eq.all(), f"{col}: {int((~eq).sum())} rows differ bitwise"
+
+
+def test_b29_oracle_bitwise_on_arbitrary_series():
+    """Property-style extension of the fixture check: the recursive-CTE
+    replay must equal pandas' ewm loop bit-for-bit on ARBITRARY no-NULL
+    series, not just the shipped fixture — including constant runs (the
+    `weighted_avg != cur` short-circuit path), monotone ramps (loss
+    stays 0 → rsi pinned at 100), alternating signs, single-row keys,
+    and sub-ulp value steps. Pure DuckDB + pandas — no Spark needed, so
+    this runs in milliseconds and pins the arithmetic contract itself."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from stock_data_pipeline_spark.operators.timeseries import (
+        _B29_SQL,
+        _indicators_shard,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    series = {
+        0: np.full(30, 42.5),                          # constant: short-circuit
+        1: np.arange(1.0, 41.0),                       # monotone up: loss == 0
+        2: -np.arange(1.0, 41.0),                      # monotone down
+        3: np.array([5.0]),                            # single row
+        4: rng.standard_normal(50) * 1e6,              # large magnitudes
+        5: 1.0 + rng.standard_normal(50) * 1e-12,      # sub-ulp steps
+        6: np.where(np.arange(40) % 2 == 0, 3.0, -3.0),  # alternating
+        7: rng.standard_normal(37),                    # plain noise
+    }
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((uid, eid, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i), float(v)))
+            eid += 1
+    src = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+
+    con = duckdb.connect()
+    con.register("events", src)
+    d = (
+        con.execute(_B29_SQL)
+        .df()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    p = (
+        _indicators_shard(src.copy())
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(p) == len(d) == len(src)
+    for col in ["ema", "rsi"]:
+        a = p[col].to_numpy(dtype=float)
+        b = d[col].to_numpy(dtype=float)
+        eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert eq.all(), f"{col}: {int((~eq).sum())} rows differ bitwise"
