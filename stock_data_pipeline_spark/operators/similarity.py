@@ -596,6 +596,126 @@ def assign_to_cells(
     )
 
 
+_IVF_FIXED_CELLS, _IVF_FIXED_PROBE, _IVF_FIXED_SEED = 8, 4, 7
+
+
+def _fixed_centroids(n_cells: int = _IVF_FIXED_CELLS, dim: int = 64,
+                     seed: int = _IVF_FIXED_SEED):
+    """Seeded random coarse centroids — a DEGENERATE but valid IVF
+    quantizer (no training). Lower recall than kmeans cells, but fully
+    deterministic literals, which is what buys the oracle below."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_cells, dim)).tolist()
+
+
+def _ivf_fixed_oracle() -> str:
+    """DuckDB oracle for c03_ivf_fixed_centroids — the complete IVF
+    SEARCH machinery in SQL: argmin cell assignment (same left-fold
+    squared-distance order as ``assign_to_cells``; CASE-chain first-min
+    tie-break ≡ Spark's ``array_position(d, array_min(d))``), n_probe
+    nearest cells per query (ROW_NUMBER over (dist, cell) ≡
+    ``_probe_cells``), candidate equi-join on cell, round-6 cosine
+    rerank (the c03_cosine_topk convention). With the c03_ann_lsh
+    oracle this leaves exactly ONE piece of the ANN stack outside
+    cross-engine verification: the kmeans trainer itself (iterative,
+    not SQL-expressible) — everything the trained and fixed quantizers
+    SHARE is now differentially checked."""
+    centers = _fixed_centroids()
+    n_cells = len(centers)
+
+    def dist(ci: int) -> str:
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {float(v)!r})"
+            f" * (CAST(embedding[{i + 1}] AS DOUBLE) - {float(v)!r})"
+            for i, v in enumerate(centers[ci])
+        )
+        return f"(0.0 + {terms})"
+
+    d_cols = ",\n    ".join(f"{dist(j)} AS d{j}" for j in range(n_cells))
+    least = "least(" + ",".join(f"d{j}" for j in range(n_cells)) + ")"
+    argmin = (
+        "CASE "
+        + " ".join(f"WHEN d{j} = dm THEN {j}" for j in range(n_cells))
+        + " END"
+    )
+    case_cd = (
+        "CASE j.j "
+        + " ".join(f"WHEN {j} THEN d{j}" for j in range(n_cells - 1))
+        + f" ELSE d{n_cells - 1} END"
+    )
+    vals = ",".join(f"({j})" for j in range(n_cells))
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+        {d_cols}
+      FROM embeddings
+    ),
+    m AS (SELECT *, {least} AS dm FROM d),
+    assigned AS (SELECT vec_id, {argmin} AS cell FROM m),
+    pd AS (
+      SELECT m.vec_id AS query_id, j.j AS cell, {case_cd} AS cd
+      FROM m, (VALUES {vals}) j(j)
+      WHERE m.vec_id < {_N_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cd ASC, cell ASC) AS pr
+        FROM pd
+      ) WHERE pr <= {_IVF_FIXED_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM assigned a JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, sim_rank FROM (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(
+               list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_cosine_similarity(
+                 list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+               cand.vec_id ASC
+             ) AS sim_rank
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ) WHERE sim_rank <= {_TOP_K}
+    """
+
+
+@query(
+    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle(), driver=False
+)
+def c03_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3c': IVF search over a FIXED seeded coarse quantizer — the
+    oracle-backed twin of c03_ann_ivf. Identical engine machinery
+    (``assign_to_cells`` argmin pass, ``_probe_cells``,
+    ``_exact_rerank`` through ``ann_ivf_topk(index=...)``); only the
+    quantizer differs (seeded literals instead of kmeans — lower
+    recall, fully verifiable). Hash-parity at sf0.001/0.01/0.1, 50
+    rows each. The kmeans-trained path keeps its recall tests; this
+    twin pins everything the two paths share against DuckDB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    centers = _fixed_centroids()
+    assigned = assign_to_cells(
+        rebalance(emb).select("vec_id", "embedding"), centers
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ann_ivf_topk(
+        emb, queries, k=_TOP_K, n_probe=_IVF_FIXED_PROBE,
+        index=(assigned, centers),
+    )
+
+
 def append_ivf_batch(
     spark: SparkSession,
     new_vectors: DataFrame,

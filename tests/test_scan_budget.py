@@ -41,6 +41,7 @@ ALLOWED_MULTI_SCAN = {
     "c02_simhash_portable": "signature self-join across chunk blocks (md5-bit oracle twin, same shape)",
     "c02_substring_dedup": "span-hash inverted-index self-join",
     "c03_ann_ivf": "index build + probe in one query (persisted-index path save_ivf_index avoids it)",
+    "c03_ivf_fixed_centroids": "assignment + probe + rerank in one query (oracle twin of c03_ann_ivf, same inline-index shape)",
     "c03_ann_lsh": "corpus and query signatures derive from the same table",
     "c03_cosine_topk": "queries are a subset of the corpus (self-join by design)",
     "c03_embedding_near_dup": "upper-triangle self-join (exact ground truth)",
