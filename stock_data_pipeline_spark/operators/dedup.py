@@ -574,6 +574,137 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 6) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C2b' — portable-hash MinHash+LSH twin (oracle-backed)
+# --------------------------------------------------------------------------
+_MP_K, _MP_BANDS, _MP_ROWS, _MP_THRESH = 32, 8, 4, 0.1
+
+
+def _minhash_portable_oracle() -> str:
+    """DuckDB oracle for c02_minhash_portable — banded MinHash + LSH +
+    exact-Jaccard verify, re-implemented end to end in SQL.
+
+    Portable because the twin's k hash functions are salted md5 digests
+    (``md5('mh<i>:' || shingle)``): a fixed-length lowercase-hex string
+    whose LEXICOGRAPHIC min is its numeric 128-bit min, so ``MIN(str)``
+    IS the minhash — no modular arithmetic, no 64-bit multiply, nothing
+    either engine spells differently. Band buckets are md5 over the
+    concatenated row mins; candidates come from the (band, bucket)
+    self-join; verification is exact set Jaccard over 3-word shingles
+    (list ops in DuckDB ≡ array ops in Spark) with the trunc6 output
+    convention."""
+    mh_aggs = ",\n      ".join(
+        f"MIN(md5('mh{i}:' || shingle)) AS mh{i}" for i in range(_MP_K)
+    )
+    bucket_select = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5(concat_ws('|', "
+        + ",".join(f"mh{band * _MP_ROWS + r}" for r in range(_MP_ROWS))
+        + ")) AS bucket FROM sig"
+        for band in range(_MP_BANDS)
+    )
+    shingles = (
+        "CASE WHEN len({tk}) >= 3 THEN list_distinct(list_transform("
+        "generate_series(1, len({tk}) - 2), "
+        "i -> array_to_string(list_slice({tk}, i, i + 2), ' '))) "
+        "ELSE [] END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, s.shingle
+      FROM (SELECT doc_id, {shingles.format(tk="tk")} AS shingles FROM t),
+           UNNEST(shingles) AS s(shingle)
+    ),
+    sig AS (
+      SELECT doc_id,
+          {mh_aggs}
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS ({bucket_select}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    jc AS (
+      SELECT cand.doc_a, cand.doc_b,
+             len(list_intersect({shingles.format(tk="ta.tk")},
+                                {shingles.format(tk="tb.tk")})) AS n_inter,
+             len({shingles.format(tk="ta.tk")}) AS na,
+             len({shingles.format(tk="tb.tk")}) AS nb
+      FROM cand
+      JOIN t ta ON ta.doc_id = cand.doc_a
+      JOIN t tb ON tb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b,
+           floor((CAST(n_inter AS DOUBLE) / (na + nb - n_inter)) * 1000000)
+             / 1000000 AS jaccard
+    FROM jc
+    WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {_MP_THRESH}
+    """
+
+
+def minhash_portable_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows from salted-md5 minhashes — same
+    one-pass shape as :func:`lsh_bucket_index`, hash family swapped for
+    the cross-engine-portable one. md5 costs more per shingle than
+    xxhash64 (why the production index keeps xxhash64); string mins ride
+    the same partial-aggregated groupBy."""
+    sh = rebalance(docs).select(
+        "doc_id",
+        F.explode(word_shingles(tokens("text"), _SHINGLE_K)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_MP_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"mh{band * _MP_ROWS + r}" for r in range(_MP_ROWS)],
+                )
+            )
+            for band in range(_MP_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+@query(
+    "c02_minhash_portable", oracle=_minhash_portable_oracle(), driver=False
+)
+def c02_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2b': the oracle-backed MinHash — salted-md5 hash family so the
+    ENTIRE banded-LSH pipeline (shingle → 32 string-min hashes → 8×4
+    band buckets → candidate self-join → exact-Jaccard verify) re-runs
+    independently in DuckDB. ``c02_minhash_lsh`` (xxhash64 + Mersenne
+    permutations) remains the production path with its recall tests;
+    verification reuses the production :func:`verify_jaccard_pairs`.
+    Hash parity at sf0.001/0.01/0.1 (28/25/256 pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    buckets = minhash_portable_buckets(docs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return verify_jaccard_pairs(candidates, docs, threshold=_MP_THRESH)
+
+
+# --------------------------------------------------------------------------
 # C2c' — portable-hash SimHash twin (oracle-backed)
 # --------------------------------------------------------------------------
 def _simhash_portable_oracle() -> str:

@@ -35,6 +35,7 @@ ALLOWED_MULTI_SCAN = {
     "b71_q17_small_quantity": "per-part AVG threshold: 2 pruned scans beat a full fact shuffle (the window form would sort the raw facts)",
     "b73_q21_waiting_supplier": "EXISTS + NOT EXISTS genuinely probe lineitem as separate relations (every engine's Q21 does)",
     "c02_minhash_lsh": "candidate self-join: both sides of the band-bucket join are the corpus (persisted-index path avoids it in production)",
+    "c02_minhash_portable": "band-bucket self-join + Jaccard verify re-reads (md5 oracle twin of c02_minhash_lsh, same shape)",
     "c02_ngram_jaccard": "inverted-index self-join (ground-truth variant)",
     "c02_ngram_jaccard_pruned": "pruned inverted-index self-join + df-statistics pass",
     "c02_simhash": "signature self-join across chunk blocks",
