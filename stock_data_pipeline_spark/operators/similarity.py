@@ -1268,6 +1268,152 @@ def c03_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_TOP_K)
 
 
+_PQ_FIXED_SEED, _PQ_FIXED_SHORTLIST = 11, 50
+
+
+def _fixed_pq_books(seed: int = _PQ_FIXED_SEED):
+    """Seeded random PQ codebooks — degenerate (untrained) but valid,
+    deterministic literals; the PQ analogue of :func:`_fixed_centroids`."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((_PQ_N_SUB, _PQ_N_CODES, _PQ_N_SUB)).tolist()
+
+
+def _pq_fixed_oracle() -> str:
+    """DuckDB oracle for c03_pq_fixed_books — the complete PQ search
+    machinery in SQL: per-subspace argmin ENCODE (same left-fold squared
+    distances and first-min tie-break as ``pq_encode``), RECONSTRUCT via
+    16-branch CASE per dimension, UNROUNDED ADC cosine whose 64-term
+    left-fold reproduces the engine's ``cosine()`` bit for bit (the
+    shortlist ordering is raw-double ranked — replicated order means
+    replicated bits means replicated shortlist), then the round-6 exact
+    rerank. With the LSH and IVF oracles, every ANN search path is now
+    differentially verified end to end; only the kmeans/codebook
+    TRAINERS remain outside SQL (iterative by nature). ~175 KB of
+    generated SQL; sub-second in DuckDB at sf0.1."""
+    books = _fixed_pq_books()
+    n_sub, n_codes = len(books), len(books[0])
+    d_sub = len(books[0][0])
+    dim = n_sub * d_sub
+
+    dist_cols = []
+    for m in range(n_sub):
+        for c in range(n_codes):
+            terms = " + ".join(
+                f"(CAST(embedding[{m * d_sub + i + 1}] AS DOUBLE)"
+                f" - {float(books[m][c][i])!r})"
+                f" * (CAST(embedding[{m * d_sub + i + 1}] AS DOUBLE)"
+                f" - {float(books[m][c][i])!r})"
+                for i in range(d_sub)
+            )
+            dist_cols.append(f"(0.0 + {terms}) AS pd{m}_{c}")
+    code_cols = []
+    for m in range(n_sub):
+        least = (
+            "least(" + ",".join(f"pd{m}_{c}" for c in range(n_codes)) + ")"
+        )
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN pd{m}_{c} = {least} THEN {c}" for c in range(n_codes)
+            )
+            + " END"
+        )
+        code_cols.append(f"{case} AS c{m}")
+    recon_cols = []
+    for i in range(dim):
+        m, d = i // d_sub, i % d_sub
+        case = (
+            f"CASE c{m} "
+            + " ".join(
+                f"WHEN {c} THEN {float(books[m][c][d])!r}"
+                for c in range(n_codes)
+            )
+            + " END"
+        )
+        recon_cols.append(f"{case} AS r{i + 1}")
+    dot = "(0.0 + " + " + ".join(
+        f"CAST(q.embedding[{i + 1}] AS DOUBLE) * e.r{i + 1}"
+        for i in range(dim)
+    ) + ")"
+    qn2 = "(0.0 + " + " + ".join(
+        f"CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    ) + ")"
+    rn2 = "(0.0 + " + " + ".join(
+        f"e.r{i + 1} * e.r{i + 1}" for i in range(dim)
+    ) + ")"
+    nl = ",\n    "
+    return f"""
+    WITH pd AS (
+      SELECT vec_id,
+        {nl.join(dist_cols)}
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+        {nl.join(code_cols)}
+      FROM pd
+    ),
+    recon AS (
+      SELECT vec_id,
+        {nl.join(recon_cols)}
+      FROM codes
+    ),
+    approx AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             {dot} / (sqrt({qn2}) * sqrt({rn2})) AS approx_sim
+      FROM recon e
+      JOIN embeddings q ON q.vec_id < {_N_QUERIES} AND e.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY approx_sim DESC, vec_id ASC) AS r
+        FROM approx
+      ) WHERE r <= {_PQ_FIXED_SHORTLIST}
+    )
+    SELECT query_id, vec_id, cos_sim, sim_rank FROM (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(
+               list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY round(list_cosine_similarity(
+                 list_transform(qe.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(ce.embedding, x -> CAST(x AS DOUBLE))), 6)
+                 DESC,
+               cand.vec_id ASC
+             ) AS sim_rank
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ) WHERE sim_rank <= {_TOP_K}
+    """
+
+
+@query("c03_pq_fixed_books", oracle=_pq_fixed_oracle(), driver=False)
+def c03_pq_fixed_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3': the oracle-backed PQ — seeded literal codebooks run through
+    the PRODUCTION ``pq_topk`` (encode → reconstruct → ADC shortlist →
+    exact rerank, unchanged code); only the trainer is bypassed, because
+    literal codebooks are what a DuckDB oracle can replay. Hash parity
+    at sf0.001/0.01/0.1 including the raw-double shortlist ordering.
+    The kmeans-trained ``c03_pq_topk`` keeps its recall tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        shortlist=_PQ_FIXED_SHORTLIST,
+        books=_fixed_pq_books(),
+    )
+
+
 # --------------------------------------------------------------------------
 # C3 — IVF-PQ: the composed billion-scale index (cells prune, codes score)
 # --------------------------------------------------------------------------
