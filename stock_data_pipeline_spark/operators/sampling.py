@@ -224,6 +224,112 @@ def c09_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load(spark, sf_dir, "documents"))
 
 
+def _pack_portable_oracle() -> str:
+    """DuckDB oracle for c09_sequence_packing_portable — greedy
+    first-fit-decreasing BIN PACKING replayed exactly in a recursive CTE.
+
+    The recursion carries each pack group's OPEN-BIN FILL LIST as list
+    state and advances every group one document per iteration (FFD order
+    = n_tokens DESC NULLS LAST, doc_id — pandas sorts NaN last, matching
+    NULLS LAST): first fitting bin via ``list_position`` over a
+    fits-mask (DuckDB returns 0, not NULL, on no-match — guard with
+    > 0), slot update via an indexed-lambda ``list_transform``, overflow
+    via ``list_append``. ``bin_fill`` is the bin's FINAL fill, so the
+    last iteration's state is unnested (struct-transform — DuckDB lacks
+    WITH ORDINALITY) and joined back per assignment. Portable because
+    the twin's group hash is md5-hex-digit arithmetic instead of the
+    production xxhash64. This pins the exact packing TRACE cross-engine,
+    complementing the exactly-once/budget invariant tests on the
+    production query."""
+    return f"""
+    WITH RECURSIVE
+    sized AS (
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1))
+              % {N_PACK_GROUPS} AS INT) AS pack_group,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS INT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY pack_group
+          ORDER BY n_tokens DESC NULLS LAST, doc_id ASC) AS rn,
+          COALESCE(n_tokens, 0) AS x
+      FROM sized
+    ),
+    rec AS (
+      SELECT pack_group, rn, doc_id, n_tokens, [x] AS fills, 1 AS pos
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.pack_group, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN COALESCE(fit.p, 0) > 0
+                  THEN list_transform(r.fills, (f, i) ->
+                         CASE WHEN i = fit.p THEN f + o.x ELSE f END)
+                  ELSE list_append(r.fills, o.x) END,
+             CASE WHEN COALESCE(fit.p, 0) > 0 THEN fit.p
+                  ELSE len(r.fills) + 1 END
+      FROM rec r
+      JOIN ordered o ON o.pack_group = r.pack_group AND o.rn = r.rn + 1
+      CROSS JOIN LATERAL (SELECT list_position(
+          list_transform(r.fills, f -> f + o.x <= {PACK_BUDGET}), true)
+          AS p) fit
+    ),
+    final_state AS (
+      SELECT pack_group, fills,
+             ROW_NUMBER() OVER (
+               PARTITION BY pack_group ORDER BY rn DESC) AS rr
+      FROM rec
+    ),
+    final_fills AS (
+      SELECT pack_group, u.s.idx - 1 AS bin_id, u.s.fill AS bin_fill
+      FROM (SELECT pack_group, fills FROM final_state WHERE rr = 1),
+           UNNEST(list_transform(fills, (f, i) -> {{'fill': f, 'idx': i}}))
+             AS u(s)
+    )
+    SELECT r.doc_id, r.pack_group, CAST(r.pos - 1 AS BIGINT) AS bin_id,
+           r.n_tokens, CAST(ff.bin_fill AS INT) AS bin_fill
+    FROM rec r
+    JOIN final_fills ff
+      ON ff.pack_group = r.pack_group AND ff.bin_id = r.pos - 1
+    """
+
+
+@query(
+    "c09_sequence_packing_portable",
+    oracle=_pack_portable_oracle(),
+    driver=False,
+)
+def c09_sequence_packing_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9': the oracle-backed sequence packing — the PRODUCTION FFD
+    packer (``_pack_group`` applyInPandas, unchanged) over a portable
+    md5-digit group hash, so the full packing trace replays in DuckDB's
+    recursive CTE (see :func:`_pack_portable_oracle`). The xxhash64
+    ``c09_sequence_packing`` stays the production path; hash parity at
+    sf0.001/0.01/0.1 (500/500/5000 assignments)."""
+    from ..functions.textfns import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    grp = F.expr(
+        "cast((instr('0123456789abcdef', "
+        "substring(md5(cast(doc_id as string)), 31, 1)) - 1) * 16 "
+        "+ (instr('0123456789abcdef', "
+        "substring(md5(cast(doc_id as string)), 32, 1)) - 1) as int) % "
+        f"{N_PACK_GROUPS}"
+    )
+    sized = docs.select(
+        "doc_id",
+        grp.cast("int").alias("pack_group"),
+        F.size(tokens("text")).cast("int").alias("n_tokens"),
+    )
+    return sized.groupBy("pack_group").applyInPandas(
+        lambda pdf: _pack_group(pdf, PACK_BUDGET), schema=_PACK_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # C8c — weighted source mixing (curriculum / domain-proportion control)
 # --------------------------------------------------------------------------

@@ -84,6 +84,9 @@ def test_no_python_udf_in_relational_plans(spark, sf_check_dir):
         # the JVM windowed twin is measured ~6× slower); its oracle is
         # the r7 recursive-CTE replay, not a JVM plan
         "b29_ema_rsi",
+        # the production FFD packer (applyInPandas, sequential by
+        # nature); its oracle is the r7 recursive-CTE packing replay
+        "c09_sequence_packing_portable",
     }
     for name in full_oracles():
         if name in exempt:
