@@ -322,6 +322,86 @@ def bpe_encode(
     )
 
 
+# Fixed literal merge list for the oracle-backed BPE-application twin:
+# plausible English merges, CASCADING on purpose (t+h -> th, th+e -> the,
+# the+</w>) so the sequential order is load-bearing, not decorative.
+_FIXED_MERGES: list[tuple[str, str, str]] = [
+    ("t", "h", "th"), ("th", "e", "the"), ("e", "</w>", "e</w>"),
+    ("a", "n", "an"), ("i", "n", "in"), ("o", "n", "on"),
+    ("r", "e", "re"), ("s", "</w>", "s</w>"), ("d", "</w>", "d</w>"),
+    ("an", "d", "and"), ("the", "</w>", "the</w>"), ("in", "g", "ing"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """DuckDB oracle for c04_bpe_apply_fixed — sequential BPE merge
+    application replayed with chained string ``replace``s.
+
+    The engine applies each merge with :func:`_merge_pair`'s
+    leftmost-first array fold; on a SPACE-JOINED symbol string with
+    boundary pads, SQL ``replace(s, ' a b ', ' m ')`` has the identical
+    semantics (non-overlapping, left-to-right, scan resumes after the
+    replacement — so runs like ``a a a`` merge to ``aa a``, never
+    ``a aa``, and the re-supplied trailing space lets adjacent matches
+    chain). Symbols never contain spaces (words are whitespace-split;
+    merged symbols are concatenations), so the delimiter is safe; the
+    fixture corpus is ASCII (pinned in tests/test_multimodal.py), so
+    per-character splitting agrees across engines."""
+    expr = (
+        "' ' || array_to_string(list_transform("
+        "string_split(word, ''), c -> c), ' ') || ' </w> '"
+    )
+    for a, b, m in _FIXED_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {m} ')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, t.word
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(word)
+      WHERE t.word <> ''
+    ),
+    enc AS (
+      SELECT doc_id,
+             len(string_split_regex(trim({expr}), ' ')) AS n_syms
+      FROM w
+    )
+    SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("c04_bpe_apply_fixed", oracle=_bpe_fixed_oracle(), driver=False)
+def c04_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4': oracle-backed BPE merge application — the PRODUCTION
+    :func:`_merge_pair` fold (the JVM inner loop every training round
+    runs) applying a fixed literal merge list in sequence, per-doc token
+    counts out. Only the trained merge LIST is replaced by literals,
+    because a literal list is what a DuckDB oracle can replay (see
+    :func:`_bpe_fixed_oracle`); the trained path keeps its
+    sequential-reference equality tests. Hash parity at
+    sf0.001/0.01/0.1. With this twin the BPE family's distributed
+    machinery is differentially verified; only vocabulary TRAINING
+    (iterative argmax) stays outside SQL."""
+    from ..functions.textfns import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    syms = _word_symbols(F.col("word"))
+    for a, b, m in _FIXED_MERGES:
+        syms = _merge_pair(syms, a, b, m)
+    return (
+        words.select("doc_id", F.size(syms).alias("n_syms"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").alias("n_tokens"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
 @query("c04_bpe_merges", driver=False)
 def c04_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: the first 20 BPE merges trained on the documents corpus —
