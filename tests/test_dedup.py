@@ -414,3 +414,48 @@ def test_simhash_portable_agrees_with_xxhash_variant_on_planted(spark, doc_df):
     )
     got = simhash_portable_pairs(dup, max_hamming=0).collect()
     assert [(p.doc_a, p.doc_b, p.hamming) for p in got] == [(0, 1, 0)]
+
+
+def test_minhash_portable_agrees_with_xxhash_variant_on_planted(spark, doc_df):
+    """Both MinHash hash families run the same banded-LSH algorithm and
+    the same exact-Jaccard verify, so on the planted 2-word-substitution
+    near-dups (Jaccard far above threshold, every band likely to
+    collide) they must land essentially the same verified pairs."""
+    from stock_data_pipeline_spark.operators.dedup import (
+        c02_minhash_portable,
+        minhash_lsh_pairs,
+    )
+
+    prod = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(doc_df, threshold=0.5).collect()
+    }
+    # portable twin over the same frame: reuse its building blocks
+    from stock_data_pipeline_spark.operators.dedup import (
+        minhash_portable_buckets,
+        verify_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    buckets = minhash_portable_buckets(doc_df)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    port = {
+        (r.doc_a, r.doc_b)
+        for r in verify_jaccard_pairs(cand, doc_df, threshold=0.5).collect()
+    }
+    planted = {(i, 100 + i) for i in range(8)}
+    assert len(planted & prod) >= 6
+    assert len(planted & port) >= 6
+    # verified sets agree except for genuine candidate-recall noise
+    sym = prod ^ port
+    assert len(sym) <= max(2, len(prod | port) // 5), (sorted(sym), len(prod), len(port))
