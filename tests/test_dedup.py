@@ -459,3 +459,44 @@ def test_minhash_portable_agrees_with_xxhash_variant_on_planted(spark, doc_df):
     # verified sets agree except for genuine candidate-recall noise
     sym = prod ^ port
     assert len(sym) <= max(2, len(prod | port) // 5), (sorted(sym), len(prod), len(port))
+
+
+def test_fuzzy_join_blocking_has_perfect_recall(spark):
+    """Deletion-neighborhood blocking must equal the brute-force
+    distance-1 join on names exercising ALL edit kinds — substitution,
+    insertion, deletion, equality — plus distance-2 decoys it must NOT
+    return."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import fuzzy_join_dist1
+
+    names = [
+        (0, "martha"), (1, "marta"),    # deletion
+        (2, "martha"),                  # duplicate (distance 0)
+        (3, "marsha"),                  # substitution vs martha
+        (4, "marthas"),                 # insertion vs martha
+        (5, "mxrsha"),                  # dist 2 from martha — decoy
+        (6, "zz"),                      # unrelated
+    ]
+    df = spark.createDataFrame(names, "c_custkey long, c_name string")
+    got = {
+        (r.cust_a, r.cust_b, r.edit_distance)
+        for r in fuzzy_join_dist1(df, "c_custkey", "c_name").collect()
+    }
+    a = df.select(F.col("c_custkey").alias("ia"), F.col("c_name").alias("na"))
+    b = df.select(F.col("c_custkey").alias("ib"), F.col("c_name").alias("nb"))
+    brute = {
+        (r.ia, r.ib, r.d)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.levenshtein("na", "nb").alias("d"))
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == brute
+    assert (0, 2, 0) in got and (0, 1, 1) in got
+    assert (0, 3, 1) in got and (0, 4, 1) in got
+    # mxrsha is distance 2 from martha (absent) but 1 from marsha (present)
+    assert (0, 5, 2) not in got and not any(
+        (x, y) in {(0, 5), (2, 5)} for x, y, _ in got
+    )
+    assert (3, 5, 1) in got
