@@ -1159,3 +1159,136 @@ def c04_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_kept", F.sha2("cleaned", 256).alias("cleaned_sha")
     )
+
+
+# --------------------------------------------------------------------------
+# C4o — corpus collocation mining (bigram PMI)
+# --------------------------------------------------------------------------
+
+# Bigrams rarer than this carry no stable PMI signal and would blow up the
+# output toward the distinct-bigram count; the floor bounds the result to
+# the (much smaller) recurring-collocation set.
+PMI_MIN_COUNT = 3
+
+
+def bigram_pmi(
+    docs: DataFrame, text_col: str = "text", min_count: int = PMI_MIN_COUNT
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token pairs, ``ln(p(x,y) / (p(x)·p(y)))``, over the whole
+    corpus — the classical phrase-mining signal used to pick multi-word
+    vocabulary entries for tokenizers and to profile corpus idiom.
+
+    Returns one row per bigram seen at least ``min_count`` times:
+    ``(x, y, pair_count, pmi)``.
+
+    Scale: ONE tokenize pass — the filtered token array is persisted and
+    both count passes (adjacent-pair explode → groupBy(x, y); token
+    explode → groupBy(token)) read the cache, so the parquet scan and the
+    tokenizer run once. Both aggregates partial-combine map-side; the
+    unigram table is vocabulary-sized and the PMI joins are keyed on
+    token, so AQE picks broadcast vs shuffle by its real size (at web
+    scale a multi-billion-token vocabulary must NOT be force-broadcast).
+    The two corpus totals are 1-row broadcasts. Bigrams are formed with
+    slice+zip_with inside codegen — no posexplode self-join on position,
+    which would shuffle the exploded token stream. No Python anywhere.
+    PMI itself is a single ln over exact integer counts cast to double —
+    the identical expression tree in both engines, no float accumulation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.partitioning import rebalance
+
+    tl = F.filter(tokens(text_col), lambda t: t != "")
+    base = (
+        rebalance(docs)
+        .select(tl.alias("tl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_len = F.greatest(F.size("tl") - 1, F.lit(0))
+    bgc = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tl", F.lit(1), pair_len),
+                    F.slice("tl", F.lit(2), pair_len),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = (
+        base.select(F.explode("tl").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    btot = bgc.agg(F.sum("c_xy").cast("bigint").alias("nb"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("nb"))
+        / (
+            (F.col("cx").cast("double") / F.col("n"))
+            * (F.col("cy").cast("double") / F.col("n"))
+        )
+    )
+    return (
+        bgc.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("token").alias("x"), F.col("c").alias("cx")), "x")
+        .join(uni.select(F.col("token").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("bigint").alias("pair_count"),
+            trunc6(pmi).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "c04_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter({sql_tokens('text')}, t -> t <> '') AS tl
+      FROM documents
+    ),
+    bg AS (
+      SELECT tl[i] AS x, tl[i + 1] AS y
+      FROM (SELECT tl, unnest(generate_series(1, len(tl) - 1)) AS i FROM toks)
+    ),
+    bgc AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY x, y),
+    uni AS (
+      SELECT token, COUNT(*) AS c
+      FROM (SELECT unnest(tl) AS token FROM toks)
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    btot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS nb FROM bgc)
+    SELECT bgc.x, bgc.y, CAST(bgc.c_xy AS BIGINT) AS pair_count,
+      {sql_trunc6(
+          "ln((CAST(bgc.c_xy AS DOUBLE) / btot.nb)"
+          " / ((CAST(ux.c AS DOUBLE) / tot.n)"
+          " * (CAST(uy.c AS DOUBLE) / tot.n)))"
+      )} AS pmi
+    FROM bgc
+    JOIN uni ux ON bgc.x = ux.token
+    JOIN uni uy ON bgc.y = uy.token
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bgc.c_xy >= {PMI_MIN_COUNT}
+    """,
+    driver=False,
+)
+def c04_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4o: bigram PMI collocation mining over ``documents`` — the
+    corpus-profiling / phrase-vocabulary primitive (tokenizer vocab
+    selection and idiom detection in pretraining pipelines). The DuckDB
+    oracle replays the whole pipeline: 1-based adjacent pairing via
+    ``generate_series``, both count tables, and the identical
+    single-``ln`` PMI expression over exact integer counts (no float
+    accumulation → cross-engine bit-stable inside the 6-dp truncation).
+    """
+    return bigram_pmi(load(spark, sf_dir, "documents"))

@@ -295,6 +295,47 @@ def test_redact_pii_counts_match_placeholders(spark):
     assert rows[2].n_emails == 1 and rows[2].n_phones == 1
 
 
+def test_bigram_pmi_matches_python_model_and_ranks_collocations(spark):
+    """bigram_pmi against an exact Python recompute on a planted corpus:
+    'new york' always co-occurs (high PMI) while 'the'/'cat' pair
+    frequently but independently (low PMI). Every returned row must
+    equal the sequential model bit-for-bit after the 6-dp truncation."""
+    import math
+    from collections import Counter
+
+    from stock_data_pipeline_spark.operators.text import bigram_pmi
+
+    texts = [
+        "new york is where the cat saw the dog",
+        "the cat and the dog left new york",
+        "a trip to new york with the cat",
+        "the dog the cat the bird",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r.x, r.y): (r.pair_count, r.pmi)
+        for r in bigram_pmi(docs, min_count=2).collect()
+    }
+
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().strip().split() if w]
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    nb = sum(bg.values())
+    want = {}
+    for (x, y), c in bg.items():
+        if c >= 2:
+            pmi = math.log((c / nb) / ((uni[x] / n) * (uni[y] / n)))
+            want[(x, y)] = (c, math.floor(pmi * 1e6) / 1e6)
+    assert got == want
+    assert got[("new", "york")][1] > got[("the", "cat")][1]
+
+
 def test_zlib_pins_match_live_fixtures_and_runtime():
     """The c04_compression_ratio oracle joins against the fixture-pinned
     (md5(text) → zlib size) map; if the driver ever regenerates testdata
