@@ -1,0 +1,211 @@
+"""Link-graph analytics: navigation-graph construction and PageRank.
+
+Web-corpus curation pipelines weight documents by link-graph centrality
+(the CommonCrawl/C4 lineage uses harmonic centrality / PageRank as a
+quality prior before sampling). The reference pipeline has no graph
+stage — this family is a north-star extension in the spirit of
+SURVEY.md §2 Tier C: the same events fact table the funnel/retention
+queries read (reference: dags/queries delegate such rollups to the
+warehouse) also yields a navigation graph, and PageRank over it is the
+canonical "iterative algorithm as repeated join+aggregate" workload.
+
+Design for 100 TB:
+- The graph is built with ONE window pass over the fact table
+  (lag-per-user transitions), aggregated to a weighted edge list, and
+  persisted — every PageRank iteration reads the cache, so the fact
+  scan happens once no matter how many iterations run.
+- Each iteration is one node-keyed equi-join (ranks ⋈ edges on src)
+  plus one dst-keyed partial-combining aggregate — the textbook
+  vertex-partitioned PR step. Nothing is ever collected to the driver;
+  the only driver-visible scalars are two 1-row aggregates (node count,
+  dangling mass) broadcast back per iteration.
+- Fixed-point arithmetic, not floats: ranks are BIGINTs scaled by 1e12
+  and every step uses integer multiply + integer division (``div`` /
+  ``//``). Float PR would make the result depend on partition-level
+  summation order; the scaled-integer form is bit-identical across
+  partitionings AND across engines, so the whole 3-iteration fixed
+  point is differentially verifiable against DuckDB (same discipline as
+  the limb-decomposed exact sums in functions/exact.py).
+- At a real 1000-executor scale you would localCheckpoint the rank
+  frame every few iterations to truncate lineage; with the fixed
+  3-iteration unroll used here the plan stays shallow enough to skip
+  that, and the edge cache bounds recomputation.
+
+Semantics (classic damped PageRank, d = 0.85, dangling mass
+redistributed uniformly), with explicit floor at every division so both
+engines agree bit-for-bit:
+
+    pr_0(v)   = SCALE div N
+    contrib   = (pr_i(u) * w(u,v)) div outw(u)
+    pr_{i+1}(v) = (15 * SCALE) div (100 * N)
+                + (85 * insum(v)) div 100
+                + (85 * (dangling_i div N)) div 100
+
+Mass is conserved only up to the floors (deterministically), which is
+fine: the operator is a ranking prior, and the fixed truncation is what
+buys cross-engine exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..catalog import load
+from ..registry import query
+
+# Fixed-point scale for ranks: 1e12 keeps 12 significant decimal digits
+# while 85 * SCALE and SCALE * max-edge-weight stay far inside BIGINT.
+PR_SCALE = 10**12
+PR_ITERATIONS = 3
+
+
+def click_edges(events: DataFrame) -> DataFrame:
+    """Weighted navigation edges from the events fact table: per user,
+    time-ordered consecutive pages (``props.$.k``) form a src→dst
+    transition; the edge weight is the corpus-wide transition count.
+
+    One window pass (shuffle by user) then one edge-keyed aggregate —
+    both partial-combine. Ties on ``ts`` are broken by ``event_id`` so
+    the transition sequence is deterministic.
+    """
+    page = F.get_json_object("props", "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(F.col("user_id"), F.col("ts"), F.col("event_id"),
+                      page.alias("dst"))
+        .select(F.lag("dst").over(w).alias("src"), "dst")
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
+    """Damped PageRank (d=0.85) over a weighted edge list, in scaled
+    BIGINT fixed-point (see module docstring for the exact recurrence).
+    Returns ``(node, pagerank_scaled)`` — ranks × 1e12, exact integers.
+
+    The edge list is persisted once; iterations are unrolled into one
+    lazy plan whose per-iteration cost is a src-keyed join + dst-keyed
+    aggregate. Dangling nodes' mass is redistributed uniformly via a
+    1-row broadcast aggregate per iteration.
+    """
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ncnt = nodes.agg(F.count("*").cast("long").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", F.expr(f"{PR_SCALE} div n").alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(pr * w) div outw").alias("c"),
+            )
+        )
+        insum = contrib.groupBy("node").agg(
+            F.sum("c").cast("long").alias("insum")
+        )
+        dang = (
+            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * {PR_SCALE}) div (100 * n)")
+                    + F.expr("(85 * coalesce(insum, 0)) div 100")
+                    + F.expr("(85 * (dang div n)) div 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return ranks.select("node", F.col("pr").alias("pagerank_scaled"))
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled-CTE DuckDB replay of click_edges + pagerank: the same
+    integer recurrence, floor division spelled ``//``."""
+    ctes = [
+        """seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    )""",
+        """trans AS (
+      SELECT LAG(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             dst
+      FROM seq
+    )""",
+        """edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM trans WHERE src IS NOT NULL GROUP BY src, dst
+    )""",
+        """outw AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src
+    )""",
+        """nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    )""",
+        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS (
+      SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS pr
+      FROM nodes CROSS JOIN nc
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ins{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM((r.pr * e.w) // o.outw) AS BIGINT) AS insum
+      FROM r{i - 1} r
+      JOIN edges e ON r.node = e.src
+      JOIN outw o ON e.src = o.src
+      GROUP BY e.dst
+    )""")
+        ctes.append(f"""dang{i} AS (
+      SELECT CAST(COALESCE(SUM(r.pr), 0) AS BIGINT) AS dang
+      FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+      WHERE o.src IS NULL
+    )""")
+        ctes.append(f"""r{i} AS (
+      SELECT nodes.node,
+             CAST((15 * {PR_SCALE}) // (100 * nc.n)
+                  + (85 * COALESCE(i.insum, 0)) // 100
+                  + (85 * (d.dang // nc.n)) // 100 AS BIGINT) AS pr
+      FROM nodes
+      LEFT JOIN ins{i} i ON nodes.node = i.node
+      CROSS JOIN dang{i} d CROSS JOIN nc
+    )""")
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT node, pr AS pagerank_scaled FROM r{iterations}"
+    )
+
+
+@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS),
+       driver=False)
+def c10_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: damped PageRank over the user-navigation graph mined from
+    ``events`` — the link-graph quality prior of web-corpus curation,
+    run as 3 unrolled join+aggregate rounds in scaled-BIGINT fixed
+    point (bit-exact across engines and partitionings). The DuckDB
+    oracle replays the whole pipeline — transition mining, edge
+    weights, dangling redistribution, and all three iterations — as
+    unrolled CTEs with the identical integer recurrence.
+    """
+    return pagerank(click_edges(load(spark, sf_dir, "events")))

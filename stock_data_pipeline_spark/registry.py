@@ -190,6 +190,7 @@ def _ensure_loaded() -> None:
         analytics,
         dedup,
         finance,
+        graph,
         multimodal,
         relational,
         sampling,

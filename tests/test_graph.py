@@ -1,0 +1,93 @@
+"""Link-graph PageRank: planted-graph agreement with a sequential
+integer-recurrence model, hub ranking, and degenerate inputs."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+from stock_data_pipeline_spark.operators.graph import (
+    PR_SCALE,
+    click_edges,
+    pagerank,
+)
+
+
+def _events(spark, rows):
+    """rows: (user_id, second, k) → events-shaped frame."""
+    data = [
+        (i, datetime(2024, 1, 1, 0, 0, sec), uid, "view", 1.0,
+         json.dumps({"k": k}))
+        for i, (uid, sec, k) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+def _model_pagerank(edge_weights: dict, iterations: int = 3) -> dict:
+    """Sequential replay of the exact integer recurrence in graph.py."""
+    nodes = sorted({u for u, _ in edge_weights} | {v for _, v in edge_weights})
+    n = len(nodes)
+    outw = {}
+    for (u, _), w in edge_weights.items():
+        outw[u] = outw.get(u, 0) + w
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        insum = {v: 0 for v in nodes}
+        for (u, v), w in edge_weights.items():
+            insum[v] += (pr[u] * w) // outw[u]
+        dang = sum(pr[v] for v in nodes if v not in outw)
+        pr = {
+            v: (15 * PR_SCALE) // (100 * n)
+            + (85 * insum[v]) // 100
+            + (85 * (dang // n)) // 100
+            for v in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_sequential_integer_model(spark):
+    """Planted navigation graph: users 1-3 funnel into hub page 9 from
+    pages 1-4; page 5 is a dangling sink reached once. Spark's unrolled
+    fixed-point must equal the sequential model bit-for-bit, and the
+    hub must out-rank every feeder page."""
+    rows = [
+        # user 1: 1 -> 9 -> 2 -> 9
+        (1, 0, 1), (1, 1, 9), (1, 2, 2), (1, 3, 9),
+        # user 2: 3 -> 9 -> 4 -> 9 -> 5 (5 dangles)
+        (2, 0, 3), (2, 1, 9), (2, 2, 4), (2, 3, 9), (2, 4, 5),
+        # user 3: 1 -> 9 twice (parallel edge weight 2 via two visits)
+        (3, 0, 1), (3, 1, 9), (3, 2, 1), (3, 3, 9),
+    ]
+    ev = _events(spark, rows)
+    edges = {
+        (r.src, r.dst): r.w for r in click_edges(ev).collect()
+    }
+    assert edges[(1, 9)] == 3 and edges[(9, 5)] == 1  # weights mined
+    got = {r.node: r.pagerank_scaled for r in pagerank(click_edges(ev)).collect()}
+    want = _model_pagerank(edges)
+    assert got == want
+    hub = got[9]
+    assert all(hub > got[v] for v in got if v != 9)
+
+
+def test_pagerank_empty_transitions_yields_empty_frame(spark):
+    """One event per user → no transitions → no graph, no rows, no error."""
+    ev = _events(spark, [(1, 0, 7), (2, 0, 8)])
+    assert pagerank(click_edges(ev)).count() == 0
+
+
+def test_pagerank_dangling_mass_is_redistributed(spark):
+    """Pure chain 1→2→3: node 3 dangles; its mass must flow back
+    uniformly rather than vanish — after 3 iterations every node keeps
+    a rank strictly above the bare teleport floor."""
+    ev = _events(spark, [(1, 0, 1), (1, 1, 2), (1, 2, 3)])
+    got = {r.node: r.pagerank_scaled for r in pagerank(click_edges(ev)).collect()}
+    teleport_floor = (15 * PR_SCALE) // (100 * 3)
+    assert set(got) == {1, 2, 3}
+    assert all(v > teleport_floor for v in got.values())
+    want = _model_pagerank({(1, 2): 1, (2, 3): 1})
+    assert got == want
