@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load
+from ..functions.exact import sql_trunc6, trunc6
 from ..registry import query
 
 # Fixed-point scale for ranks: 1e12 keeps 12 significant decimal digits
@@ -195,6 +196,139 @@ def _pagerank_oracle(iterations: int) -> str:
         f"WITH {joined}\n"
         f"SELECT node, pr AS pagerank_scaled FROM r{iterations}"
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edges from a weighted directed edge
+    list: self-loops dropped, endpoints ordered ``a < b``, parallel /
+    reverse duplicates collapsed. One distinct (edge-keyed shuffle)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count, degree, and local clustering coefficient
+    over the undirected simple graph of ``edges``.
+
+    Triangles are enumerated once each via the ordered form: for the
+    canonical edge list (a < b), wedge (a,b)⋈(b,c) gives the open path
+    a < b < c and a left-semi probe of edge (a,c) closes it. The
+    ``a < b < c`` ordering IS the orientation that makes the classic
+    compact-forward algorithm skew-tolerant: every triangle is produced
+    exactly once, from its lowest vertex, so no post-hoc dedup shuffle.
+    Each closed triangle then contributes one count to all three
+    corners (explode + node-keyed aggregate, partial-combining).
+
+    The clustering coefficient 2T / (d·(d−1)) is an exact-integer
+    rational truncated at 6 dp (:func:`trunc6` — cross-engine stable),
+    NULL for degree-1 nodes.
+
+    Scale: the wedge join is the dominant shuffle, keyed on the shared
+    vertex; skew on celebrity vertices is bounded by the ordering (a
+    vertex only fans out to HIGHER-numbered neighbors) and AQE skew
+    handling. All arithmetic is integer until the final ratio.
+    """
+    e = undirected_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closed = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    per_node = (
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    clustering = trunc6(
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("n_triangles")
+            / (F.col("degree").cast("double") * (F.col("degree") - 1)),
+        )
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            clustering.alias("clustering"),
+        )
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+  FROM events
+),
+trans AS (
+  SELECT LAG(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         dst
+  FROM seq
+),
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM trans WHERE src IS NOT NULL AND src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM ue e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  )
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree >= 2 THEN {sql_trunc6(
+           "2.0 * COALESCE(p.n_triangles, 0)"
+           " / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1))"
+       )} END AS clustering
+FROM deg LEFT JOIN per_node p ON deg.node = p.node
+"""
+
+
+@query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE, driver=False)
+def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: per-node triangle count + local clustering coefficient over
+    the undirected navigation graph mined from ``events`` — the graph
+    cohesion signal (spam subgraphs cluster abnormally) beside the
+    PageRank prior. Ordered compact-forward enumeration: each triangle
+    produced once from its lowest vertex via one wedge join + one
+    semi-join probe, integer arithmetic until the final trunc6 ratio.
+    The DuckDB oracle replays transition mining, canonicalization, the
+    same ordered enumeration (EXISTS probe), and the ratio.
+    """
+    return triangle_stats(click_edges(load(spark, sf_dir, "events")))
 
 
 @query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS),

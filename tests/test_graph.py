@@ -91,3 +91,23 @@ def test_pagerank_dangling_mass_is_redistributed(spark):
     assert all(v > teleport_floor for v in got.values())
     want = _model_pagerank({(1, 2): 1, (2, 3): 1})
     assert got == want
+
+
+def test_triangle_stats_on_planted_graph(spark):
+    """K4 on {1,2,3,4} plus pendant 5-1: every K4 corner sits in 3
+    triangles; adding the pendant dilutes node 1's clustering to
+    2*3/(4*3) = 0.5; the pendant has no wedge, so NULL clustering."""
+    from stock_data_pipeline_spark.operators.graph import triangle_stats
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    # feed as messy directed edges: reversed duplicates + a self-loop
+    rows = [(b, a, 1) for a, b in und] + [(a, b, 2) for a, b in und]
+    rows.append((3, 3, 9))
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.node: (r.degree, r.n_triangles, r.clustering)
+           for r in triangle_stats(edges).collect()}
+    assert got[1] == (4, 3, 0.5)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4] == (3, 3, 1.0)
+    assert got[5] == (1, 0, None)
