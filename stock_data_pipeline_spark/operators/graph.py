@@ -317,6 +317,102 @@ FROM deg LEFT JOIN per_node p ON deg.node = p.node
 """
 
 
+CC_ROUNDS = 6
+
+
+def component_labels(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
+    """Fixed-round min-label propagation over the undirected simple
+    graph of ``edges``: after ``rounds`` synchronous rounds each node's
+    label is the MINIMUM node id within graph distance ``rounds`` — a
+    deterministic, engine-replayable spec that equals true connected
+    components whenever every component's diameter from its minimum
+    node is ≤ ``rounds`` (asserted on the real corpus in tests; the
+    converging pointer-jumping variant lives in operators/dedup.py,
+    reference: the dedup cluster machinery).
+
+    Per round: one node-keyed join of labels onto the bidirectional
+    edge list and one min-aggregate — both partial-combining, no
+    driver-side state. The edge list is persisted once. At 1000-executor
+    scale you would localCheckpoint the label frame every few rounds to
+    truncate lineage; the fixed shallow unroll here keeps the plan
+    bounded without it.
+    """
+    ue = undirected_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    bidir = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(ue.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    labels = bidir.select(F.col("node").alias("lnode")).distinct().select(
+        F.col("lnode").alias("node"), F.col("lnode").alias("label")
+    )
+    for _ in range(rounds):
+        from_nbrs = (
+            labels.select(F.col("node").alias("lnode"), "label")
+            .join(bidir, F.col("lnode") == F.col("nbr"))
+            .select("node", "label")
+        )
+        labels = (
+            labels.unionByName(from_nbrs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _components_oracle(rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of component_labels."""
+    ctes = [
+        """seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    )""",
+        """trans AS (
+      SELECT LAG(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             dst
+      FROM seq
+    )""",
+        """ue AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM trans WHERE src IS NOT NULL AND src <> dst
+    )""",
+        """bidir AS (
+      SELECT a AS node, b AS nbr FROM ue
+      UNION ALL SELECT b, a FROM ue
+    )""",
+        """l0 AS (
+      SELECT node, node AS label FROM (SELECT DISTINCT node FROM bidir)
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM l{i - 1}
+        UNION ALL
+        SELECT b.node, l.label
+        FROM l{i - 1} l JOIN bidir b ON l.node = b.nbr
+      ) GROUP BY node
+    )""")
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT node, label AS component FROM l{rounds}"
+    )
+
+
+@query("c10_component_labels", oracle=_components_oracle(CC_ROUNDS),
+       driver=False)
+def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: connected-component labels (6-round min-label propagation)
+    over the undirected navigation graph mined from ``events`` — the
+    partitioning primitive for per-community rollups and mirror-site
+    collapsing in web-corpus curation. Deterministic fixed-round spec
+    (min id within distance 6), replayed round-for-round by the DuckDB
+    oracle; a test asserts the rounds suffice for true-CC convergence
+    on the corpus graph.
+    """
+    return component_labels(click_edges(load(spark, sf_dir, "events")))
+
+
 @query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE, driver=False)
 def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: per-node triangle count + local clustering coefficient over

@@ -111,3 +111,62 @@ def test_triangle_stats_on_planted_graph(spark):
     assert got[3] == (3, 3, 1.0)
     assert got[4] == (3, 3, 1.0)
     assert got[5] == (1, 0, None)
+
+
+def test_component_labels_fixed_horizon_and_true_cc(spark):
+    """Two planted components: a 9-node path 10-11-...-18 (min label 10
+    reaches the far end only after 8 rounds — beyond the 6-round
+    horizon, so node 17 gets 11 and 18 gets 12, exactly the documented
+    distance-6 spec) and a triangle {1,2,3} (converges round 1)."""
+    from stock_data_pipeline_spark.operators.graph import component_labels
+
+    path = [(n, n + 1) for n in range(10, 18)]
+    tri = [(1, 2), (2, 3), (3, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in path + tri], "src long, dst long, w long"
+    )
+    got = {r.node: r.component for r in component_labels(edges).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[16] == 10 and got[17] == 11 and got[18] == 12
+    assert all(got[n] == 10 for n in range(10, 17))
+
+
+def test_component_labels_converge_to_true_cc_on_corpus(spark, sf_dir):
+    """On the real mined navigation graph the 6-round horizon must cover
+    every component (else the registered spec silently diverges from
+    true CC): compare against a union-find over the collected edge
+    list. The edge list is node-bounded (pages), so collecting it here
+    is a test-only convenience, not an operator pattern."""
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        component_labels,
+        undirected_edges,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    edges = click_edges(ev)
+    pairs = [(r.a, r.b) for r in undirected_edges(edges).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        want[a], want[b] = find(a), find(b)
+    # canonical representative must be the component minimum
+    mins: dict = {}
+    for n, r in want.items():
+        mins[r] = min(mins.get(r, n), n)
+    want = {n: mins[r] for n, r in want.items()}
+    got = {r.node: r.component for r in component_labels(edges).collect()}
+    assert got == want
