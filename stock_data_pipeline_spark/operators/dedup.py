@@ -189,6 +189,9 @@ _PRUNE_MAX_DF = 20
 
 @query(
     "c02_ngram_jaccard_pruned",
+    # rotated out late r7 (driver row r6 green); the C2 near-dup family
+    # stays in-window via c02_simhash_portable
+    driver=False,
     oracle=f"""
     WITH sh0 AS (
       SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
@@ -949,7 +952,7 @@ def simhash_portable_pairs(docs: DataFrame, *, max_hamming: int = 3) -> DataFram
     )
 
 
-@query("c02_simhash_portable", oracle=_simhash_portable_oracle(), driver=False)
+@query("c02_simhash_portable", oracle=_simhash_portable_oracle())
 def c02_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2c': the oracle-backed SimHash — md5-hex bit source so the full
     pipeline (tokenize → 64 bit-majorities → two-halves signature →

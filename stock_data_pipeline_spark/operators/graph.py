@@ -413,7 +413,7 @@ def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_labels(click_edges(load(spark, sf_dir, "events")))
 
 
-@query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE, driver=False)
+@query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE)
 def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: per-node triangle count + local clustering coefficient over
     the undirected navigation graph mined from ``events`` — the graph
@@ -427,8 +427,7 @@ def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(click_edges(load(spark, sf_dir, "events")))
 
 
-@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS),
-       driver=False)
+@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS))
 def c10_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: damped PageRank over the user-navigation graph mined from
     ``events`` — the link-graph quality prior of web-corpus curation,

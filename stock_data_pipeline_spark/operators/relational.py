@@ -57,6 +57,9 @@ def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b02_group_agg",
+    # rotated out of the driver window late r7 (driver rows r1–r6 green);
+    # the B2 group-aggregate family stays in-window via b61_mom_growth
+    driver=False,
     oracle=f"""
     SELECT
       l_returnflag,
@@ -146,6 +149,9 @@ def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b05_large_join",
+    # rotated out late r7 (driver rows r1–r6 green); the B5 fact×fact
+    # join family stays in-window via b58_volume_shipping (TPC-H Q7)
+    driver=False,
     oracle=f"""
     SELECT
       o.o_orderpriority,
@@ -937,6 +943,9 @@ def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b16_null_handling",
+    # rotated out late r7 (driver rows r1–r6 green); the B16 null/try_*
+    # family stays in-window via b45_try_arithmetic
+    driver=False,
     oracle=f"""
     SELECT
       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)') AS segment,

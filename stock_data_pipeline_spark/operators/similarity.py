@@ -692,7 +692,7 @@ def _ivf_fixed_oracle() -> str:
 
 
 @query(
-    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle(), driver=False
+    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle()
 )
 def c03_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3c': IVF search over a FIXED seeded coarse quantizer — the
@@ -893,6 +893,9 @@ def quantize_embeddings(vecs: DataFrame, col: str = "embedding") -> DataFrame:
 
 @query(
     "c03_embedding_quantize",
+    # rotated out late r7 (driver row r6 green); the C3 similarity family
+    # stays in-window via c03_ivf_fixed_centroids
+    driver=False,
     oracle=f"""
     WITH xd AS (
       SELECT vec_id,

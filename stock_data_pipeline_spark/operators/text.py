@@ -973,7 +973,6 @@ def _zlib_pin_values() -> str:
              AS compress_ratio
     FROM d JOIN pins p ON md5(t) = p.h
     """,
-    driver=False,
 )
 def c04_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: per-doc zlib compression ratio, digest-oracle-backed.
@@ -985,8 +984,8 @@ def c04_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     map serves all three fixture scales; an unpinned text DROPS its row
     and fails the row-count gate loudly). Also checked against a local
     single-process recompute and planted high/low-entropy documents in
-    tests/test_text.py. driver=False this round only because the 50-row
-    window was already frozen by the round-7 rotation — promote in r8.
+    tests/test_text.py. Promoted into the driver window in the late-r7
+    rotation (the second r7 session reopened the frozen window).
     """
     return compression_ratio(load(spark, sf_dir, "documents"))
 

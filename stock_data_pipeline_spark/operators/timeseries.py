@@ -852,7 +852,7 @@ FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i
 """
 
 
-@query("b29_ema_rsi", oracle=_B29_SQL, driver=False)
+@query("b29_ema_rsi", oracle=_B29_SQL)
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies

@@ -16,8 +16,15 @@ from stock_data_pipeline_spark import registry
 # coverage can grow past the 50-row window without orphaning a family).
 REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     "a10": ["a10"], "a13": ["a13"],
-    "b01": ["b01"], "b02": ["b02"], "b03": ["b03"], "b04": ["b04"],
-    "b05": ["b05"],
+    "b01": ["b01"],
+    # B2 group aggregate: b61's first stage is the exact fixed-point
+    # GROUP BY aggregate (priority × month revenue roll-up) — promoted as
+    # the in-window rep in the late-r7 rotation (b02 itself r1–r6 green)
+    "b02": ["b02", "b61"],
+    "b03": ["b03"], "b04": ["b04"],
+    # B5 large×large join: b58 (TPC-H Q7) is the canonical fact×fact
+    # orderkey join with broadcast dims — in-window rep since late r7
+    "b05": ["b05", "b58"],
     # B6 outer/semi/anti joins: TPC-H Q21/Q22/Q20 are exists/not-exists/
     # semi-join chains — the same operator family, bigger shapes
     "b06": ["b06", "b73", "b74", "b77"],
@@ -25,9 +32,10 @@ REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     "b07": ["b07", "b85"],
     # B8 ranking windows: b87 is dense-rank momentum deciles
     "b08": ["b08", "b87"],
-    # B9 analytic windows with frames: b47 value-RANGE stays in-window;
-    # Bollinger/ATR/seasonal are ROWS-frame window suites
-    "b09": ["b09", "b47", "b78", "b79", "b86"],
+    # B9 analytic windows with frames: b56 rolling Sharpe is a textbook
+    # ROWS-BETWEEN-9-PRECEDING frame (in-window rep since late r7);
+    # b47 value-RANGE and the Bollinger/ATR/seasonal suites also qualify
+    "b09": ["b09", "b47", "b78", "b79", "b86", "b56"],
     # B10 sort/limit/top-k: b46 is LATERAL top-k per key (same operator
     # class, WindowGroupLimit plan) — b10 itself rotated out in round 5;
     # b42 (TPC-H Q3) is global ORDER BY revenue LIMIT 10, the canonical
@@ -37,10 +45,17 @@ REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     "b14": ["b14"],
     # B15 approx distinct/percentiles: topk sketch + VaR/CVaR percentiles
     "b15": ["b15", "b82"],
-    "b16": ["b16"], "b17": ["b17"], "b18": ["b18"], "b19": ["b19"],
+    # B16 null handling (+try_*): b45 exercises try_divide/try_cast/
+    # try_element_at NULL-on-failure — the row's literal content
+    # (in-window rep since late r7; b16 itself r1–r6 green)
+    "b16": ["b16", "b45"],
+    "b17": ["b17"], "b18": ["b18"], "b19": ["b19"],
     "c01": ["c01"], "c02": ["c02"], "c03": ["c03"], "c04": ["c04"],
     "c05": ["c05"], "c06": ["c06"], "c07": ["c07"], "c08": ["c08"],
     "c09": ["c09"],
+    # C10 graph analytics (new family, late r7): PageRank + triangle
+    # clustering promoted in their debut round
+    "c10": ["c10"],
     "flagship": ["flagship"],
 }
 
