@@ -808,7 +808,7 @@ _NUMERIC_RANGE_SQL = """
 
 # rotated out of the driver window late r7 (driver row r6 green); the B9
 # frame-window family stays in-window via b56_rolling_sharpe (ROWS frame)
-@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL, driver=False)
+@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL)
 def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9++: RANGE frame bounded by VALUE distance (±1000 of each order's
     own total) rather than row count or time — the price-neighborhood /

@@ -660,7 +660,7 @@ def fuzzy_join_dist1(
     )
 
 
-@query("c02_fuzzy_name_join", oracle=_FUZZY_JOIN_SQL, driver=False)
+@query("c02_fuzzy_name_join", oracle=_FUZZY_JOIN_SQL)
 def c02_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2f: customer names within edit distance 1 — fuzzy entity
     resolution via :func:`fuzzy_join_dist1`. Oracle replays the same
@@ -776,7 +776,7 @@ def minhash_portable_buckets(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "c02_minhash_portable", oracle=_minhash_portable_oracle(), driver=False
+    "c02_minhash_portable", oracle=_minhash_portable_oracle()
 )
 def c02_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2b': the oracle-backed MinHash — salted-md5 hash family so the

@@ -399,8 +399,7 @@ def _components_oracle(rounds: int) -> str:
     )
 
 
-@query("c10_component_labels", oracle=_components_oracle(CC_ROUNDS),
-       driver=False)
+@query("c10_component_labels", oracle=_components_oracle(CC_ROUNDS))
 def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: connected-component labels (6-round min-label propagation)
     over the undirected navigation graph mined from ``events`` — the

@@ -943,9 +943,8 @@ def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b16_null_handling",
-    # rotated out late r7 (driver rows r1–r6 green); the B16 null/try_*
-    # family stays in-window via b45_try_arithmetic
-    driver=False,
+    # re-promoted r8 as the B16 rep so COALESCE/NULLIF/<=> semantics are
+    # driver-verified directly (ADVICE r7); b45_try_arithmetic rotated out
     oracle=f"""
     SELECT
       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)') AS segment,
@@ -1220,6 +1219,7 @@ def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b45_try_arithmetic",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle="""
     SELECT
       event_id,

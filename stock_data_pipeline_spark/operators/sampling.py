@@ -301,7 +301,6 @@ def _pack_portable_oracle() -> str:
 @query(
     "c09_sequence_packing_portable",
     oracle=_pack_portable_oracle(),
-    driver=False,
 )
 def c09_sequence_packing_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9': the oracle-backed sequence packing — the PRODUCTION FFD
@@ -363,6 +362,7 @@ def _sql_mix_bucket() -> str:
 
 @query(
     "c08_source_mix",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     SELECT
       source,
@@ -513,6 +513,7 @@ def shuffled(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 
 @query(
     "c08_global_shuffle",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     SELECT doc_id,
            md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -968,7 +969,7 @@ _DRIFT_SQL = """
 """
 
 
-@query("c08_distribution_drift", oracle=_DRIFT_SQL)
+@query("c08_distribution_drift", oracle=_DRIFT_SQL, driver=False)
 def c08_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8f: distribution drift between two dataset versions — exact total
     variation distance over fixed-width value histograms, first half of

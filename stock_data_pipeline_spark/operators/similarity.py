@@ -251,7 +251,7 @@ def _lsh_oracle_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -> str:
 # driver=False: ANN family's driver representative is c03_ann_ivf (both were
 # rows-only no_oracle checks until round 7 gave THIS one a full SQL oracle;
 # the window was already frozen — promote in a future rotation).
-@query("c03_ann_lsh", oracle=_lsh_oracle_sql(), driver=False)
+@query("c03_ann_lsh", oracle=_lsh_oracle_sql())
 def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b: approximate top-k via random-hyperplane LSH.
 
@@ -1399,7 +1399,7 @@ def _pq_fixed_oracle() -> str:
     """
 
 
-@query("c03_pq_fixed_books", oracle=_pq_fixed_oracle(), driver=False)
+@query("c03_pq_fixed_books", oracle=_pq_fixed_oracle())
 def c03_pq_fixed_books(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3': the oracle-backed PQ — seeded literal codebooks run through
     the PRODUCTION ``pq_topk`` (encode → reconstruct → ADC shortlist →

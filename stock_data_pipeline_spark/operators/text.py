@@ -391,6 +391,7 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c04_fingerprint",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle="""
     SELECT
       doc_id,
@@ -553,6 +554,7 @@ _TOP_BG_MAX = 0.06  # ...and most-frequent-bigram share <= this
 
 @query(
     "c04_repetition_filter",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -683,6 +685,7 @@ def winnow_fingerprints(
 
 @query(
     "c04_winnowing",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     WITH grams AS (
       SELECT doc_id,
@@ -709,6 +712,7 @@ def c04_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "c04_unigram_logprob",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     WITH td AS (
       SELECT doc_id, token, COUNT(*) AS cnt
@@ -784,6 +788,7 @@ def c04_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "c04_length_histogram",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     SELECT
       CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT) AS log2_bucket,
@@ -961,6 +966,7 @@ def _zlib_pin_values() -> str:
 
 @query(
     "c04_compression_ratio",
+    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
     oracle=f"""
     WITH pins(h, n_comp) AS (VALUES
       {_zlib_pin_values()}
@@ -1279,7 +1285,6 @@ def bigram_pmi(
     CROSS JOIN tot CROSS JOIN btot
     WHERE bgc.c_xy >= {PMI_MIN_COUNT}
     """,
-    driver=False,
 )
 def c04_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4o: bigram PMI collocation mining over ``documents`` — the

@@ -371,7 +371,7 @@ def _bpe_fixed_oracle() -> str:
     """
 
 
-@query("c04_bpe_apply_fixed", oracle=_bpe_fixed_oracle(), driver=False)
+@query("c04_bpe_apply_fixed", oracle=_bpe_fixed_oracle())
 def c04_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4': oracle-backed BPE merge application — the PRODUCTION
     :func:`_merge_pair` fold (the JVM inner loop every training round

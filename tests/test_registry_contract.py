@@ -33,8 +33,9 @@ REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     # B8 ranking windows: b87 is dense-rank momentum deciles
     "b08": ["b08", "b87"],
     # B9 analytic windows with frames: b56 rolling Sharpe is a textbook
-    # ROWS-BETWEEN-9-PRECEDING frame (in-window rep since late r7);
-    # b47 value-RANGE and the Bollinger/ATR/seasonal suites also qualify
+    # ROWS-BETWEEN-9-PRECEDING frame (in-window since late r7) and b47
+    # value-RANGE was re-promoted r8 so both frame variants are
+    # driver-verified; the Bollinger/ATR/seasonal suites also qualify
     "b09": ["b09", "b47", "b78", "b79", "b86", "b56"],
     # B10 sort/limit/top-k: b46 is LATERAL top-k per key (same operator
     # class, WindowGroupLimit plan) — b10 itself rotated out in round 5;
@@ -45,9 +46,9 @@ REQUIRED_DRIVER_FAMILIES: dict[str, list[str]] = {
     "b14": ["b14"],
     # B15 approx distinct/percentiles: topk sketch + VaR/CVaR percentiles
     "b15": ["b15", "b82"],
-    # B16 null handling (+try_*): b45 exercises try_divide/try_cast/
-    # try_element_at NULL-on-failure — the row's literal content
-    # (in-window rep since late r7; b16 itself r1–r6 green)
+    # B16 null handling (+try_*): b16 itself re-promoted r8 so the
+    # NULLIF/COALESCE/<=> core is driver-verified directly (ADVICE r7);
+    # b45 (try_* NULL-on-failure) is driver-green r7
     "b16": ["b16", "b45"],
     "b17": ["b17"], "b18": ["b18"], "b19": ["b19"],
     "c01": ["c01"], "c02": ["c02"], "c03": ["c03"], "c04": ["c04"],
