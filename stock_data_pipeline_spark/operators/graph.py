@@ -254,6 +254,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+    # coalesce BEFORE the ratio: a degree>=2 node with zero triangles has
+    # clustering 0, not NULL (the planted-star case the 8x stress covers;
+    # the oracle's CASE already reads the coalesced count)
     clustering = trunc6(
         F.when(
             F.col("degree") >= 2,
@@ -267,8 +270,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "node",
             "degree",
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-            clustering.alias("clustering"),
         )
+        .select("node", "degree", "n_triangles", clustering.alias("clustering"))
     )
 
 
