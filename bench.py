@@ -81,17 +81,53 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Two-scale evidence (standing artifact since r8): the same queries at
+    # a 10x-smaller SF, with per-query large/small ratios. A scan-bound
+    # plan reads ~linear-in-bytes (ratio → data factor as fixed costs
+    # amortize); a bounded-work design (index probe, map-side cap) reads
+    # ~1.0; a super-linear ratio is a shuffle/spill cliff. Regenerated
+    # every round so the scale argument never goes stale.
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
     )
+    if (
+        os.environ.get("SPARK_GRAFT_TWO_SCALE", "1") != "0"
+        and os.path.isdir(small_dir)
+        and os.path.abspath(small_dir) != os.path.abspath(sf_dir)
+    ):
+        small_sf = float(
+            os.path.basename(small_dir.rstrip("/")).removeprefix("sf") or "0"
+        )
+        small: dict[str, float] = {}
+        for _ in range(2):
+            for name in HEADLINE_QUERIES:
+                fn = registry.get(name).fn
+                t0 = time.perf_counter()
+                fn(spark, small_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                small[name] = min(small.get(name, dt), dt)
+        record["two_scale"] = {
+            "small_sf": small_sf,
+            "small_total": round(sum(small.values()), 3),
+            "queries_small": small,
+            "ratios": {
+                n: round(timings[n] / small[n], 2) if small[n] > 0 else None
+                for n in HEADLINE_QUERIES
+            },
+            "suite_ratio": round(total / sum(small.values()), 2),
+        }
+
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -371,7 +371,7 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         ts.withColumn("df", F.sum("df_part").over(Window.partitionBy("token")))
-        .crossJoin(corpus)
+        .crossJoin(F.broadcast(corpus))
         .select(
             "source",
             "token",
