@@ -666,3 +666,40 @@ def test_pagerank_bit_exact_vs_sequential_at_8x(spark, events_8x_celebrity):
         assert got == pr
     finally:
         edges.unpersist()
+
+
+def test_component_labels_copy_invariant_at_8x(
+    spark, sf_stress_dir, events_8x_celebrity
+):
+    """Min-label propagation on the 8×-disjoint-copy graph restricts to
+    the base answer per copy with labels shifted by the copy offset
+    (labels are node ids, so they shift WITH the nodes), and the planted
+    star resolves to one component labeled by its minimum node id —
+    propagation across a degree-2 000 hub in the fixed 6 rounds."""
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        component_labels,
+    )
+
+    base = component_labels(click_edges(load(spark, sf_stress_dir, "events")))
+    big = component_labels(click_edges(events_8x_celebrity)).cache()
+    try:
+        for r in (0, REPLICAS - 1):
+            off = r * 1_000
+            got = big.filter(
+                (F.col("node") >= off) & (F.col("node") < off + 1_000)
+            ).select(
+                (F.col("node") - off).alias("node"),
+                (F.col("component") - off).alias("component"),
+            )
+            assert got.exceptAll(base).count() == 0
+            assert base.exceptAll(got).count() == 0
+        # the star is one component: every member's label is the minimum
+        # star node id (hub and leaves are ≥2 hops from each other via
+        # the hub, well inside the 6-round horizon)
+        star = big.filter(F.col("node") >= CELEB_HUB - CELEB_HALF)
+        labels = star.select("component").distinct().collect()
+        assert [r.component for r in labels] == [CELEB_HUB - CELEB_HALF]
+        assert star.count() == 2 * CELEB_HALF + 1
+    finally:
+        big.unpersist()
