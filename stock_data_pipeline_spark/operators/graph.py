@@ -440,3 +440,139 @@ def c10_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled CTEs with the identical integer recurrence.
     """
     return pagerank(click_edges(load(spark, sf_dir, "events")))
+
+
+# --------------------------------------------------------------------------
+# k-core peeling: cohesion filtering for curation (spam/link-farm subgraphs
+# survive high-k cores; organic periphery peels off).
+# --------------------------------------------------------------------------
+
+KCORE_K = 85
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected simple graph of
+    ``edges``: each round removes every node whose degree in the
+    CURRENT surviving subgraph is < ``k`` (cascading — a removal lowers
+    its neighbors' degrees for the next round). Returns one row per
+    node: ``(node, degree0, peel_round)`` where ``degree0`` is the
+    initial degree and ``peel_round`` is the 1-based round the node was
+    peeled, NULL for survivors.
+
+    Like :func:`component_labels`, the FIXED unroll is the spec: after
+    ``rounds`` rounds the survivors are a superset of the true k-core,
+    equal whenever peeling converges within the horizon (asserted on
+    the corpus in tests via a rounds+1 fixpoint check). Determinism +
+    integer-only state make it differentially replayable in unrolled
+    DuckDB CTEs.
+
+    Per round: two node-keyed semi-joins restrict the persisted
+    bidirectional adjacency to survivors, then one partial-combining
+    count aggregate; no driver state, no broadcast of the edge list.
+    At 1000-executor scale the adjacency persist is the only reused
+    artifact and the per-round shuffles are all keyed on node.
+    """
+    ue = undirected_edges(edges)
+    bidir = (
+        ue.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(ue.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    degree0 = bidir.groupBy("node").agg(
+        F.count("*").cast("long").alias("degree0")
+    )
+    alive = degree0.select("node")
+    peeled = None
+    for r in range(1, rounds + 1):
+        deg = (
+            bidir.join(alive, "node", "left_semi")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        survivors = deg.filter(F.col("deg") >= k).select("node")
+        doomed = alive.join(survivors, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("peel_round")
+        )
+        peeled = doomed if peeled is None else peeled.unionByName(doomed)
+        alive = survivors
+    out = peeled.unionByName(
+        alive.select("node", F.lit(None).cast("int").alias("peel_round"))
+    )
+    return degree0.join(out, "node").select("node", "degree0", "peel_round")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of kcore_peel: the same per-round
+    restrict → count → threshold cascade."""
+    ctes = [
+        """seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    )""",
+        """trans AS (
+      SELECT LAG(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             dst
+      FROM seq
+    )""",
+        """ue AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM trans WHERE src IS NOT NULL AND src <> dst
+    )""",
+        """bidir AS (
+      SELECT a AS node, b AS nbr FROM ue
+      UNION ALL SELECT b, a FROM ue
+    )""",
+        """deg0 AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree0
+      FROM bidir GROUP BY node
+    )""",
+        "alive0 AS (SELECT node FROM deg0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""deg{i} AS (
+      SELECT b.node, COUNT(*) AS deg
+      FROM bidir b
+      JOIN alive{i - 1} s ON b.node = s.node
+      JOIN alive{i - 1} t ON b.nbr = t.node
+      GROUP BY b.node
+    )""")
+        ctes.append(f"""alive{i} AS (
+      SELECT node FROM deg{i} WHERE deg >= {k}
+    )""")
+        ctes.append(f"""peel{i} AS (
+      SELECT a.node, CAST({i} AS INTEGER) AS peel_round
+      FROM alive{i - 1} a
+      WHERE NOT EXISTS (SELECT 1 FROM alive{i} s WHERE s.node = a.node)
+    )""")
+    peels = "\n      UNION ALL ".join(
+        f"SELECT node, peel_round FROM peel{i}" for i in range(1, rounds + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""WITH {joined},
+    outcome AS (
+      {peels}
+      UNION ALL SELECT node, CAST(NULL AS INTEGER) FROM alive{rounds}
+    )
+    SELECT d.node, d.degree0, o.peel_round
+    FROM deg0 d JOIN outcome o ON d.node = o.node"""
+
+
+@query(
+    "c10_kcore_peel",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    driver=False,  # window full at 50; family in-window via the c10 trio
+)
+def c10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: fixed-round k-core peeling (k=85, 4 rounds) over the
+    navigation graph mined from ``events`` — the graph-cohesion
+    curation filter complementing PageRank (quality prior) and
+    clustering (cohesion score): link-farm/spam subgraphs survive
+    high-k cores after the organic periphery cascades away. Output is
+    the full peel trace ``(node, degree0, peel_round)``; the DuckDB
+    oracle replays every restrict→count→threshold round."""
+    return kcore_peel(click_edges(load(spark, sf_dir, "events")))

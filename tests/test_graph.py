@@ -170,3 +170,48 @@ def test_component_labels_converge_to_true_cc_on_corpus(spark, sf_dir):
     want = {n: mins[r] for n, r in want.items()}
     got = {r.node: r.component for r in component_labels(edges).collect()}
     assert got == want
+
+
+def test_kcore_peel_planted_cascade(spark):
+    """Triangle 0−1−2 + pendant path 0−10−11−12, k=2: the path cascades
+    inward exactly one node per round — 12 (degree 1) peels in round 1,
+    which drops 11 to degree 1 for round 2, which exposes 10 for round
+    3 — while the triangle (degree 2 throughout) survives. The exact
+    peel-round trace IS the cascade the fixed-round spec must capture;
+    a simultaneous-only peel (no cascading) would put every path node
+    in round 1."""
+    from stock_data_pipeline_spark.operators.graph import kcore_peel
+
+    walk = [0, 1, 2, 0, 10, 11, 12]
+    ev = _events(spark, [(1, s, k) for s, k in enumerate(walk)])
+    got = {
+        r.node: (r.degree0, r.peel_round)
+        for r in kcore_peel(click_edges(ev), k=2, rounds=4).collect()
+    }
+    assert got == {
+        0: (3, None),
+        1: (2, None),
+        2: (2, None),
+        10: (2, 3),
+        11: (2, 2),
+        12: (1, 1),
+    }
+
+
+def test_kcore_peel_fixpoint_on_corpus(spark, sf_dir):
+    """The fixed 4-round peel has CONVERGED on the corpus graph: a 5th
+    round changes nothing, so the fixed-round spec equals the true
+    k-core/peel trace (the component_labels convergence check, for
+    peeling)."""
+    from stock_data_pipeline_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_peel,
+    )
+    from stock_data_pipeline_spark.catalog import load
+
+    edges = click_edges(load(spark, sf_dir, "events"))
+    a = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    b = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS + 1)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
