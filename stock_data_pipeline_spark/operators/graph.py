@@ -576,3 +576,128 @@ def c10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full peel trace ``(node, degree0, peel_round)``; the DuckDB
     oracle replays every restrict→count→threshold round."""
     return kcore_peel(click_edges(load(spark, sf_dir, "events")))
+
+
+# --------------------------------------------------------------------------
+# Link prediction: Resource-Allocation index over distance-2 pairs.
+# --------------------------------------------------------------------------
+
+RA_SCALE = 10**12
+RA_MAX_HUB = 1_000
+RA_TOP_K = 100
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    max_hub: int = RA_MAX_HUB,
+    top_k: int = RA_TOP_K,
+) -> DataFrame:
+    """Top-``top_k`` NON-adjacent node pairs by the Resource-Allocation
+    index RA(x,z) = Σ_{y ∈ N(x)∩N(z)} 1/deg(y) (Zhou/Lü/Zhang 2009 —
+    the exact-rational cousin of Adamic-Adar), in scaled-BIGINT fixed
+    point: each shared neighbor contributes ``RA_SCALE div deg(y)``, so
+    the score is an exact integer — bit-identical across partitionings
+    and engines, same discipline as :func:`pagerank`.
+
+    Shared neighbors with degree > ``max_hub`` are excluded BEFORE the
+    wedge join. That is both the published practice (a super-hub carries
+    ~zero RA signal: 1/deg ≈ 0) and the scale guard: the unordered wedge
+    blowup through y is deg(y)², so capping the serving degree bounds
+    the join output at Σ min(deg,cap)² — without the cap one celebrity
+    vertex at 100 TB would dominate the whole shuffle for signal the
+    index itself discards.
+
+    One wedge self-join keyed on the shared neighbor, one pair-keyed
+    aggregate, one anti-join against the existing edge set, one top-k.
+    Ties rank deterministically by (ra_scaled DESC, x, z).
+    """
+    ue = undirected_edges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    bidir = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(ue.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = bidir.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    serving = (
+        bidir.join(deg.filter(F.col("deg") <= max_hub), "node")
+        .select(F.col("node").alias("y"), F.col("nbr"),
+                F.expr(f"{RA_SCALE} div deg").alias("contrib"))
+    )
+    w1 = serving.select("y", F.col("nbr").alias("x"), "contrib")
+    w2 = serving.select("y", F.col("nbr").alias("z"))
+    pairs = (
+        w1.join(w2, "y")
+        .filter(F.col("x") < F.col("z"))
+        .groupBy("x", "z")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("contrib").cast("long").alias("ra_scaled"),
+        )
+    )
+    candidates = pairs.join(
+        ue.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_anti",
+    )
+    return candidates.orderBy(
+        F.desc("ra_scaled"), F.asc("x"), F.asc("z")
+    ).limit(top_k)
+
+
+def _link_prediction_oracle(max_hub: int, top_k: int) -> str:
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ),
+    trans AS (
+      SELECT LAG(dst) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             dst
+      FROM seq
+    ),
+    ue AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM trans WHERE src IS NOT NULL AND src <> dst
+    ),
+    bidir AS (
+      SELECT a AS node, b AS nbr FROM ue UNION ALL SELECT b, a FROM ue
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY node
+    ),
+    serving AS (
+      SELECT b.node AS y, b.nbr, {RA_SCALE} // d.deg AS contrib
+      FROM bidir b JOIN deg d ON b.node = d.node
+      WHERE d.deg <= {max_hub}
+    ),
+    pairs AS (
+      SELECT w1.nbr AS x, w2.nbr AS z,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(w1.contrib) AS BIGINT) AS ra_scaled
+      FROM serving w1 JOIN serving w2 ON w1.y = w2.y
+      WHERE w1.nbr < w2.nbr
+      GROUP BY w1.nbr, w2.nbr
+    )
+    SELECT p.x, p.z, p.common_neighbors, p.ra_scaled
+    FROM pairs p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ue WHERE ue.a = p.x AND ue.b = p.z
+    )
+    ORDER BY p.ra_scaled DESC, p.x ASC, p.z ASC
+    LIMIT {top_k}
+    """
+
+
+@query(
+    "c10_link_prediction",
+    oracle=_link_prediction_oracle(RA_MAX_HUB, RA_TOP_K),
+    driver=False,  # window full at 50; family in-window via the c10 trio
+)
+def c10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: top-100 predicted links on the navigation graph by the
+    exact fixed-point Resource-Allocation index — "pages that share
+    many low-degree neighbors but are not yet linked", the
+    related-content / recommendation primitive beside the PageRank
+    prior. Hub-capped wedge join (see :func:`link_prediction_ra` for
+    the Σ min(deg,cap)² bound); DuckDB oracle replays the whole
+    pipeline including the cap and the deterministic tie order."""
+    return link_prediction_ra(click_edges(load(spark, sf_dir, "events")))

@@ -226,7 +226,13 @@ def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.bucketed import read_table, write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the pid: the bucketed materialization lives in shared
+    # /tmp, and two concurrent test/verify PROCESSES keyed only by sf_dir
+    # would overwrite each other's files mid-read (observed: a parallel
+    # parity run deleted the suite's orders buckets under its catalog —
+    # FILE_NOT_EXIST). Per-process paths keep intra-process reuse via
+    # _BUCKETED_READY while making cross-process clobbering impossible.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     o_t, l_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     if tag not in _BUCKETED_READY or not spark.catalog.tableExists(o_t):
         base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")

@@ -215,3 +215,42 @@ def test_kcore_peel_fixpoint_on_corpus(spark, sf_dir):
     b = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS + 1)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_link_prediction_ra_planted_ranking(spark):
+    """Hand-computed RA ranking on a planted graph: (1,3) shares three
+    low-degree neighbors and must rank first; the (2,4)/(2,5)/(4,5)
+    pairs tie exactly (two degree-3 neighbors each) and must emerge in
+    deterministic (x, z) order; adjacent pairs never appear. With the
+    hub cap at 2, node 2 (degree 3) stops serving as a shared neighbor
+    and every score recomputes accordingly."""
+    from stock_data_pipeline_spark.operators.graph import (
+        RA_SCALE,
+        link_prediction_ra,
+    )
+
+    walks = [(1, 2), (2, 3), (1, 4), (4, 3), (1, 5), (5, 3), (6, 2)]
+    ev = _events(
+        spark,
+        [(u, s, k) for u, (a, b) in enumerate(walks) for s, k in ((0, a), (1, b))],
+    )
+    edges = click_edges(ev)
+    S = RA_SCALE
+    got = [
+        (r.x, r.z, r.common_neighbors, r.ra_scaled)
+        for r in link_prediction_ra(edges, max_hub=1000, top_k=10).collect()
+    ]
+    third = S // 3
+    assert got == [
+        (1, 3, 3, third + S // 2 + S // 2),
+        (2, 4, 2, 2 * third),
+        (2, 5, 2, 2 * third),
+        (4, 5, 2, 2 * third),
+        (1, 6, 1, third),
+        (3, 6, 1, third),
+    ]
+    capped = [
+        (r.x, r.z, r.common_neighbors, r.ra_scaled)
+        for r in link_prediction_ra(edges, max_hub=2, top_k=10).collect()
+    ]
+    assert capped == [(1, 3, 2, S // 2 + S // 2)]
