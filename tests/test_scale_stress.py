@@ -703,3 +703,72 @@ def test_component_labels_copy_invariant_at_8x(
         assert star.count() == 2 * CELEB_HALF + 1
     finally:
         big.unpersist()
+
+
+def test_link_prediction_hub_cap_excises_celebrity_blowup_at_8x(
+    spark, events_8x_celebrity
+):
+    """The RA hub cap is the operator's scale guard: on the 8×+celebrity
+    graph the capped wedge volume equals EXACTLY the Σ C(deg,2)
+    accounting over cap-eligible shared neighbors (the degree-2000 hub
+    excluded), lifting the cap adds back exactly C(2000,2) = 1,999,000
+    candidate rows — the celebrity blowup the cap exists to excise —
+    and no star node reaches the capped top-100."""
+    from stock_data_pipeline_spark.operators.graph import (
+        RA_MAX_HUB,
+        click_edges,
+        link_prediction_ra,
+        undirected_edges,
+    )
+
+    edges = click_edges(events_8x_celebrity)
+    ue = undirected_edges(edges).cache()
+    try:
+        bidir = ue.select(F.col("a").alias("node")).union(
+            ue.select(F.col("b").alias("node"))
+        )
+        deg = bidir.groupBy("node").agg(F.count("*").alias("deg"))
+
+        def wedge_count(max_hub):
+            serving = (
+                ue.selectExpr("a as node", "b as nbr")
+                .union(ue.selectExpr("b as node", "a as nbr"))
+                .join(deg.filter(F.col("deg") <= max_hub), "node")
+            )
+            w1 = serving.selectExpr("node as y", "nbr as x")
+            w2 = serving.selectExpr("node as y", "nbr as z")
+            return w1.join(w2, "y").filter(F.col("x") < F.col("z")).count()
+
+        expected_capped = (
+            deg.filter(F.col("deg") <= RA_MAX_HUB)
+            .select(F.sum(F.col("deg") * (F.col("deg") - 1) / 2))
+            .first()[0]
+        )
+        capped = wedge_count(RA_MAX_HUB)
+        uncapped = wedge_count(10_000)
+        assert capped == int(expected_capped), (capped, expected_capped)
+        hub_deg = 2 * CELEB_HALF
+        assert uncapped - capped == hub_deg * (hub_deg - 1) // 2
+
+        # At sf0.1 each disjoint copy is a COMPLETE graph (every organic
+        # pair adjacent), so the only non-adjacent distance-2 pairs are
+        # leaf-leaf pairs through the hub: uncapped, the celebrity FLOODS
+        # the output (100 star rows, each sharing exactly the hub);
+        # capped, the hub serves nothing and the result is empty — the
+        # cap excises the blowup at the candidate-generation stage, not
+        # by post-filtering.
+        from stock_data_pipeline_spark.operators.graph import RA_SCALE
+
+        star_lo = CELEB_HUB - CELEB_HALF
+        uncapped_top = link_prediction_ra(edges, max_hub=10_000).collect()
+        assert len(uncapped_top) == 100
+        assert all(
+            r.x >= star_lo
+            and r.z >= star_lo
+            and r.common_neighbors == 1
+            and r.ra_scaled == RA_SCALE // hub_deg
+            for r in uncapped_top
+        )
+        assert link_prediction_ra(edges).count() == 0
+    finally:
+        ue.unpersist()
