@@ -235,7 +235,13 @@ def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     o_t, l_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     if tag not in _BUCKETED_READY or not spark.catalog.tableExists(o_t):
+        import atexit
+        import shutil
+
         base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+        # pid-keyed dirs are never reused by another process: reap ours at
+        # exit so concurrent/aborted runs don't accumulate in /tmp
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         write_bucketed(
             load(spark, sf_dir, "orders"), o_t,
             bucket_by="o_orderkey", n_buckets=8, sort_by="o_orderkey",
