@@ -40,6 +40,11 @@ QUERIES = [
     "b60_sliding_distinct",
     # promoted percentile-family representative
     "b82_var_cvar",
+    # c10 graph family: scaled-BIGINT fixed point IS the
+    # partitioning-independence design — run the claim
+    "c10_link_pagerank",
+    "c10_link_prediction",
+    "c10_kcore_peel",
 ]
 
 
