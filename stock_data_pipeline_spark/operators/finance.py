@@ -160,6 +160,18 @@ def _hourly_series_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     before re-querying, or it will be served the stale series."""
     import os as _os
 
+    # Same sentinel probe as registry._memoized: a memo HIT skips
+    # register_views/catalog.load, so a hostile conf.set since the
+    # checkpoint was built would otherwise go unhealed at the CONSUMER's
+    # execution/collection time (b51/b53 mask a poisoned session tz —
+    # their pair-joins cancel a uniform bucket shift — but b88 exposes
+    # the bucket column directly; caught by the r8 hostile sweep).
+    from ..catalog import _confs_intact
+    from ..session import apply_runtime_confs
+
+    if not _confs_intact(spark):
+        apply_runtime_confs(spark)
+
     key = _os.path.abspath(sf_dir)  # same identity rule as registry._memoized
     try:
         per_session = _SERIES_MEMO.setdefault(spark, {})

@@ -55,3 +55,28 @@ def test_mid_run_conf_flip_heals(spark, sf_dir):
     after = _rows(get("b17_hourly_window_agg").fn(spark, sf_dir))
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert after == before
+
+
+def test_series_memo_hit_heals_conf_poisoning(spark, sf_dir):
+    """The finance hourly-series localCheckpoint memo must re-probe the
+    conf sentinels on a HIT: b51 warms the memo, a hostile tz lands,
+    then b88 — whose first registered call is a registry-memo MISS, so
+    its fn path reaches only `_hourly_series_mat` (memo hit, no
+    catalog.load) — must still execute and collect under re-pinned
+    UTC. Regression for the r8 hostile-sweep find: b51/b53 mask a
+    poisoned session tz (their pair-joins cancel a uniform bucket
+    shift) while b88 exposes the bucket column; 628/628 rows shifted."""
+    from stock_data_pipeline_spark.operators.finance import (
+        _hourly_series_mat,
+        invalidate_hourly_series,
+    )
+
+    invalidate_hourly_series(spark)
+    _hourly_series_mat(spark, sf_dir)  # warm the series memo (healed here)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    before = _rows(get("b88_pairs_spread").fn(spark, sf_dir))
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    after = _rows(get("b88_pairs_spread").fn(spark, sf_dir))
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert after == before
