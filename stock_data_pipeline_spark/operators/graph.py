@@ -499,9 +499,10 @@ def kcore_peel(
         )
         peeled = doomed if peeled is None else peeled.unionByName(doomed)
         alive = survivors
-    out = peeled.unionByName(
-        alive.select("node", F.lit(None).cast("int").alias("peel_round"))
+    survivors_out = alive.select(
+        "node", F.lit(None).cast("int").alias("peel_round")
     )
+    out = survivors_out if peeled is None else peeled.unionByName(survivors_out)
     return degree0.join(out, "node").select("node", "degree0", "peel_round")
 
 
