@@ -772,3 +772,70 @@ def test_link_prediction_hub_cap_excises_celebrity_blowup_at_8x(
         assert link_prediction_ra(edges).count() == 0
     finally:
         ue.unpersist()
+
+
+def test_streaming_hourly_agg_equals_batch_at_8x(spark, sf_stress_dir, tmp_path):
+    """8× events volume through the REAL micro-batch path: eight
+    time-shifted replicas land as eight files (maxFilesPerTrigger=1 →
+    eight micro-batches), so the stateful hourly aggregate carries its
+    state across batches at 8× the bench volume. Every window the
+    watermark closed must equal the 8× batch recompute EXACTLY, and at
+    least the first seven replicas' windows must have closed (only the
+    final replica's tail may be unemitted). Time-shifting (not verbatim
+    replication) keeps arrival monotone — verbatim copies would arrive
+    behind the watermark and be dropped as late, testing nothing."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.streaming.jobs import (
+        hourly_window_agg,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load(spark, sf_stress_dir, "events")
+    land = tmp_path / "landing_8x"
+    land.mkdir()
+    shifted = []
+    for r in range(REPLICAS):
+        c = ev.withColumn(
+            "ts", F.col("ts") + F.expr(f"make_dt_interval({r * 40}, 0, 0, 0)")
+        )
+        c.coalesce(1).write.mode("overwrite").parquet(str(land / f"b{r}"))
+        shifted.append(c)
+    # one file per micro-batch, in replica order
+    files = sorted(land.glob("b*/part-*.parquet"))
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    import shutil as _sh
+
+    for i, f in enumerate(files):
+        _sh.copy(f, stream_dir / f"batch{i}.parquet")
+
+    # read_event_stream pins maxFilesPerTrigger=1: one micro-batch per file
+    stream = read_event_stream(spark, str(stream_dir))
+    q = run_stream_to_memory(
+        hourly_window_agg(stream, watermark="10 minutes"),
+        "hourly_out_8x",
+        checkpoint=str(tmp_path / "ckpt8x"),
+        output_mode="append",
+    )
+    q.awaitTermination()
+
+    from functools import reduce as _reduce
+
+    batch8 = hourly_window_agg(
+        _reduce(lambda a, b: a.unionAll(b), shifted)
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch8.collect()
+    }
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM hourly_out_8x").collect()
+    }
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val, key
+    assert len(got) >= (REPLICAS - 1) * len(expected) // REPLICAS
