@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import weakref
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -35,14 +36,38 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # chatter, up to 0.5 s for the 32-aggregate MinHash signature tree).
 # Caching the built plan is prepared-statement behavior: every action on
 # the memoized frame still runs full JVM optimization + execution.
-_PLAN_MEMO: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]
+#
+# BOUNDED (r8): each cached handle pins its JVM QueryExecution — analyzed/
+# optimized/executed trees plus every broadcast and persisted block the
+# plan references, none of which the ContextCleaner can ever reclaim while
+# the memo holds a strong ref. An unbounded memo therefore turns a
+# run-each-query-once sweep into monotone heap growth: 47 retained
+# unrolled-CTE plans OOM'd a default-1g vanilla session at query 48
+# (measured this round; the same 50 queries complete with the memo
+# bypassed). LRU capacity comes from a session conf — get_spark sessions
+# (bench/tests, 8g driver) raise it to cover the 27-headline working set;
+# vanilla sessions (the verification driver's) stay at a small default
+# that a 1g heap holds with ~6x margin.
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, OrderedDict[tuple[str, str], DataFrame]]"
 _PLAN_MEMO = weakref.WeakKeyDictionary()
+
+MEMO_CAPACITY_CONF = "spark.spark_graft.planMemo.capacity"
+_MEMO_CAPACITY_DEFAULT = 8
+
+
+def _memo_capacity(spark: SparkSession) -> int:
+    try:
+        return max(
+            1, int(spark.conf.get(MEMO_CAPACITY_CONF, str(_MEMO_CAPACITY_DEFAULT)))
+        )
+    except Exception:
+        return _MEMO_CAPACITY_DEFAULT
 
 
 def _memoized(name: str, fn: QueryFn) -> QueryFn:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
-            per_session = _PLAN_MEMO.setdefault(spark, {})
+            per_session = _PLAN_MEMO.setdefault(spark, OrderedDict())
         except TypeError:  # session object not weak-referenceable
             return fn(spark, sf_dir)
         key = (os.path.abspath(sf_dir), name)
@@ -50,7 +75,11 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
         if df is None:
             df = fn(spark, sf_dir)
             per_session[key] = df
+            cap = _memo_capacity(spark)
+            while len(per_session) > cap:
+                per_session.popitem(last=False)  # evict least recent
         else:
+            per_session.move_to_end(key)
             # A memo hit skips catalog.load, so a hostile conf.set since
             # the plan was built would otherwise go unhealed at EXECUTION
             # time (session tz applies to LTZ casts when the job runs,
