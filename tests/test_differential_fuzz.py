@@ -1,0 +1,237 @@
+"""Differential query fuzzing: hypothesis-generated relational queries run
+on BOTH engines (SURVEY.md §5.4 extended).
+
+The per-query oracles in ``tests/test_oracle_parity.py`` verify the 173
+hand-written query/oracle pairs; this module closes the complementary gap —
+systematic coverage of the *composition space* (filter × group × aggregate ×
+join) that hand-written queries sample only pointwise. Each example builds a
+random query AST, renders it to ONE SQL text in the ANSI subset both engines
+parse identically, executes it via ``spark.sql`` over the parquet views AND
+via DuckDB over the same files, and asserts the driver's exact protocol
+(normalized frames + md5 value hash).
+
+Determinism rules (the registry contract, applied generatively):
+- aggregates are exact-integer (COUNT, SUM of integral casts / cents) or
+  order-free (MIN/MAX), never float summations;
+- every aggregate is COALESCE'd so an empty filter match yields the same
+  typed sentinel in both engines (NULL would surface as float64-NaN in one
+  pandas conversion and object-None in the other);
+- every computed column carries the same alias on both sides by construction
+  (one SQL text);
+- ``derandomize=True`` so CI failures reproduce.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stock_data_pipeline_spark.catalog import TABLES, load
+
+from .oracle import _driver_hash, normalize, run_oracle
+
+_SETTINGS = dict(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --------------------------------------------------------------------------
+# Predicate atoms per table: each strategy yields a SQL fragment valid in
+# both dialects over the driver's pre-registered view names.
+# --------------------------------------------------------------------------
+
+_CMP = st.sampled_from(["<", "<=", "=", ">", ">=", "<>"])
+
+
+def _lineitem_atoms() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.tuples(_CMP, st.integers(1, 50)).map(
+            lambda t: f"l_quantity {t[0]} {t[1]}"
+        ),
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).map(
+            lambda t: "l_discount BETWEEN 0.0{} AND 0.0{}".format(
+                min(t), max(t)
+            )
+        ),
+        st.tuples(_CMP, st.integers(1992, 1998), st.integers(1, 12)).map(
+            lambda t: "l_shipdate {} TIMESTAMP '{}-{:02d}-15 00:00:00'".format(
+                t[0], t[1], t[2]
+            )
+        ),
+        st.lists(
+            st.sampled_from(["'A'", "'N'", "'R'"]), min_size=1, max_size=3,
+            unique=True,
+        ).map(lambda v: f"l_returnflag IN ({', '.join(sorted(v))})"),
+        st.sampled_from(["l_linestatus = 'O'", "l_linestatus = 'F'"]),
+        st.tuples(_CMP, st.integers(1, 7)).map(
+            lambda t: f"l_linenumber {t[0]} {t[1]}"
+        ),
+    )
+
+
+def _orders_atoms() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(
+            ["o_orderstatus = 'O'", "o_orderstatus = 'F'",
+             "o_orderstatus <> 'P'"]
+        ),
+        st.tuples(_CMP, st.integers(1, 300)).map(
+            lambda t: f"o_totalprice {t[0]} {t[1] * 1000}"
+        ),
+        st.tuples(_CMP, st.integers(1992, 1998)).map(
+            lambda t: f"o_orderdate {t[0]} TIMESTAMP '{t[1]}-06-01 00:00:00'"
+        ),
+        st.integers(1, 5).map(
+            lambda p: f"o_orderpriority LIKE '{p}-%'"
+        ),
+    )
+
+
+def _predicates(atoms: st.SearchStrategy[str]) -> st.SearchStrategy[str]:
+    """Random boolean tree (depth <= 3) over the table's atoms."""
+    return st.recursive(
+        atoms,
+        lambda kids: st.one_of(
+            st.tuples(kids, st.sampled_from(["AND", "OR"]), kids).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            kids.map(lambda p: f"(NOT {p})"),
+        ),
+        max_leaves=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregates: exact-integer or order-free only, all COALESCE'd, fixed
+# aliases agg0..aggN so the two engines' schemas match by construction.
+# --------------------------------------------------------------------------
+
+_LINEITEM_AGGS = [
+    "CAST(COUNT(*) AS BIGINT)",
+    "CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT)",
+    "CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)), 0)"
+    " AS BIGINT)",
+    "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)",
+    "COALESCE(MIN(l_returnflag), '')",
+    "COALESCE(MAX(l_shipdate), TIMESTAMP '1970-01-01 00:00:00')",
+    "CAST(COALESCE(MIN(l_linenumber), 0) AS BIGINT)",
+]
+
+_GROUP_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_linenumber",
+    "EXTRACT(YEAR FROM l_shipdate)",
+]
+
+
+def _render(
+    keys: list[str], aggs: list[str], table_expr: str, where: str,
+    having_min_count: int | None,
+) -> str:
+    key_cols = [f"{k} AS key{i}" for i, k in enumerate(keys)]
+    agg_cols = [f"{a} AS agg{i}" for i, a in enumerate(aggs)]
+    sql = f"SELECT {', '.join(key_cols + agg_cols)} FROM {table_expr}"
+    sql += f" WHERE {where}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)}"
+        if having_min_count is not None:
+            sql += f" HAVING COUNT(*) >= {having_min_count}"
+    return sql
+
+
+@st.composite
+def _single_table_query(draw) -> str:
+    keys = draw(
+        st.lists(st.sampled_from(_GROUP_KEYS), max_size=3, unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(_LINEITEM_AGGS), min_size=1, max_size=4,
+                 unique=True)
+    )
+    where = draw(_predicates(_lineitem_atoms()))
+    having = draw(st.one_of(st.none(), st.integers(1, 5))) if keys else None
+    return _render(keys, aggs, "lineitem", where, having)
+
+
+@st.composite
+def _join_query(draw) -> str:
+    keys = draw(
+        st.lists(
+            st.sampled_from(_GROUP_KEYS + ["o_orderstatus",
+                                           "o_orderpriority"]),
+            max_size=2, unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(_LINEITEM_AGGS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    wl = draw(_predicates(_lineitem_atoms()))
+    wo = draw(_predicates(_orders_atoms()))
+    table = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    return _render(keys, aggs, table, f"({wl} AND {wo})", None)
+
+
+# --------------------------------------------------------------------------
+# Harness
+# --------------------------------------------------------------------------
+
+_VIEWS_READY: set[int] = set()
+
+
+def _ensure_views(spark, sf_dir: str) -> None:
+    token = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else 0
+    if token in _VIEWS_READY:
+        return
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_READY.add(token)
+
+
+def _assert_engines_agree(spark, sf_dir: str, sql: str) -> None:
+    spark_pdf = normalize(spark.sql(sql).toPandas())
+    duck_pdf = normalize(run_oracle(sql, sf_dir))
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count {len(spark_pdf)} vs {len(duck_pdf)}\nSQL: {sql}"
+    )
+    assert _driver_hash(spark_pdf) == _driver_hash(duck_pdf), (
+        f"value-hash mismatch\nSQL: {sql}\n"
+        f"spark head:\n{spark_pdf.head()}\nduck head:\n{duck_pdf.head()}"
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_spark(spark, sf_dir):
+    _ensure_views(spark, sf_dir)
+    return spark
+
+
+@settings(**_SETTINGS)
+@given(sql=_single_table_query())
+def test_fuzz_filter_group_aggregate(fuzz_spark, sf_dir, sql):
+    """Random filter×group×aggregate over lineitem: both engines must
+    produce hash-identical results for every generated plan."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_join_query())
+def test_fuzz_join_filter_aggregate(fuzz_spark, sf_dir, sql):
+    """Random two-sided-filtered join + aggregate over lineitem⋈orders."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
+    """Negative control: the compare must FAIL when the engines genuinely
+    disagree (here: seeded by running different predicates on each side),
+    so a green fuzz run certifies agreement, not a vacuous gate."""
+    a = "SELECT CAST(COUNT(*) AS BIGINT) AS agg0 FROM lineitem WHERE l_quantity > 10"
+    b = "SELECT CAST(COUNT(*) AS BIGINT) AS agg0 FROM lineitem WHERE l_quantity > 11"
+    spark_pdf = normalize(fuzz_spark.sql(a).toPandas())
+    duck_pdf = normalize(run_oracle(b, sf_dir))
+    assert _driver_hash(spark_pdf) != _driver_hash(duck_pdf)
