@@ -254,3 +254,62 @@ def test_link_prediction_ra_planted_ranking(spark):
         for r in link_prediction_ra(edges, max_hub=2, top_k=10).collect()
     ]
     assert capped == [(1, 3, 2, S // 2 + S // 2)]
+
+
+def test_harmonic_centrality_r2_on_path_graph(spark):
+    """Path 1-2-3-4-5: degrees and exact-distance-2 counts are known in
+    closed form; harmonic_x2 = 2*n1 + n2."""
+    from stock_data_pipeline_spark.operators.graph import (
+        harmonic_centrality_r2,
+    )
+
+    # one user walking 1->2->3->4->5 yields path edges
+    ev = _events(spark, [(1, s, k) for s, k in enumerate([1, 2, 3, 4, 5])])
+    got = {
+        r.node: (r.n1, r.n2, r.harmonic_x2)
+        for r in harmonic_centrality_r2(click_edges(ev)).collect()
+    }
+    assert got == {
+        1: (1, 1, 3),
+        2: (2, 1, 5),
+        3: (2, 2, 6),
+        4: (2, 1, 5),
+        5: (1, 1, 3),
+    }
+
+
+def test_harmonic_centrality_hub_cap_excludes_high_degree_middles(spark):
+    """Star 0-(1,2,3): with max_hub below the hub degree, no distance-2
+    pair is served (the cap IS the spec), so every leaf scores n2=0;
+    with the cap above, each leaf sees the other two at distance 2."""
+    from stock_data_pipeline_spark.operators.graph import (
+        harmonic_centrality_r2,
+    )
+
+    ev = _events(
+        spark,
+        [(u, s, k) for u, (a, b) in enumerate(
+            [(0, 1), (0, 2), (0, 3)]
+        ) for s, k in ((0, a), (1, b))],
+    )
+    edges = click_edges(ev)
+    capped = {
+        r.node: (r.n1, r.n2, r.harmonic_x2)
+        for r in harmonic_centrality_r2(edges, max_hub=2).collect()
+    }
+    assert capped == {
+        0: (3, 0, 6),
+        1: (1, 0, 2),
+        2: (1, 0, 2),
+        3: (1, 0, 2),
+    }
+    full = {
+        r.node: (r.n1, r.n2, r.harmonic_x2)
+        for r in harmonic_centrality_r2(edges, max_hub=1000).collect()
+    }
+    assert full == {
+        0: (3, 0, 6),
+        1: (1, 2, 4),
+        2: (1, 2, 4),
+        3: (1, 2, 4),
+    }
