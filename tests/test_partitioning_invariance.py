@@ -45,6 +45,7 @@ QUERIES = [
     "c10_link_pagerank",
     "c10_link_prediction",
     "c10_kcore_peel",
+    "c10_harmonic_centrality",
 ]
 
 

@@ -839,3 +839,88 @@ def test_streaming_hourly_agg_equals_batch_at_8x(spark, sf_stress_dir, tmp_path)
     for key, val in got.items():
         assert expected[key] == val, key
     assert len(got) >= (REPLICAS - 1) * len(expected) // REPLICAS
+
+
+def test_harmonic_centrality_cap_localizes_to_hub_neighbors_at_8x(
+    spark, events_8x_celebrity
+):
+    """Harmonic centrality shares link prediction's capped-wedge scale
+    guard; this pins its OWN output semantics on the 8×+celebrity graph:
+    (a) the hub row is identical capped vs uncapped with n1 exactly the
+    planted degree (so the hub has no organic edges and its excision
+    changes nothing about itself); (b) every node whose score differs
+    when the cap lifts is a hub NEIGHBOR — the cap's effect is exactly
+    "pairs served through the hub", nothing leaks elsewhere; (c) the
+    node-level n2 deltas and the pair-level distance-2 delta agree
+    2-for-1 (each re-admitted pair scores both endpoints), i.e. the
+    explode+aggregate bookkeeping stays exact under the skewed fan-out."""
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        harmonic_centrality_r2,
+        undirected_edges,
+    )
+
+    edges = click_edges(events_8x_celebrity)
+    ue = undirected_edges(edges).cache()
+    try:
+        hub_deg = 2 * CELEB_HALF
+        capped = harmonic_centrality_r2(edges).cache()
+        uncapped = harmonic_centrality_r2(edges, max_hub=10_000).cache()
+
+        hub_rows = {
+            (r.node, r.n1, r.n2)
+            for df in (capped, uncapped)
+            for r in df.filter(F.col("node") == CELEB_HUB).collect()
+        }
+        assert hub_rows == {(CELEB_HUB, hub_deg, 0)}
+
+        joined = (
+            capped.selectExpr("node", "n1", "n2 as n2_cap")
+            .join(uncapped.selectExpr("node", "n2 as n2_full"), "node")
+            .cache()
+        )
+        leaves = ue.filter(
+            (F.col("a") == CELEB_HUB) | (F.col("b") == CELEB_HUB)
+        ).select(
+            F.when(F.col("a") == CELEB_HUB, F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("node")
+        )
+        diff = joined.filter(F.col("n2_cap") != F.col("n2_full")).cache()
+        # (b) every differing node is a hub neighbor, deltas positive and
+        # bounded by the other-leaf count; the difference set is large
+        # (the planted star is mostly hub-mediated), so not vacuous
+        assert diff.join(leaves, "node", "left_anti").count() == 0
+        stats = diff.agg(
+            F.count("*").alias("n"),
+            F.min(F.col("n2_full") - F.col("n2_cap")).alias("lo"),
+            F.max(F.col("n2_full") - F.col("n2_cap")).alias("hi"),
+            F.sum(F.col("n2_full") - F.col("n2_cap")).alias("total"),
+        ).first()
+        assert stats.n > hub_deg // 2
+        assert stats.lo > 0 and stats.hi <= hub_deg - 1
+
+        # (c) pair-level cross-check through an independent aggregation
+        # grain: distinct distance-2 pairs at each cap
+        def d2_pairs(max_hub):
+            bidir = ue.selectExpr("a as node", "b as nbr").union(
+                ue.selectExpr("b as node", "a as nbr")
+            )
+            deg = bidir.groupBy("node").agg(F.count("*").alias("deg"))
+            mid = bidir.join(deg.filter(F.col("deg") <= max_hub), "node")
+            w1 = mid.selectExpr("node as y", "nbr as x")
+            w2 = mid.selectExpr("node as y", "nbr as z")
+            pairs = (
+                w1.join(w2, "y")
+                .filter(F.col("x") < F.col("z"))
+                .select("x", "z")
+                .distinct()
+            )
+            return pairs.join(
+                ue.selectExpr("a as x", "b as z"), ["x", "z"], "left_anti"
+            ).count()
+
+        assert stats.total == 2 * (d2_pairs(10_000) - d2_pairs(1_000))
+    finally:
+        for df in (ue, capped, uncapped, joined, diff):
+            df.unpersist()
