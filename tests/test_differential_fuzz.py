@@ -158,6 +158,73 @@ def _single_table_query(draw) -> str:
     return _render(keys, aggs, "lineitem", where, having)
 
 
+# Window shape: deterministic by construction — every OVER clause ends in
+# a tie-break tail that makes the ordering TOTAL. The fuzzer's first
+# window corpus caught that the synthetic lineitem (unlike real TPC-H)
+# does NOT have unique (l_orderkey, l_linenumber) — nor even a unique
+# (orderkey, linenumber, partkey, suppkey) at sf0.001 — so frames over
+# that order are engine-divergent; the 6-column tail below is verified
+# unique at sf0.001/0.01/0.1. Window SUM/COUNT are CAST BIGINT at the
+# expression root (the b54 lesson: DuckDB surfaces integer window sums
+# as HUGEINT→float64).
+
+_WIN_TIEBREAK = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate, "
+    "l_extendedprice"
+)
+_WIN_ORDER = st.sampled_from(
+    [_WIN_TIEBREAK, f"l_quantity, {_WIN_TIEBREAK}",
+     f"l_shipdate DESC, {_WIN_TIEBREAK}"]
+)
+_WIN_PARTITION = st.lists(
+    st.sampled_from(["l_returnflag", "l_linestatus"]), max_size=2,
+    unique=True,
+)
+
+
+def _window_exprs(over: str) -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.just(f"ROW_NUMBER() OVER ({over})"),
+        st.just(f"RANK() OVER ({over})"),
+        st.integers(1, 5).map(
+            lambda k: "CAST(SUM(CAST(l_quantity AS BIGINT)) OVER "
+            f"({over} ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ),
+        st.just(
+            f"CAST(COUNT(*) OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS BIGINT)"
+        ),
+        st.integers(1, 3).map(
+            lambda n: "COALESCE(CAST(LAG(CAST(l_quantity AS BIGINT), "
+            f"{n}) OVER ({over}) AS BIGINT), -1)"
+        ),
+        st.integers(1, 4).map(
+            lambda k: "CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS"
+            f" BIGINT)) OVER ({over} ROWS BETWEEN CURRENT ROW AND {k}"
+            " FOLLOWING) AS BIGINT)"
+        ),
+    )
+
+
+@st.composite
+def _window_query(draw) -> str:
+    part = draw(_WIN_PARTITION)
+    order = draw(_WIN_ORDER)
+    over = (f"PARTITION BY {', '.join(part)} " if part else "") + \
+        f"ORDER BY {order}"
+    n_exprs = draw(st.integers(1, 2))
+    exprs = [
+        f"{draw(_window_exprs(over))} AS win{i}" for i in range(n_exprs)
+    ]
+    where = draw(_predicates(_lineitem_atoms()))
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        + ", ".join(exprs)
+        + f" FROM lineitem WHERE {where}"
+    )
+
+
 @st.composite
 def _join_query(draw) -> str:
     keys = draw(
@@ -223,6 +290,14 @@ def test_fuzz_filter_group_aggregate(fuzz_spark, sf_dir, sql):
 @given(sql=_join_query())
 def test_fuzz_join_filter_aggregate(fuzz_spark, sf_dir, sql):
     """Random two-sided-filtered join + aggregate over lineitem⋈orders."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_window_query())
+def test_fuzz_window_functions(fuzz_spark, sf_dir, sql):
+    """Random rank/frame/offset window expressions over a total order:
+    the per-row outputs must be hash-identical across engines."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
