@@ -244,6 +244,65 @@ def _join_query(draw) -> str:
     return _render(keys, aggs, table, f"({wl} AND {wo})", None)
 
 
+# String-expression shape over documents: the dual-dialect scalar-function
+# subset backing the c04 text operators (LENGTH/SUBSTR/REPLACE/POSITION/
+# TRIM/LEFT/||/CASE/NULLIF), row-level with the unique doc_id carried.
+# ASCII corpus, so binary-collation MIN/MAX and LIKE agree by construction.
+
+_WORDS = ["data", "query", "row", "spark", "join", "the"]
+
+
+def _doc_exprs() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.just("CAST(LENGTH(text) AS BIGINT)"),
+        st.sampled_from(_WORDS).map(
+            lambda w: f"CAST(POSITION('{w}' IN text) AS BIGINT)"
+        ),
+        st.tuples(st.integers(1, 20), st.integers(0, 20)).map(
+            lambda t: f"SUBSTR(text, {t[0]}, {t[1]})"
+        ),
+        st.sampled_from("aeiou").map(
+            lambda c: f"CAST(LENGTH(REPLACE(text, '{c}', '')) AS BIGINT)"
+        ),
+        st.just("UPPER(lang) || '-' || LOWER(source)"),
+        st.integers(1, 15).map(lambda n: f"LEFT(TRIM(text), {n})"),
+        st.integers(100, 400).map(
+            lambda k: f"CASE WHEN n_chars > {k} THEN 'long' ELSE 'short' END"
+        ),
+        st.sampled_from(["en", "es", "zh", "de"]).map(
+            lambda l: f"COALESCE(NULLIF(lang, '{l}'), 'OTHER')"
+        ),
+    )
+
+
+def _doc_atoms() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.lists(
+            st.sampled_from(["'en'", "'es'", "'zh'", "'de'", "'fr'"]),
+            min_size=1, max_size=3, unique=True,
+        ).map(lambda v: f"lang IN ({', '.join(sorted(v))})"),
+        st.integers(0, 4).map(lambda k: f"source = 'src{k}'"),
+        st.tuples(_CMP, st.integers(50, 500)).map(
+            lambda t: f"n_chars {t[0]} {t[1]}"
+        ),
+        st.sampled_from(_WORDS).map(lambda w: f"text LIKE '%{w}%'"),
+        st.tuples(st.integers(2, 7), st.integers(0, 6)).map(
+            lambda t: f"LENGTH(text) % {t[0]} = {t[1] % t[0]}"
+        ),
+    )
+
+
+@st.composite
+def _documents_query(draw) -> str:
+    n_exprs = draw(st.integers(1, 3))
+    exprs = [f"{draw(_doc_exprs())} AS ex{i}" for i in range(n_exprs)]
+    where = draw(_predicates(_doc_atoms()))
+    return (
+        "SELECT doc_id, " + ", ".join(exprs)
+        + f" FROM documents WHERE {where}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Harness
 # --------------------------------------------------------------------------
@@ -298,6 +357,14 @@ def test_fuzz_join_filter_aggregate(fuzz_spark, sf_dir, sql):
 def test_fuzz_window_functions(fuzz_spark, sf_dir, sql):
     """Random rank/frame/offset window expressions over a total order:
     the per-row outputs must be hash-identical across engines."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_documents_query())
+def test_fuzz_string_expressions(fuzz_spark, sf_dir, sql):
+    """Random scalar string expressions over documents: the
+    dual-dialect function subset must evaluate identically per row."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
