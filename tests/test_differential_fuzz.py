@@ -244,6 +244,47 @@ def _join_query(draw) -> str:
     return _render(keys, aggs, table, f"({wl} AND {wo})", None)
 
 
+# Set-operation shape: two independently-filtered projections of the same
+# grain combined with UNION / UNION ALL / INTERSECT [ALL] / EXCEPT [ALL] —
+# multiset semantics are exactly what the sorted-hash compare measures.
+
+
+@st.composite
+def _setop_query(draw) -> str:
+    op = draw(st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+         "EXCEPT", "EXCEPT ALL"]
+    ))
+    proj = draw(st.sampled_from(
+        ["l_returnflag, l_linestatus",
+         "l_returnflag, l_linenumber",
+         "l_linestatus, EXTRACT(YEAR FROM l_shipdate) AS y"]
+    ))
+    p1 = draw(_predicates(_lineitem_atoms()))
+    p2 = draw(_predicates(_lineitem_atoms()))
+    return (
+        f"SELECT {proj} FROM lineitem WHERE {p1} "
+        f"{op} SELECT {proj} FROM lineitem WHERE {p2}"
+    )
+
+
+# Correlated-subquery shape: [NOT] EXISTS over the orderkey correlation —
+# the decorrelation path (semi/anti join rewrite) in both engines.
+
+
+@st.composite
+def _exists_query(draw) -> str:
+    neg = draw(st.booleans())
+    wo = draw(_predicates(_orders_atoms()))
+    wl = draw(_predicates(_lineitem_atoms()))
+    kw = "NOT EXISTS" if neg else "EXISTS"
+    return (
+        "SELECT o_orderkey, o_orderstatus FROM orders o "
+        f"WHERE {wo} AND {kw} (SELECT 1 FROM lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND {wl})"
+    )
+
+
 # String-expression shape over documents: the dual-dialect scalar-function
 # subset backing the c04 text operators (LENGTH/SUBSTR/REPLACE/POSITION/
 # TRIM/LEFT/||/CASE/NULLIF), row-level with the unique doc_id carried.
@@ -357,6 +398,22 @@ def test_fuzz_join_filter_aggregate(fuzz_spark, sf_dir, sql):
 def test_fuzz_window_functions(fuzz_spark, sf_dir, sql):
     """Random rank/frame/offset window expressions over a total order:
     the per-row outputs must be hash-identical across engines."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_setop_query())
+def test_fuzz_set_operations(fuzz_spark, sf_dir, sql):
+    """Random UNION/INTERSECT/EXCEPT (incl. ALL multiset variants) of
+    independently-filtered projections."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_exists_query())
+def test_fuzz_correlated_exists(fuzz_spark, sf_dir, sql):
+    """Random correlated [NOT] EXISTS: both engines' decorrelation must
+    agree row-for-row."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
