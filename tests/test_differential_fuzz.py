@@ -285,6 +285,35 @@ def _exists_query(draw) -> str:
     )
 
 
+# Subquery-predicate shape: [NOT] IN over the correlation key, or a
+# comparison against a scalar aggregate subquery — the remaining
+# rewrite paths (semi/anti on IN, single-row join on scalar).
+
+
+@st.composite
+def _subquery_pred_query(draw) -> str:
+    wo = draw(_predicates(_orders_atoms()))
+    which = draw(st.sampled_from(["in", "not_in", "scalar"]))
+    if which == "scalar":
+        # compare against a global scalar aggregate of the other table
+        frac = draw(st.integers(2, 10))
+        pred = (
+            "o_totalprice > (SELECT COALESCE(SUM(CAST(l_quantity AS "
+            f"BIGINT)), 0) / {frac} FROM lineitem WHERE "
+            f"{draw(_predicates(_lineitem_atoms()))})"
+        )
+    else:
+        kw = "IN" if which == "in" else "NOT IN"
+        pred = (
+            f"o_orderkey {kw} (SELECT l_orderkey FROM lineitem WHERE "
+            f"{draw(_predicates(_lineitem_atoms()))})"
+        )
+    return (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        f"WHERE {wo} AND {pred}"
+    )
+
+
 # String-expression shape over documents: the dual-dialect scalar-function
 # subset backing the c04 text operators (LENGTH/SUBSTR/REPLACE/POSITION/
 # TRIM/LEFT/||/CASE/NULLIF), row-level with the unique doc_id carried.
@@ -414,6 +443,13 @@ def test_fuzz_set_operations(fuzz_spark, sf_dir, sql):
 def test_fuzz_correlated_exists(fuzz_spark, sf_dir, sql):
     """Random correlated [NOT] EXISTS: both engines' decorrelation must
     agree row-for-row."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_subquery_pred_query())
+def test_fuzz_subquery_predicates(fuzz_spark, sf_dir, sql):
+    """Random [NOT] IN and scalar-aggregate subquery predicates."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
