@@ -285,6 +285,52 @@ def _exists_query(draw) -> str:
     )
 
 
+# Temporal shape: the dual-dialect calendar subset, probed before
+# inclusion (see test_known_engine_divergences for the excluded ops).
+# Every date-typed result is CAST AS TIMESTAMP: DATE columns are NOT
+# driver-comparable — Spark's toPandas yields object-dtype datetime.date
+# ("1999-09-01") while DuckDB's yields datetime64 ("1999-09-01 00:00:00"),
+# a value-hash mismatch with identical semantics (this fuzzer's temporal
+# corpus caught that). EXTRACT(DOW) is excluded outright (Sunday=0 in
+# DuckDB, 1-based in Spark). Month/year interval arithmetic clamps
+# month-ends identically (probed: Jan-31 + 1 MONTH → Feb-28 in both).
+
+
+def _temporal_exprs() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(["month", "year", "quarter", "week"]).map(
+            lambda g: f"CAST(DATE_TRUNC('{g}', l_shipdate) AS TIMESTAMP)"
+        ),
+        st.sampled_from(
+            ["YEAR", "MONTH", "DAY", "QUARTER", "DOY", "WEEK"]
+        ).map(lambda f: f"CAST(EXTRACT({f} FROM l_shipdate) AS BIGINT)"),
+        st.tuples(
+            st.sampled_from(["+", "-"]), st.integers(1, 90),
+            st.sampled_from(["DAY", "MONTH"]),
+        ).map(lambda t: f"l_shipdate {t[0]} INTERVAL {t[1]} {t[2]}"),
+        st.just("CAST(LAST_DAY(l_shipdate) AS TIMESTAMP)"),
+        st.integers(1, 30).map(
+            lambda k: f"CAST(CAST(l_shipdate AS DATE) + {k} AS TIMESTAMP)"
+        ),
+        st.integers(1994, 1997).map(
+            lambda y: "GREATEST(l_shipdate, "
+            f"TIMESTAMP '{y}-06-15 00:00:00')"
+        ),
+    )
+
+
+@st.composite
+def _temporal_query(draw) -> str:
+    n_exprs = draw(st.integers(1, 3))
+    exprs = [f"{draw(_temporal_exprs())} AS t{i}" for i in range(n_exprs)]
+    where = draw(_predicates(_lineitem_atoms()))
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        + ", ".join(exprs)
+        + f" FROM lineitem WHERE {where}"
+    )
+
+
 # Subquery-predicate shape: [NOT] IN over the correlation key, or a
 # comparison against a scalar aggregate subquery — the remaining
 # rewrite paths (semi/anti on IN, single-row join on scalar).
@@ -459,6 +505,46 @@ def test_fuzz_string_expressions(fuzz_spark, sf_dir, sql):
     """Random scalar string expressions over documents: the
     dual-dialect function subset must evaluate identically per row."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_temporal_query())
+def test_fuzz_temporal_functions(fuzz_spark, sf_dir, sql):
+    """Random calendar expressions from the probed dual-dialect subset."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+def test_known_engine_divergences(fuzz_spark, sf_dir):
+    """Pin the engine-boundary facts the fuzz generators are built
+    around, so the exclusions stay justified (if an engine changes
+    convention, this fails and the generator should be revisited):
+    (a) EXTRACT(DOW): DuckDB is Sunday=0/Saturday=6, Spark is
+    Sunday=1/Saturday=7 — related by spark = duck + 1 on every row;
+    (b) DATE-typed columns are not driver-comparable: Spark's toPandas
+    yields object-dtype datetime.date, DuckDB's yields datetime64 —
+    same value, different stringification — hence the CAST AS TIMESTAMP
+    on every date-typed generator output (and the standing registry rule
+    that driver-facing queries emit TIMESTAMP or string, never DATE)."""
+    sql = "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow FROM lineitem"
+    s = normalize(fuzz_spark.sql(sql).toPandas())
+    d = normalize(run_oracle(sql, sf_dir))
+    assert (s["dow"].to_numpy() == d["dow"].to_numpy() + 1).all()
+    assert set(d["dow"]) <= set(range(7)) and set(s["dow"]) <= set(
+        range(1, 8)
+    )
+
+    trunc = (
+        "SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS m "
+        "FROM lineitem"
+    )
+    import pandas as pd
+
+    s_t = fuzz_spark.sql(trunc).toPandas()["m"]
+    d_t = run_oracle(trunc, sf_dir)["m"]
+    assert s_t.dtype == object and all(
+        type(v).__name__ == "date" for v in s_t.dropna()
+    )
+    assert pd.api.types.is_datetime64_any_dtype(d_t)
 
 
 def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
