@@ -331,6 +331,64 @@ def _temporal_query(draw) -> str:
     )
 
 
+# NULL-semantics shape: the synthetic tables carry no NULLs, so inject
+# them (NULLIF / CASE) and fuzz the three-valued logic surface — NULL
+# group keys (both engines group NULLs together), NULL-skipping
+# aggregates, and windows ordered by nullable keys. Nullable ORDER BY
+# keys ALWAYS carry an explicit NULLS FIRST/LAST: the engine DEFAULTS
+# diverge (Spark ASC is NULLS FIRST, DuckDB ASC is NULLS LAST — pinned
+# in test_known_engine_divergences).
+
+
+def _nullable_key() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(["'A'", "'N'", "'R'"]).map(
+            lambda v: f"NULLIF(l_returnflag, {v})"
+        ),
+        st.integers(10, 40).map(
+            lambda k: f"CASE WHEN l_quantity > {k} THEN NULL"
+            " ELSE l_linestatus END"
+        ),
+    )
+
+
+def _nullable_val() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.integers(1, 50).map(
+            lambda q: f"NULLIF(CAST(l_quantity AS BIGINT), {q})"
+        ),
+        st.integers(1, 7).map(
+            lambda n: f"CASE WHEN l_linenumber = {n} THEN NULL"
+            " ELSE CAST(l_linenumber AS BIGINT) END"
+        ),
+    )
+
+
+@st.composite
+def _null_semantics_query(draw) -> str:
+    where = draw(_predicates(_lineitem_atoms()))
+    if draw(st.booleans()):
+        key = draw(_nullable_key())
+        val = draw(_nullable_val())
+        return (
+            f"SELECT nk AS key0, CAST(COUNT(nv) AS BIGINT) AS agg0, "
+            "CAST(COUNT(*) AS BIGINT) AS agg1, "
+            "CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS agg2, "
+            "COALESCE(CAST(MIN(nv) AS BIGINT), -1) AS agg3 "
+            f"FROM (SELECT {key} AS nk, {val} AS nv FROM lineitem "
+            f"WHERE {where}) GROUP BY nk"
+        )
+    val = draw(_nullable_val())
+    placement = draw(st.sampled_from(["NULLS FIRST", "NULLS LAST"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+        f"ROW_NUMBER() OVER (ORDER BY {val} {direction} {placement}, "
+        f"{_WIN_TIEBREAK}) AS rn "
+        f"FROM lineitem WHERE {where}"
+    )
+
+
 # Subquery-predicate shape: [NOT] IN over the correlation key, or a
 # comparison against a scalar aggregate subquery — the remaining
 # rewrite paths (semi/anti on IN, single-row join on scalar).
@@ -514,6 +572,14 @@ def test_fuzz_temporal_functions(fuzz_spark, sf_dir, sql):
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
+@settings(**_SETTINGS)
+@given(sql=_null_semantics_query())
+def test_fuzz_null_semantics(fuzz_spark, sf_dir, sql):
+    """Random NULL-injected group keys, NULL-skipping aggregates, and
+    nullable window orderings with explicit NULLS placement."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
 def test_known_engine_divergences(fuzz_spark, sf_dir):
     """Pin the engine-boundary facts the fuzz generators are built
     around, so the exclusions stay justified (if an engine changes
@@ -524,7 +590,11 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     yields object-dtype datetime.date, DuckDB's yields datetime64 —
     same value, different stringification — hence the CAST AS TIMESTAMP
     on every date-typed generator output (and the standing registry rule
-    that driver-facing queries emit TIMESTAMP or string, never DATE)."""
+    that driver-facing queries emit TIMESTAMP or string, never DATE);
+    (c) default NULL placement in ASC ordering diverges — Spark sorts
+    NULLS FIRST, DuckDB NULLS LAST — so any ordering over a nullable key
+    must spell the placement explicitly (the NULL-semantics generator
+    always does)."""
     sql = "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow FROM lineitem"
     s = normalize(fuzz_spark.sql(sql).toPandas())
     d = normalize(run_oracle(sql, sf_dir))
@@ -545,6 +615,15 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
         type(v).__name__ == "date" for v in s_t.dropna()
     )
     assert pd.api.types.is_datetime64_any_dtype(d_t)
+
+    rn = (
+        "SELECT x, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM "
+        "(SELECT 1 AS x, NULL AS v UNION ALL SELECT 2, 10 "
+        "UNION ALL SELECT 3, 5)"
+    )
+    s_rn = {r.x: r.rn for r in fuzz_spark.sql(rn).collect()}
+    d_rn = dict(run_oracle(rn, sf_dir).itertuples(index=False, name=None))
+    assert s_rn[1] == 1 and d_rn[1] == 3  # NULL first vs last under ASC
 
 
 def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
