@@ -19,6 +19,11 @@ Determinism rules (the registry contract, applied generatively):
 - every computed column carries the same alias on both sides by construction
   (one SQL text);
 - ``derandomize=True`` so CI failures reproduce.
+
+The suite runs at sf0.001 for latency; the identical 360-plan corpus was
+also swept at sf0.01 (10× rows, the driver's correctness scale) with zero
+divergence (round 8, /tmp/fuzz_sf001.log protocol: rebuild each strategy's
+derandomized examples, assert per plan in one session).
 """
 
 from __future__ import annotations
