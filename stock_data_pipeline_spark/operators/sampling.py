@@ -1208,3 +1208,153 @@ def plan_source_mix(
         }
         for s in targets
     }
+
+
+# --------------------------------------------------------------------------
+# C8i — DSIR-style importance-weighted data selection
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 100
+
+
+def _dsir_oracle() -> str:
+    from ..functions.exact import sql_trunc6
+    from ..functions.textfns import sql_tokens
+
+    return f"""
+    WITH td AS (
+      SELECT doc_id, lang, token, COUNT(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY doc_id, lang, token
+    ),
+    sfreq AS (
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS sc FROM td GROUP BY token
+    ),
+    tfreq AS (
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS tc
+      FROM td WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token
+    ),
+    consts AS (
+      SELECT CAST(SUM(sc) AS BIGINT) AS s_n,
+             (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM tfreq) AS t_n,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM sfreq
+    ),
+    ratio AS (
+      SELECT s.token,
+             ln((COALESCE(t.tc, 0) + 1.0) / (c.t_n + c.v))
+             - ln((s.sc + 1.0) / (c.s_n + c.v)) AS lr
+      FROM sfreq s LEFT JOIN tfreq t ON s.token = t.token
+      CROSS JOIN consts c
+    ),
+    score AS (
+      SELECT td.doc_id,
+             CAST(SUM(td.cnt) AS BIGINT) AS n_tokens,
+             {sql_trunc6(
+                 "(" + sql_dec_sum("td.cnt * r.lr", 6) + " / SUM(td.cnt))"
+             )} AS avg_log_ratio
+      FROM td JOIN ratio r ON td.token = r.token
+      WHERE td.lang <> '{DSIR_TARGET_LANG}'
+      GROUP BY td.doc_id
+    )
+    SELECT doc_id, n_tokens, avg_log_ratio
+    FROM score
+    ORDER BY avg_log_ratio DESC, doc_id ASC
+    LIMIT {DSIR_TOP_K}
+    """
+
+
+@query(
+    "c08_dsir_select",
+    oracle=_dsir_oracle(),
+    driver=False,  # window full at 50; family in-window via the c08 reps
+)
+def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8i: DSIR-style importance-weighted data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") — score every out-of-domain document by the smoothed
+    unigram log-likelihood RATIO between the in-domain target (here
+    ``lang = 'en'``) and the full source corpus, and keep the top-k.
+    This is the exact-unigram variant of DSIR's hashed-n-gram features:
+    same estimator, vocabulary-exact, hence differentially verifiable.
+
+    Determinism: per-term ``cnt·(ln p̂_t − ln p̂_s)`` rounds at 6 dp into
+    an exact decimal sum (partition-order-independent), the per-doc
+    average truncates at 6 dp, and the top-k orders by
+    (avg_log_ratio DESC, doc_id) — a total order.
+
+    Scale: ONE tokenize+explode pass collapsed to (doc, lang, token)
+    counts and PERSISTED; the target/source frequency tables, the
+    1-row smoothing constants (broadcast), and the scoring join all
+    reuse the collapsed index. The scoring join is token-keyed against
+    the vocabulary-grain ratio table; the final top-k is a
+    TakeOrdered, never a global sort. At 100 TB the ratio table is
+    vocabulary-sized (shuffle-free to broadcast when it fits) and the
+    per-doc aggregate partial-combines.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.exact import dec_sum, trunc6
+    from ..functions.partitioning import rebalance
+    from ..functions.textfns import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    td = (
+        rebalance(docs)
+        .select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sfreq = td.groupBy("token").agg(F.sum("cnt").cast("bigint").alias("sc"))
+    tfreq = (
+        td.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("tc"))
+    )
+    consts = (
+        sfreq.agg(
+            F.sum("sc").cast("bigint").alias("s_n"),
+            F.count("*").cast("bigint").alias("v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                tfreq.agg(
+                    F.coalesce(F.sum("tc"), F.lit(0))
+                    .cast("bigint")
+                    .alias("t_n")
+                )
+            )
+        )
+    )
+    ratio = (
+        sfreq.join(tfreq, "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "token",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("t_n") + F.col("v"))
+                )
+                - F.log((F.col("sc") + 1.0) / (F.col("s_n") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        td.filter(F.col("lang") != DSIR_TARGET_LANG)
+        .join(ratio, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            trunc6(dec_sum(F.col("cnt") * F.col("lr"), 6) / F.sum("cnt")).alias(
+                "avg_log_ratio"
+            ),
+        )
+        .orderBy(F.desc("avg_log_ratio"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )

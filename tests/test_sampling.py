@@ -502,3 +502,48 @@ def test_ema_windowed_alpha_derived_window_and_null_guard(spark, sf_dir):
     )
     rows = {r.event_id: r.ema for r in ema_windowed(nully).collect()}
     assert rows[10] is None and rows[11] == pytest.approx(5.0)
+
+
+def test_dsir_select_ranks_target_like_documents_first(spark, tmp_path):
+    """Planted DSIR check: with an English target corpus about one topic,
+    the out-of-domain doc sharing the target's vocabulary must outrank
+    the doc made of source-common filler, and the selection excludes the
+    target documents themselves. Runs the registered query end-to-end on
+    a synthetic sf_dir so the whole pipeline (tokenize → frequencies →
+    smoothing → ratio join → top-k) is exercised."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "spark query engine spark query engine",   # target en
+                "query engine plan query engine plan",     # target en
+                "spark query engine plan",                 # es: target-like
+                "banana banana banana banana",             # es: filler
+                "banana banana spark banana",              # de: mixed
+            ],
+            "lang": ["en", "en", "es", "es", "de"],
+            "source": ["s0"] * 5,
+            "n_chars": [38, 36, 23, 27, 26],
+        }
+    )
+    sf = tmp_path / "sfdsir"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+
+    from stock_data_pipeline_spark.registry import get
+
+    fn = getattr(
+        get("c08_dsir_select").fn, "__wrapped__", get("c08_dsir_select").fn
+    )
+    rows = fn(spark, str(sf)).collect()
+    got = {r.doc_id: r.avg_log_ratio for r in rows}
+    assert set(got) == {2, 3, 4}, "selection pool is exactly the non-target docs"
+    assert got[2] > got[4] > got[3], (
+        "target-vocabulary doc must outscore mixed, mixed must outscore "
+        f"filler: {got}"
+    )
+    assert got[2] > 0 > got[3], (
+        "target-like scores positive, source-common filler negative"
+    )
