@@ -46,6 +46,8 @@ QUERIES = [
     "c10_link_prediction",
     "c10_kcore_peel",
     "c10_harmonic_centrality",
+    # DSIR: 6-dp exact-decimal accumulation is the invariance design
+    "c08_dsir_select",
 ]
 
 
