@@ -336,6 +336,54 @@ def _temporal_query(draw) -> str:
     )
 
 
+# Multi-grain aggregation shape: ROLLUP / CUBE / random GROUPING SETS
+# over 2-3 keys with GROUPING() indicators — the NULL-placeholder
+# semantics both engines must agree on (a super-aggregate NULL must
+# hash identically to a data NULL only via the GROUPING() column).
+
+
+@st.composite
+def _grouping_sets_query(draw) -> str:
+    keys = draw(
+        st.lists(st.sampled_from(_GROUP_KEYS), min_size=2, max_size=3,
+                 unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(_LINEITEM_AGGS), min_size=1, max_size=2,
+                 unique=True)
+    )
+    mode = draw(st.sampled_from(["ROLLUP", "CUBE", "SETS"]))
+    if mode == "SETS":
+        # the full key set is always one grouping set: Spark requires
+        # every GROUPING(col) column to appear in at least one set
+        subset_idx = [list(range(len(keys)))] + draw(
+            st.lists(
+                st.lists(
+                    st.integers(0, len(keys) - 1), max_size=len(keys) - 1,
+                    unique=True,
+                ),
+                max_size=3, unique_by=lambda s: tuple(sorted(s)),
+            )
+        )
+        sets = ", ".join(
+            "(" + ", ".join(keys[i] for i in sorted(s)) + ")"
+            for s in subset_idx
+        )
+        grouping = f"GROUPING SETS ({sets})"
+    else:
+        grouping = f"{mode} ({', '.join(keys)})"
+    key_cols = [f"{k} AS key{i}" for i, k in enumerate(keys)]
+    ind_cols = [
+        f"CAST(GROUPING({k}) AS BIGINT) AS grp{i}" for i, k in enumerate(keys)
+    ]
+    agg_cols = [f"{a} AS agg{i}" for i, a in enumerate(aggs)]
+    where = draw(_predicates(_lineitem_atoms()))
+    return (
+        f"SELECT {', '.join(key_cols + ind_cols + agg_cols)} "
+        f"FROM lineitem WHERE {where} GROUP BY {grouping}"
+    )
+
+
 # NULL-semantics shape: the synthetic tables carry no NULLs, so inject
 # them (NULLIF / CASE) and fuzz the three-valued logic surface — NULL
 # group keys (both engines group NULLs together), NULL-skipping
@@ -578,6 +626,33 @@ def test_fuzz_temporal_functions(fuzz_spark, sf_dir, sql):
 
 
 @settings(**_SETTINGS)
+@given(sql=_grouping_sets_query())
+def test_fuzz_grouping_sets(fuzz_spark, sf_dir, sql):
+    """Random ROLLUP/CUBE/GROUPING SETS with GROUPING() indicators.
+
+    One REAL divergence is pinned inline because the fuzzer found it:
+    over ZERO matching rows, DuckDB emits the SQL-standard grand-total
+    row for each empty-capable () grouping set (COUNT 0, every key
+    NULL, every GROUPING() = 1) while Spark emits nothing. When row
+    counts differ, the only acceptable shape is exactly that."""
+    spark_pdf = normalize(fuzz_spark.sql(sql).toPandas())
+    duck_pdf = normalize(run_oracle(sql, sf_dir))
+    if len(spark_pdf) != len(duck_pdf):
+        assert len(spark_pdf) == 0, (
+            f"row-count mismatch on NON-empty input\nSQL: {sql}"
+        )
+        grp = [c for c in duck_pdf.columns if c.startswith("grp")]
+        key = [c for c in duck_pdf.columns if c.startswith("key")]
+        assert (duck_pdf[grp] == 1).all().all() and (
+            duck_pdf[key].isna().all().all()
+        ), f"unexpected rows beyond the grand-total divergence\nSQL: {sql}"
+        return
+    assert _driver_hash(spark_pdf) == _driver_hash(duck_pdf), (
+        f"value-hash mismatch\nSQL: {sql}"
+    )
+
+
+@settings(**_SETTINGS)
 @given(sql=_null_semantics_query())
 def test_fuzz_null_semantics(fuzz_spark, sf_dir, sql):
     """Random NULL-injected group keys, NULL-skipping aggregates, and
@@ -599,7 +674,12 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     (c) default NULL placement in ASC ordering diverges — Spark sorts
     NULLS FIRST, DuckDB NULLS LAST — so any ordering over a nullable key
     must spell the placement explicitly (the NULL-semantics generator
-    always does)."""
+    always does);
+    (d) ROLLUP/CUBE over ZERO matching rows: DuckDB emits the
+    SQL-standard grand-total row (COUNT 0, GROUPING()=1), Spark emits
+    no rows — a registered query whose oracle uses ROLLUP must never
+    allow an empty input grain (the fuzz property checks the exact
+    shape inline)."""
     sql = "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow FROM lineitem"
     s = normalize(fuzz_spark.sql(sql).toPandas())
     d = normalize(run_oracle(sql, sf_dir))
@@ -629,6 +709,14 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     s_rn = {r.x: r.rn for r in fuzz_spark.sql(rn).collect()}
     d_rn = dict(run_oracle(rn, sf_dir).itertuples(index=False, name=None))
     assert s_rn[1] == 1 and d_rn[1] == 3  # NULL first vs last under ASC
+
+    rollup = (
+        "SELECT l_returnflag AS k, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM lineitem WHERE l_quantity < 0 GROUP BY ROLLUP (l_returnflag)"
+    )
+    assert fuzz_spark.sql(rollup).count() == 0
+    d_r = run_oracle(rollup, sf_dir)
+    assert len(d_r) == 1 and d_r["c"].iloc[0] == 0 and d_r["k"].isna().all()
 
 
 def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
