@@ -336,6 +336,88 @@ def _temporal_query(draw) -> str:
     )
 
 
+# Equi+range join shape: the orderkey equi-join narrowed by a random
+# shipdate-within-window range predicate — the inequality-join path
+# (Spark evaluates the range residual on the equi-join output; at 100 TB
+# this is the shape the b07 as-of machinery optimizes, here fuzzed for
+# semantics, not plan).
+
+
+@st.composite
+def _range_join_query(draw) -> str:
+    days = draw(st.integers(5, 400))
+    neg = draw(st.booleans())
+    between = (
+        f"l_shipdate {'NOT ' if neg else ''}BETWEEN o_orderdate AND "
+        f"o_orderdate + INTERVAL {days} DAY"
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(_LINEITEM_AGGS), min_size=1, max_size=2,
+                 unique=True)
+    )
+    wo = draw(_predicates(_orders_atoms()))
+    agg_cols = [f"{a} AS agg{i}" for i, a in enumerate(aggs)]
+    return (
+        f"SELECT o_orderkey, {', '.join(agg_cols)} "
+        f"FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        f"AND {between} WHERE {wo} GROUP BY o_orderkey"
+    )
+
+
+# Nested-aggregation shape over events: a per-(user, type) CTE grain
+# re-aggregated to the type grain — two-level aggregation trees through
+# both optimizers. Monetary values go through the house FLOOR(x·m + 0.5)
+# spelling: bare CAST(double AS BIGINT) is a pinned divergence (DuckDB
+# rounds, Spark truncates — see test_known_engine_divergences).
+
+
+def _events_atoms() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.lists(
+            st.sampled_from(["'click'", "'view'", "'purchase'"]),
+            min_size=1, max_size=2, unique=True,
+        ).map(lambda v: f"event_type IN ({', '.join(sorted(v))})"),
+        st.tuples(_CMP, st.integers(0, 100)).map(
+            lambda t: f"value {t[0]} {t[1]}"
+        ),
+        st.tuples(st.integers(2, 9), st.integers(0, 8)).map(
+            lambda t: f"user_id % {t[0]} = {t[1] % t[0]}"
+        ),
+        st.tuples(_CMP, st.integers(0, 23)).map(
+            lambda t: f"EXTRACT(HOUR FROM ts) {t[0]} {t[1]}"
+        ),
+    )
+
+
+@st.composite
+def _nested_agg_query(draw) -> str:
+    w1 = draw(_predicates(_events_atoms()))
+    min_n = draw(st.integers(1, 4))
+    outer_aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "CAST(COUNT(*) AS BIGINT)",
+                    "CAST(COALESCE(SUM(n), 0) AS BIGINT)",
+                    "CAST(COALESCE(MAX(v_cents), 0) AS BIGINT)",
+                    "CAST(COALESCE(MIN(n), 0) AS BIGINT)",
+                ]
+            ),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    agg_cols = [f"{a} AS agg{i}" for i, a in enumerate(outer_aggs)]
+    return (
+        "WITH per_user AS ("
+        "SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0)"
+        " AS BIGINT) AS v_cents "
+        f"FROM events WHERE {w1} GROUP BY user_id, event_type) "
+        f"SELECT event_type, {', '.join(agg_cols)} FROM per_user "
+        f"WHERE n >= {min_n} GROUP BY event_type"
+    )
+
+
 # Multi-grain aggregation shape: ROLLUP / CUBE / random GROUPING SETS
 # over 2-3 keys with GROUPING() indicators — the NULL-placeholder
 # semantics both engines must agree on (a super-aggregate NULL must
@@ -626,6 +708,20 @@ def test_fuzz_temporal_functions(fuzz_spark, sf_dir, sql):
 
 
 @settings(**_SETTINGS)
+@given(sql=_range_join_query())
+def test_fuzz_range_join(fuzz_spark, sf_dir, sql):
+    """Random equi+range joins (shipdate within an order-date window)."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_nested_agg_query())
+def test_fuzz_nested_aggregation(fuzz_spark, sf_dir, sql):
+    """Random two-level aggregation trees (CTE grain re-aggregated)."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
 @given(sql=_grouping_sets_query())
 def test_fuzz_grouping_sets(fuzz_spark, sf_dir, sql):
     """Random ROLLUP/CUBE/GROUPING SETS with GROUPING() indicators.
@@ -679,7 +775,11 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     SQL-standard grand-total row (COUNT 0, GROUPING()=1), Spark emits
     no rows — a registered query whose oracle uses ROLLUP must never
     allow an empty input grain (the fuzz property checks the exact
-    shape inline)."""
+    shape inline);
+    (e) CAST(double AS BIGINT) ROUNDS in DuckDB but TRUNCATES toward
+    zero in Spark — which is why every monetary/scaled integerization
+    in this repo spells FLOOR(x·m + 0.5) (functions/exact.py) instead
+    of a bare cast."""
     sql = "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow FROM lineitem"
     s = normalize(fuzz_spark.sql(sql).toPandas())
     d = normalize(run_oracle(sql, sf_dir))
@@ -717,6 +817,12 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     assert fuzz_spark.sql(rollup).count() == 0
     d_r = run_oracle(rollup, sf_dir)
     assert len(d_r) == 1 and d_r["c"].iloc[0] == 0 and d_r["k"].isna().all()
+
+    cast_sql = "SELECT CAST(1233.99 AS BIGINT) AS a, CAST(-1233.99 AS BIGINT) AS b"
+    s_c = fuzz_spark.sql(cast_sql).collect()[0]
+    d_c = run_oracle(cast_sql, sf_dir).iloc[0]
+    assert (s_c.a, s_c.b) == (1233, -1233)  # Spark truncates toward zero
+    assert (d_c["a"], d_c["b"]) == (1234, -1234)  # DuckDB rounds
 
 
 def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
