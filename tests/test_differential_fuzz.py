@@ -230,12 +230,33 @@ def _window_query(draw) -> str:
     )
 
 
+def _customer_atoms() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(
+            ["c_mktsegment = 'BUILDING'", "c_mktsegment <> 'AUTOMOBILE'",
+             "c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')"]
+        ),
+        st.tuples(_CMP, st.integers(-9, 99)).map(
+            lambda t: f"c_acctbal {t[0]} {t[1] * 100}"
+        ),
+        st.tuples(_CMP, st.integers(0, 24)).map(
+            lambda t: f"c_nationkey {t[0]} {t[1]}"
+        ),
+    )
+
+
 @st.composite
 def _join_query(draw) -> str:
+    """lineitem⋈orders, optionally extended to the 3-way star with
+    customer — the dimension side Catalyst should broadcast."""
+    with_customer = draw(st.booleans())
     keys = draw(
         st.lists(
-            st.sampled_from(_GROUP_KEYS + ["o_orderstatus",
-                                           "o_orderpriority"]),
+            st.sampled_from(
+                _GROUP_KEYS
+                + ["o_orderstatus", "o_orderpriority"]
+                + (["c_mktsegment"] if with_customer else [])
+            ),
             max_size=2, unique=True,
         )
     )
@@ -246,7 +267,11 @@ def _join_query(draw) -> str:
     wl = draw(_predicates(_lineitem_atoms()))
     wo = draw(_predicates(_orders_atoms()))
     table = "lineitem JOIN orders ON l_orderkey = o_orderkey"
-    return _render(keys, aggs, table, f"({wl} AND {wo})", None)
+    where = f"({wl} AND {wo})"
+    if with_customer:
+        table += " JOIN customer ON o_custkey = c_custkey"
+        where += f" AND {draw(_predicates(_customer_atoms()))}"
+    return _render(keys, aggs, table, where, None)
 
 
 # Set-operation shape: two independently-filtered projections of the same
