@@ -20,10 +20,12 @@ Determinism rules (the registry contract, applied generatively):
   (one SQL text);
 - ``derandomize=True`` so CI failures reproduce.
 
-The suite runs at sf0.001 for latency; the identical 360-plan corpus was
+The suite runs at sf0.001 for latency; the (then-)identical corpus was
 also swept at sf0.01 (10× rows, the driver's correctness scale) with zero
-divergence (round 8, /tmp/fuzz_sf001.log protocol: rebuild each strategy's
-derandomized examples, assert per plan in one session).
+divergence, and a seeded EXPLORATION run of 100 fresh examples per shape
+(1,100 plans beyond the fixed corpus, @seed(20260815)) also found zero —
+round 8, /tmp/fuzz_sf001.log and /tmp/fuzz_explore.log protocols: rebuild
+each strategy's examples, assert per plan in one session.
 """
 
 from __future__ import annotations
