@@ -924,3 +924,57 @@ def test_harmonic_centrality_cap_localizes_to_hub_neighbors_at_8x(
     finally:
         for df in (ue, capped, uncapped, joined, diff):
             df.unpersist()
+
+
+def test_multimodal_frame_sample_batch_invariant_at_8x(spark, sf_stress_dir):
+    """The multimodal family's 8× claim: mapInPandas frame sampling over
+    8 id-disjoint document replicas is (a) copy-exact — each replica's
+    frames equal the base run's with ids shifted, digests included;
+    (b) count-exact — 8× the base fan-out; and (c) ARROW-BATCH
+    invariant — rerunning the 8× volume with maxRecordsPerBatch forced
+    to 16 (dozens of tiny batches instead of a few big ones) yields the
+    identical frame set, the Arrow analog of the shuffle-partitioning
+    invariance the relational operators pin."""
+    from stock_data_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = load(spark, sf_stress_dir, "documents").select(
+        "doc_id", "text", "n_chars", "source"
+    )
+    base = {
+        (r.doc_id, r.frame_idx, r.frame_off, r.frame_bytes, r.frame_sha256)
+        for r in sample_frames(docs).collect()
+    }
+    n_docs = docs.count()
+    copies = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            docs.select(
+                (F.col("doc_id") + r * 10 * n_docs).alias("doc_id"),
+                "text", "n_chars", "source",
+            )
+            for r in range(REPLICAS)
+        ],
+    )
+    big = sample_frames(copies).collect()
+    assert len(big) == REPLICAS * len(base)
+    got = {
+        (r.doc_id, r.frame_idx, r.frame_off, r.frame_bytes, r.frame_sha256)
+        for r in big
+    }
+    expected = {
+        (d + r * 10 * n_docs, i, o, b, h)
+        for r in range(REPLICAS)
+        for (d, i, o, b, h) in base
+    }
+    assert got == expected
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        tiny_batches = {
+            (r.doc_id, r.frame_idx, r.frame_off, r.frame_bytes, r.frame_sha256)
+            for r in sample_frames(copies).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert tiny_batches == got
