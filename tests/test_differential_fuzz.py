@@ -657,9 +657,28 @@ def _ensure_views(spark, sf_dir: str) -> None:
     _VIEWS_READY.add(token)
 
 
+def _oracle_or_skip(sql: str, sf_dir: str):
+    """Run the DuckDB side; on a DuckDB INTERNAL error (an oracle-engine
+    bug, not an engine divergence) skip the example. The one known
+    instance in this environment's DuckDB 1.0.0 — identical duplicated
+    OR branches of (timestamp-equality AND BETWEEN) crash its OR-filter
+    rewrite — is pinned in test_known_engine_divergences so the skip
+    stays justified."""
+    import duckdb
+
+    from hypothesis import assume
+
+    try:
+        return run_oracle(sql, sf_dir)
+    except duckdb.Error as e:
+        if "INTERNAL Error" in str(e):
+            assume(False)
+        raise
+
+
 def _assert_engines_agree(spark, sf_dir: str, sql: str) -> None:
     spark_pdf = normalize(spark.sql(sql).toPandas())
-    duck_pdf = normalize(run_oracle(sql, sf_dir))
+    duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count {len(spark_pdf)} vs {len(duck_pdf)}\nSQL: {sql}"
     )
@@ -761,7 +780,7 @@ def test_fuzz_grouping_sets(fuzz_spark, sf_dir, sql):
     NULL, every GROUPING() = 1) while Spark emits nothing. When row
     counts differ, the only acceptable shape is exactly that."""
     spark_pdf = normalize(fuzz_spark.sql(sql).toPandas())
-    duck_pdf = normalize(run_oracle(sql, sf_dir))
+    duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     if len(spark_pdf) != len(duck_pdf):
         assert len(spark_pdf) == 0, (
             f"row-count mismatch on NON-empty input\nSQL: {sql}"
@@ -808,7 +827,14 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     (e) CAST(double AS BIGINT) ROUNDS in DuckDB but TRUNCATES toward
     zero in Spark — which is why every monetary/scaled integerization
     in this repo spells FLOOR(x·m + 0.5) (functions/exact.py) instead
-    of a bare cast."""
+    of a bare cast;
+    (f) this environment's DuckDB 1.0.0 has an optimizer bug (found by
+    the sf0.01 exploration sweep): identical duplicated OR branches of
+    a (timestamp-equality AND BETWEEN) conjunction raise INTERNAL Error
+    in its OR-filter rewrite — an ORACLE bug, not a divergence, so the
+    fuzz harness skips examples whose oracle run dies with INTERNAL
+    Error (see _oracle_or_skip). If a DuckDB upgrade fixes this, this
+    pin fails and both it and the skip can be retired."""
     sql = "SELECT CAST(EXTRACT(DOW FROM l_shipdate) AS BIGINT) AS dow FROM lineitem"
     s = normalize(fuzz_spark.sql(sql).toPandas())
     d = normalize(run_oracle(sql, sf_dir))
@@ -852,6 +878,20 @@ def test_known_engine_divergences(fuzz_spark, sf_dir):
     d_c = run_oracle(cast_sql, sf_dir).iloc[0]
     assert (s_c.a, s_c.b) == (1233, -1233)  # Spark truncates toward zero
     assert (d_c["a"], d_c["b"]) == (1234, -1234)  # DuckDB rounds
+
+    import duckdb
+    import pytest as _pytest
+
+    dup_or = (
+        "SELECT COUNT(*) FROM lineitem WHERE "
+        "(l_shipdate = TIMESTAMP '1992-01-15 00:00:00' AND "
+        "l_discount BETWEEN 0.00 AND 0.02) OR "
+        "(l_shipdate = TIMESTAMP '1992-01-15 00:00:00' AND "
+        "l_discount BETWEEN 0.00 AND 0.02)"
+    )
+    assert fuzz_spark.sql(dup_or).collect()[0][0] >= 0  # Spark is fine
+    with _pytest.raises(duckdb.Error, match="INTERNAL Error"):
+        run_oracle(dup_or, sf_dir)
 
 
 def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
