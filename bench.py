@@ -1,8 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+The LAST stdout line is the compact headline JSON:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+The two-scale evidence (small-SF timings + large/small ratios) is emitted
+on an EARLIER stdout line and written to ``BENCH_DETAIL.json`` next to this
+script: round 8's driver artifact captured only a fixed-size tail of
+stdout, and a two_scale payload inside the final line truncated the
+headline's head (BENCH_r08.json ``"parsed": null``). Keeping the last line
+compact — and silencing console stage-progress spam — makes the headline
+machine-readable regardless of tail size.
 
 Each query is forced end-to-end with the noop sink (full evaluation of
 every output column — ``count()`` alone would let Spark skip projections).
@@ -54,7 +62,12 @@ HEADLINE_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark("bench")
+    # showConsoleProgress is a SparkContext-creation-time conf: stage
+    # progress bars write \r-spam to stdout, which can displace the final
+    # JSON line inside a fixed-size tail capture.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     # Warmup outside the timed region: run every headline query once at the
     # smallest SF so the timed section measures steady-state execution at
@@ -103,9 +116,13 @@ def main() -> None:
         and os.path.isdir(small_dir)
         and os.path.abspath(small_dir) != os.path.abspath(sf_dir)
     ):
-        small_sf = float(
-            os.path.basename(small_dir.rstrip("/")).removeprefix("sf") or "0"
-        )
+        try:
+            small_sf = float(
+                os.path.basename(small_dir.rstrip("/")).removeprefix("sf")
+                or "0"
+            )
+        except ValueError:  # e.g. SPARK_GRAFT_SMALL_SF_DIR=/data/small
+            small_sf = None
         small: dict[str, float] = {}
         for _ in range(2):
             for name in HEADLINE_QUERIES:
@@ -116,18 +133,34 @@ def main() -> None:
                 ).save()
                 dt = round(time.perf_counter() - t0, 3)
                 small[name] = min(small.get(name, dt), dt)
-        record["two_scale"] = {
+        small_total = round(sum(small.values()), 3)
+        two_scale = {
             "small_sf": small_sf,
-            "small_total": round(sum(small.values()), 3),
+            "small_total": small_total,
             "queries_small": small,
             "ratios": {
                 n: round(timings[n] / small[n], 2) if small[n] > 0 else None
                 for n in HEADLINE_QUERIES
             },
-            "suite_ratio": round(total / sum(small.values()), 2),
+            "suite_ratio": (
+                round(total / small_total, 2) if small_total > 0 else None
+            ),
         }
+        detail = {"headline": record, "two_scale": two_scale}
+        # Earlier stdout line (NOT last) + standing file artifact.
+        print(json.dumps({"two_scale": two_scale}))
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:  # read-only checkout: the stdout line still has it
+            pass
 
-    print(json.dumps(record))
+    # The compact headline MUST be the very last stdout line (see module
+    # docstring). Flush so nothing Spark buffers can land after it.
+    print(json.dumps(record), flush=True)
     spark.stop()
 
 
