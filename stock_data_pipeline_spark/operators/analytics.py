@@ -34,7 +34,9 @@ from ..registry import query
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
@@ -69,7 +71,9 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures → (name, value) rows — one pass,

@@ -660,7 +660,13 @@ def fuzzy_join_dist1(
     )
 
 
-@query("c02_fuzzy_name_join", oracle=_FUZZY_JOIN_SQL)
+@query(
+    "c02_fuzzy_name_join",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c02 stays in-window via c02_simhash_portable;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_FUZZY_JOIN_SQL,
+)
 def c02_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2f: customer names within edit distance 1 — fuzzy entity
     resolution via :func:`fuzzy_join_dist1`. Oracle replays the same
@@ -776,7 +782,11 @@ def minhash_portable_buckets(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "c02_minhash_portable", oracle=_minhash_portable_oracle()
+    "c02_minhash_portable",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c02 stays in-window via c02_simhash_portable;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_minhash_portable_oracle(),
 )
 def c02_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2b': the oracle-backed MinHash — salted-md5 hash family so the

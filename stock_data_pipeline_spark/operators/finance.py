@@ -1007,7 +1007,13 @@ _B87_SQL = f"""
 """
 
 
-@query("b87_momentum_rank", oracle=_B87_SQL)
+@query(
+    "b87_momentum_rank",
+    # demoted in the round-9 rotation: driver-green r8; B8 rep is the re-promoted b08_rank_in_group;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_B87_SQL,
+)
 def b87_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B87: cross-sectional momentum ranking — each instrument's monthly
     return ranked against the rest of the universe, bucketed into the

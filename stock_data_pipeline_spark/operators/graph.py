@@ -402,7 +402,13 @@ def _components_oracle(rounds: int) -> str:
     )
 
 
-@query("c10_component_labels", oracle=_components_oracle(CC_ROUNDS))
+@query(
+    "c10_component_labels",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c10 stays in-window via pagerank + triangles;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_components_oracle(CC_ROUNDS),
+)
 def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: connected-component labels (6-round min-label propagation)
     over the undirected navigation graph mined from ``events`` — the

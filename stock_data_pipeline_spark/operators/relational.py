@@ -57,9 +57,9 @@ def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b02_group_agg",
-    # rotated out of the driver window late r7 (driver rows r1–r6 green);
-    # the B2 group-aggregate family stays in-window via b61_mom_growth
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
     oracle=f"""
     SELECT
       l_returnflag,
@@ -149,9 +149,9 @@ def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b05_large_join",
-    # rotated out late r7 (driver rows r1–r6 green); the B5 fact×fact
-    # join family stays in-window via b58_volume_shipping (TPC-H Q7)
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
     oracle=f"""
     SELECT
       o.o_orderpriority,
@@ -364,7 +364,9 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: outer + semi + anti joins, one driver-verified representative.
@@ -410,7 +412,9 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: global top-k by price (tie-broken by key for determinism).
@@ -471,7 +475,9 @@ def b11_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       INTERSECT
       SELECT DISTINCT s_nationkey AS x FROM supplier)
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: EXCEPT / INTERSECT / UNION ALL over two key sets.
@@ -496,6 +502,9 @@ def b12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b12_set_ops_all",
+    # demoted in the round-9 rotation: driver-green r8; B12 rep is the re-promoted b12_set_ops;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
     oracle="""
     SELECT 'both_all' AS side, user_id FROM (
       SELECT user_id FROM events WHERE event_type = 'click'
@@ -561,6 +570,9 @@ def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b13_cube",
+    # demoted in the round-9 rotation: driver-green r8; B13 rep is the re-promoted b13_rollup_cube_sets;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
     oracle=f"""
     SELECT
       o_orderstatus,
@@ -592,7 +604,9 @@ def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b13_rollup_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13: one driver-verified representative for rollup/cube/grouping
@@ -724,6 +738,9 @@ def approx_aggregates_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b15_approx_aggregates",
+    # demoted in the round-9 rotation: driver-green r8; B15 rep is the re-promoted b15_exact_percentiles;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -774,7 +791,9 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY c_mktsegment
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15b: exact linear-interpolated percentiles per group — Spark

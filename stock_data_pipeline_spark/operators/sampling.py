@@ -300,6 +300,9 @@ def _pack_portable_oracle() -> str:
 
 @query(
     "c09_sequence_packing_portable",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c09 stays in-window via c09_interleave_order;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
     oracle=_pack_portable_oracle(),
 )
 def c09_sequence_packing_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -251,7 +251,13 @@ def _lsh_oracle_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -> str:
 # driver=False: ANN family's driver representative is c03_ann_ivf (both were
 # rows-only no_oracle checks until round 7 gave THIS one a full SQL oracle;
 # the window was already frozen — promote in a future rotation).
-@query("c03_ann_lsh", oracle=_lsh_oracle_sql())
+@query(
+    "c03_ann_lsh",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c03 stays in-window via c03_ivf_fixed_centroids;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_lsh_oracle_sql(),
+)
 def c03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b: approximate top-k via random-hyperplane LSH.
 
@@ -1399,7 +1405,13 @@ def _pq_fixed_oracle() -> str:
     """
 
 
-@query("c03_pq_fixed_books", oracle=_pq_fixed_oracle())
+@query(
+    "c03_pq_fixed_books",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c03 stays in-window via c03_ivf_fixed_centroids;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_pq_fixed_oracle(),
+)
 def c03_pq_fixed_books(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3': the oracle-backed PQ — seeded literal codebooks run through
     the PRODUCTION ``pq_topk`` (encode → reconstruct → ADC shortlist →

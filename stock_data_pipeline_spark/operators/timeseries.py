@@ -160,7 +160,9 @@ def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7b: as-of join — for every purchase, the most recent click by the
@@ -209,6 +211,9 @@ def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b07_asof_tolerance",
+    # demoted in the round-9 rotation: driver-green r8; B7 rep is the re-promoted b07_asof_join;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, p.value,
            CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.ts END
@@ -887,7 +892,9 @@ def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) WHERE bal_rank <= 3
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: top-3 customers by balance within each nation ("top movers").
@@ -940,7 +947,9 @@ def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
-    driver=False,
+    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
+    # representative whose last driver-green row predates r7
+    driver=True,
 )
 def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: lag / 5-row moving average / running total per key.

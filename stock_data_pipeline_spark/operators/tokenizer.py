@@ -371,7 +371,13 @@ def _bpe_fixed_oracle() -> str:
     """
 
 
-@query("c04_bpe_apply_fixed", oracle=_bpe_fixed_oracle())
+@query(
+    "c04_bpe_apply_fixed",
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c04 stays in-window via c04_bigram_pmi;
+    # stays on the full bench/oracle-parity surface
+    driver=False,
+    oracle=_bpe_fixed_oracle(),
+)
 def c04_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4': oracle-backed BPE merge application — the PRODUCTION
     :func:`_merge_pair` fold (the JVM inner loop every training round
