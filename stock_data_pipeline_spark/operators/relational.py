@@ -240,8 +240,13 @@ def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
         # pid-keyed dirs are never reused by another process: reap ours at
-        # exit so concurrent/aborted runs don't accumulate in /tmp
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        # exit so concurrent/aborted runs don't accumulate in /tmp.
+        # Register once per tag (first creation only): re-entry here with
+        # tag already in _BUCKETED_READY means a NEW session in the same
+        # process lost the catalog table — the rewrite reuses the same
+        # base dir, and a duplicate registration would silently stack.
+        if tag not in _BUCKETED_READY:
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
         write_bucketed(
             load(spark, sf_dir, "orders"), o_t,
             bucket_by="o_orderkey", n_buckets=8, sort_by="o_orderkey",

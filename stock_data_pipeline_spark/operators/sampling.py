@@ -1248,8 +1248,9 @@ def _dsir_oracle() -> str:
     ),
     ratio AS (
       SELECT s.token,
-             ln((COALESCE(t.tc, 0) + 1.0) / (c.t_n + c.v))
-             - ln((s.sc + 1.0) / (c.s_n + c.v)) AS lr
+             CAST(FLOOR((ln((COALESCE(t.tc, 0) + 1.0) / (c.t_n + c.v))
+                         - ln((s.sc + 1.0) / (c.s_n + c.v)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lr6
       FROM sfreq s LEFT JOIN tfreq t ON s.token = t.token
       CROSS JOIN consts c
     ),
@@ -1257,7 +1258,8 @@ def _dsir_oracle() -> str:
       SELECT td.doc_id,
              CAST(SUM(td.cnt) AS BIGINT) AS n_tokens,
              {sql_trunc6(
-                 "(" + sql_dec_sum("td.cnt * r.lr", 6) + " / SUM(td.cnt))"
+                 "(CAST(SUM(td.cnt * r.lr6) AS DOUBLE) / 1000000.0)"
+                 " / SUM(td.cnt)"
              )} AS avg_log_ratio
       FROM td JOIN ratio r ON td.token = r.token
       WHERE td.lang <> '{DSIR_TARGET_LANG}'
@@ -1284,9 +1286,12 @@ def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact-unigram variant of DSIR's hashed-n-gram features:
     same estimator, vocabulary-exact, hence differentially verifiable.
 
-    Determinism: per-term ``cnt·(ln p̂_t − ln p̂_s)`` rounds at 6 dp into
-    an exact decimal sum (partition-order-independent), the per-doc
-    average truncates at 6 dp, and the top-k orders by
+    Determinism: the log-ratio quantizes ONCE per vocabulary token to a
+    6-dp fixed-point BIGINT (``floor(lr·1e6 + 0.5)``, spelled identically
+    in both engines), so every per-(doc,token) product and per-doc sum is
+    exact integer arithmetic — partition-order-independent, with a single
+    ULP-boundary site per token (p ≈ 2⁻⁴⁵) rather than one per summand.
+    The per-doc average truncates at 6 dp and the top-k orders by
     (avg_log_ratio DESC, doc_id) — a total order.
 
     Scale: ONE tokenize+explode pass collapsed to (doc, lang, token)
@@ -1300,7 +1305,7 @@ def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    from ..functions.exact import dec_sum, trunc6
+    from ..functions.exact import trunc6
     from ..functions.partitioning import rebalance
     from ..functions.textfns import tokens
 
@@ -1334,18 +1339,33 @@ def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Quantize the log-ratio ONCE per vocabulary token — lr6 = the 6-dp
+    # fixed-point integer floor(lr·1e6 + 0.5), the dec_sum spelling —
+    # so every downstream per-(doc,token) product and per-doc sum is
+    # EXACT integer arithmetic. The engines' ln() can differ in the last
+    # ULP; quantizing at the vocabulary grain leaves one boundary-flip
+    # site per token (p ≈ 2⁻⁴⁵ each) instead of amplifying the exposure
+    # across every rounded cnt·lr summand (ADVICE r8).
     ratio = (
         sfreq.join(tfreq, "token", "left")
         .crossJoin(F.broadcast(consts))
         .select(
             "token",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                    / (F.col("t_n") + F.col("v"))
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("t_n") + F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("sc") + 1.0) / (F.col("s_n") + F.col("v"))
+                    )
                 )
-                - F.log((F.col("sc") + 1.0) / (F.col("s_n") + F.col("v")))
-            ).alias("lr"),
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr6"),
         )
     )
     return (
@@ -1354,9 +1374,13 @@ def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            trunc6(dec_sum(F.col("cnt") * F.col("lr"), 6) / F.sum("cnt")).alias(
-                "avg_log_ratio"
-            ),
+            trunc6(
+                (
+                    F.sum(F.col("cnt") * F.col("lr6")).cast("double")
+                    / F.lit(1000000.0)
+                )
+                / F.sum("cnt")
+            ).alias("avg_log_ratio"),
         )
         .orderBy(F.desc("avg_log_ratio"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)

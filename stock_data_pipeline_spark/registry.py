@@ -77,6 +77,14 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
             per_session[key] = df
             cap = _memo_capacity(spark)
             while len(per_session) > cap:
+                # Eviction drops the PYTHON reference only; the JVM
+                # QueryExecution it pinned is reclaimed later, after
+                # Python GC runs the py4j finalizer and the
+                # ContextCleaner sweeps. A sweep that misses faster than
+                # GC cycles can therefore transiently hold a few more
+                # than `cap` plans' worth of JVM heap — the ~6x vanilla
+                # headroom quoted in the class comment is the
+                # steady-state bound, not an instantaneous one.
                 per_session.popitem(last=False)  # evict least recent
         else:
             per_session.move_to_end(key)
