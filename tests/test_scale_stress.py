@@ -978,3 +978,192 @@ def test_multimodal_frame_sample_batch_invariant_at_8x(spark, sf_stress_dir):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert tiny_batches == got
+
+
+# --------------------------------------------------------------------------
+# Round 9: 64x probes for the two worst shuffle shapes (VERDICT r8 task 4)
+# --------------------------------------------------------------------------
+
+K64 = 64
+_COPY_SHIFT = 10_000_000
+
+
+def test_tfidf_shuffle_grain_scales_linearly_at_64x(spark, sf_stress_dir, tmp_path):
+    """c04_tfidf_terms' docstring claims its ONLY corpus-sized shuffle is
+    the per-(doc, token) collapse — cost proportional to the corpus token
+    count, never quadratic — and that everything downstream is
+    vocabulary-sized. Probe at 64x (320k docs, ~17.3M token rows), one
+    order of magnitude past the 8x matrix, running the REAL registered
+    query against a 64x on-disk corpus:
+
+    - shuffle-grain law: the exploded (doc, token) relation is exactly
+      64x the base count (linear in total doc tokens);
+    - vocabulary law: the distinct-token relation — the grain of every
+      downstream join/window — is INVARIANT under replication;
+    - restriction law: the query output is bit-exactly the base output
+      with tf and df scaled by exactly 64 and tfidf scaled by 64 (a
+      power-of-two scale is exponent arithmetic, so tf*idf scales
+      bit-exactly before the 6-dp round; idf itself is invariant because
+      ln(64N / 64df) == ln(N / df)) — same tokens, same ranks.
+    """
+    from stock_data_pipeline_spark.functions.textfns import tokens
+    from stock_data_pipeline_spark.registry import get
+
+    docs = load(spark, sf_stress_dir, "documents")
+    big = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            docs.withColumn("doc_id", F.col("doc_id") + i * _COPY_SHIFT)
+            for i in range(K64)
+        ],
+    )
+    sf64 = str(tmp_path / "sf64")
+    big.write.mode("overwrite").parquet(f"{sf64}/documents.parquet")
+
+    def tok(df):
+        return df.select(
+            "doc_id", F.explode(tokens("text")).alias("token")
+        ).filter(F.col("token") != "")
+
+    base_tok = tok(docs)
+    big_tok = tok(load(spark, sf64, "documents"))
+    assert big_tok.count() == K64 * base_tok.count()
+    assert (
+        big_tok.select("token").distinct().count()
+        == base_tok.select("token").distinct().count()
+    )
+
+    fn = getattr(get("c04_tfidf_terms").fn, "__wrapped__", get("c04_tfidf_terms").fn)
+    base = {
+        (r.source, r.term_rank): (r.token, r.tf, r.df, r.tfidf)
+        for r in fn(spark, sf_stress_dir).collect()
+    }
+    big_out = {
+        (r.source, r.term_rank): (r.token, r.tf, r.df, r.tfidf)
+        for r in fn(spark, sf64).collect()
+    }
+    assert set(big_out) == set(base) and base
+    for key, (token, tf, df, tfidf) in base.items():
+        btoken, btf, bdf, btfidf = big_out[key]
+        assert btoken == token, key
+        assert btf == K64 * tf and bdf == K64 * df, key
+        # both sides round at 6 dp AFTER the bit-exact x64 scale; the
+        # only slack needed is the two roundings' 1e-6 grids
+        assert btfidf == pytest.approx(K64 * tfidf, abs=K64 * 1e-6 + 1e-6), key
+
+
+def test_lsh_candidates_equal_bucket_collisions_at_64x(spark, sf_stress_dir):
+    """The c02 LSH docstrings claim candidate volume is exactly the
+    band-bucket collision count — Sigma over (band, bucket) of C(size, 2),
+    with the bucket cap bounding any bucket's contribution to C(cap, 2).
+    Probe at 64x (320k docs, 2.56M index rows, 88M candidate pairs):
+
+    - index law: every (band, bucket) size is exactly 64x its base size
+      (signatures hash CONTENT only, so replicas co-bucket), and the
+      index restricted to one copy is bit-exactly the base index;
+    - candidate law: the measured capped self-join count EQUALS the
+      predicted Sigma C(size, 2) over kept buckets — the join does no
+      more and no less work than the collision structure dictates;
+    - cap law: measured <= kept_buckets * C(cap, 2);
+    - restriction law: intra-copy candidates and their exact-Jaccard
+      verified pairs are bit-identical to a base run capped at cap/64 —
+      the 64x run embeds 64 faithful copies of the base computation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from stock_data_pipeline_spark.operators.dedup import (
+        lsh_bucket_index,
+        verify_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_stress_dir, "documents").select("doc_id", "text")
+    big = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            docs.select(
+                (F.col("doc_id") + i * _COPY_SHIFT).alias("doc_id"), "text"
+            )
+            for i in range(K64)
+        ],
+    )
+    idx_base = lsh_bucket_index(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    idx_big = lsh_bucket_index(big).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        assert idx_big.count() == K64 * idx_base.count()
+
+        sizes = lambda idx: {  # noqa: E731
+            (r.band, r.bucket): r.sz
+            for r in idx.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        }
+        sz_base, sz_big = sizes(idx_base), sizes(idx_big)
+        assert set(sz_big) == set(sz_base)
+        assert all(sz_big[k] == K64 * v for k, v in sz_base.items())
+
+        copy17 = idx_big.filter(
+            (F.col("doc_id") >= 17 * _COPY_SHIFT)
+            & (F.col("doc_id") < 18 * _COPY_SHIFT)
+        ).select((F.col("doc_id") - 17 * _COPY_SHIFT).alias("doc_id"), "band", "bucket")
+        assert set(map(tuple, copy17.collect())) == set(
+            map(tuple, idx_base.collect())
+        )
+
+        def capped_candidates(idx, cap):
+            small = (
+                idx.groupBy("band", "bucket")
+                .agg(F.count("*").alias("sz"))
+                .filter(F.col("sz") <= cap)
+            )
+            kept = idx.join(small.select("band", "bucket"), ["band", "bucket"])
+            a, b = kept.alias("a"), kept.alias("b")
+            joined = a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            predicted = (
+                small.agg(
+                    F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint")
+                ).collect()[0][0]
+                or 0
+            )
+            return joined, predicted, small.count()
+
+        cap_base = 20
+        cap64 = K64 * cap_base  # a base bucket of size s maps to size 64s
+        joined64, predicted64, n_kept64 = capped_candidates(idx_big, cap64)
+        measured64 = joined64.count()
+        assert measured64 == predicted64  # collision law, exact (88M pairs)
+        assert measured64 <= n_kept64 * cap64 * (cap64 - 1) // 2  # cap law
+
+        joined_b, predicted_b, _ = capped_candidates(idx_base, cap_base)
+        cand = lambda j: j.select(  # noqa: E731
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).distinct()
+        base_pairs = set(map(tuple, cand(joined_b).collect()))
+        assert joined_b.count() == predicted_b
+        intra0 = cand(
+            joined64.filter(
+                (F.col("a.doc_id") < _COPY_SHIFT) & (F.col("b.doc_id") < _COPY_SHIFT)
+            )
+        )
+        intra0_pairs = set(map(tuple, intra0.collect()))
+        assert intra0_pairs == base_pairs and base_pairs  # non-vacuous
+
+        verified_base = set(
+            map(
+                tuple,
+                verify_jaccard_pairs(
+                    cand(joined_b), docs, threshold=0.1
+                ).collect(),
+            )
+        )
+        verified_intra0 = set(
+            map(tuple, verify_jaccard_pairs(intra0, docs, threshold=0.1).collect())
+        )
+        assert verified_intra0 == verified_base and verified_base
+    finally:
+        idx_base.unpersist()
+        idx_big.unpersist()
