@@ -836,6 +836,105 @@ def c10_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality_r2(click_edges(load(spark, sf_dir, "events")))
 
 
+def harmonic_centrality_hyperball(
+    edges: DataFrame, *, radius: int = 4, lg_config_k: int = 12
+) -> DataFrame:
+    """HyperBall harmonic centrality beyond radius 2 — the documented
+    100 TB scale path of :func:`harmonic_centrality_r2` (Boldi & Vigna
+    2013, "In-core computation of geometric centralities with
+    HyperBall"; public algorithm, re-expressed on Spark's built-in
+    DataSketches HLL columns).
+
+    Per node v keep one HLL sketch B_t(v) of the ball of radius t,
+    seeded with {v}. Each round is one register-merge step over the
+    persisted undirected edge list:
+
+        B_t(v) = B_{t-1}(v) ∪ ⋃_{(v,w)∈E} B_{t-1}(w)
+
+    spelled as an edge-keyed equi-join (neighbor sketches) + a
+    node-keyed ``hll_union_agg`` (map-side combining register-max) + a
+    two-sketch ``hll_union`` with the node's own ball. Harmonic
+    centrality accumulates the estimated shell sizes:
+
+        H_r(v) = Σ_{t=1..r} (|B_t(v)| − |B_{t-1}(v)|) / t
+
+    Error bound ε: a DataSketches HLL with ``lg_config_k`` = 12 has
+    relative standard error 1.04/√2¹² ≈ 1.6% per ball estimate (and is
+    EXACT below the sparse-mode promotion threshold, so small
+    neighborhoods — the overwhelming majority of nodes in a power-law
+    graph — carry no error at all). Shell sizes difference two such
+    estimates; register-max unions only grow registers, and a negative
+    estimate delta (possible in the dense regime when the composite
+    estimator jitters) is clamped to 0, keeping H monotone in t. The
+    error-bound test pins max relative error ≤ 5% vs the exact radius-2
+    wedge join on the corpus graph.
+
+    Scale: state is ONE sketch per node (≤ 2¹²·6 bits ≈ 3 KB dense,
+    bytes in sparse mode) — radius-independent, versus the exact wedge
+    join's Σ min(deg,cap)² pair enumeration that makes radius > 2
+    intractable. Each round costs one shuffle join + one
+    partial-combining aggregate; the state frame is persisted per round
+    (both the join and the self-union read it, so an unpersisted unroll
+    would recompute the whole prefix 2^t times) and the previous
+    round's cache is released. Nothing collects to the driver.
+
+    Returns ``(node, n_reached, harmonic)``: the estimated ball size at
+    ``radius`` and the truncated harmonic centrality (double, 6 dp).
+    """
+    ue = undirected_edges(edges)
+    bidir = (
+        ue.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(ue.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = (
+        bidir.select("node")
+        .distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("sk"))
+        .select("node", "sk", F.lit(1.0).alias("est"), F.lit(0.0).alias("hsum"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for t in range(1, radius + 1):
+        nbr_union = (
+            bidir.join(
+                state.select(F.col("node").alias("nbr"), F.col("sk").alias("nsk")),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.hll_union_agg("nsk").alias("nbru"))
+        )
+        grown = state.join(nbr_union, "node", "left").select(
+            "node",
+            F.when(F.col("nbru").isNull(), F.col("sk"))
+            .otherwise(F.hll_union("sk", "nbru"))
+            .alias("sk"),
+            "est",
+            "hsum",
+        )
+        new_state = grown.select(
+            "node",
+            "sk",
+            F.hll_sketch_estimate("sk").cast("double").alias("est"),
+            (
+                F.col("hsum")
+                + F.greatest(
+                    F.hll_sketch_estimate("sk").cast("double") - F.col("est"),
+                    F.lit(0.0),
+                )
+                / F.lit(float(t))
+            ).alias("hsum"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_state.count()  # materialize before releasing the parent cache
+        state.unpersist()
+        state = new_state
+    return state.select(
+        "node",
+        F.col("est").cast("long").alias("n_reached"),
+        F.round("hsum", 6).alias("harmonic"),
+    )
+
+
 @query(
     "c10_link_prediction",
     oracle=_link_prediction_oracle(RA_MAX_HUB, RA_TOP_K),

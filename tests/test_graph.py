@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 from datetime import datetime
 
+import pytest
+
 from stock_data_pipeline_spark.operators.graph import (
     PR_SCALE,
     click_edges,
@@ -313,3 +315,102 @@ def test_harmonic_centrality_hub_cap_excludes_high_degree_middles(spark):
         2: (1, 2, 4),
         3: (1, 2, 4),
     }
+
+
+def test_hyperball_exact_on_path_graph(spark):
+    """Path 1-2-3-4-5 at radius 4: every ball is tiny, so the HLL stays
+    in exact (sparse) mode and HyperBall must reproduce the closed-form
+    truncated harmonic centrality H4 = sum over d<=4 of 1/d, including
+    the shells beyond the wedge join's radius-2 horizon."""
+    from stock_data_pipeline_spark.operators.graph import (
+        harmonic_centrality_hyperball,
+    )
+
+    ev = _events(spark, [(1, s, k) for s, k in enumerate([1, 2, 3, 4, 5])])
+    got = {
+        r.node: (r.n_reached, r.harmonic)
+        for r in harmonic_centrality_hyperball(
+            click_edges(ev), radius=4
+        ).collect()
+    }
+    exact = {
+        1: 1 + 1 / 2 + 1 / 3 + 1 / 4,
+        2: 2 + 1 / 2 + 1 / 3,
+        3: 2 + 2 / 2,
+        4: 2 + 1 / 2 + 1 / 3,
+        5: 1 + 1 / 2 + 1 / 3 + 1 / 4,
+    }
+    assert set(got) == set(exact)
+    for node, h in exact.items():
+        n_reached, harmonic = got[node]
+        assert n_reached == 5, node  # whole path within radius 4
+        assert harmonic == pytest.approx(h, abs=1e-6), node
+
+    # monotonicity in radius: H_2 <= H_4 per node, strictly greater for
+    # the path ends (they gain shells at distance 3 and 4)
+    r2 = {
+        r.node: r.harmonic
+        for r in harmonic_centrality_hyperball(
+            click_edges(ev), radius=2
+        ).collect()
+    }
+    assert all(r2[n] <= got[n][1] + 1e-9 for n in r2)
+    assert r2[1] < got[1][1] and r2[5] < got[5][1]
+
+
+def test_hyperball_within_error_bound_vs_exact_r2_on_corpus_graph(
+    spark, sf_check_dir
+):
+    """The documented epsilon: HyperBall at radius 2 vs the exact
+    (uncapped) wedge-join harmonic centrality on the corpus navigation
+    graph — per-node relative error <= 5% (lgConfigK=12 gives 1.6% RSE;
+    the corpus graph's balls sit below the sparse-mode threshold, so
+    the observed error here is 0, but the bound is what the operator
+    promises at any scale)."""
+    from stock_data_pipeline_spark.catalog import load
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        harmonic_centrality_hyperball,
+        harmonic_centrality_r2,
+    )
+
+    edges = click_edges(load(spark, sf_check_dir, "events"))
+    exact = {
+        r.node: r.harmonic_x2 / 2.0
+        for r in harmonic_centrality_r2(edges, max_hub=10**9).collect()
+    }
+    got = {
+        r.node: r.harmonic
+        for r in harmonic_centrality_hyperball(edges, radius=2).collect()
+    }
+    assert set(got) == set(exact) and exact
+    for node, ex in exact.items():
+        assert got[node] == pytest.approx(ex, rel=0.05), node
+
+
+def test_hyperball_dense_sketch_regime_on_star_graph(spark):
+    """Force the sketches PAST the sparse-mode threshold (a 5000-leaf
+    star: every radius-2 ball holds 5001 nodes, far beyond 2^12 sparse
+    capacity) and pin the estimator's error: hub and leaf harmonic
+    scores and reach within 5% of closed form (observed ~0.3%)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.graph import (
+        harmonic_centrality_hyperball,
+    )
+
+    n = 5000
+    star = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst"), F.lit(1).alias("w")
+    )
+    got = {
+        r.node: (r.n_reached, r.harmonic)
+        for r in harmonic_centrality_hyperball(star, radius=2).collect()
+    }
+    hub_reach, hub_h = got[0]
+    assert hub_reach == pytest.approx(n + 1, rel=0.05)
+    assert hub_h == pytest.approx(n, rel=0.05)  # n leaves at distance 1
+    leaf_reach, leaf_h = got[1]
+    assert leaf_reach == pytest.approx(n + 1, rel=0.05)
+    # 1 hub at d1 + (n-1) siblings at d2
+    assert leaf_h == pytest.approx(1 + (n - 1) / 2, rel=0.05)
