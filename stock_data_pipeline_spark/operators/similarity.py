@@ -799,6 +799,59 @@ def ivf_cell_stats(assigned: DataFrame, *, n_cells: int | None = None) -> DataFr
     )
 
 
+def retrain_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_cells: int | None = None,
+    seed: int = 43,
+    train_fraction: float | None = None,
+) -> list[list[float]]:
+    """The offline retrain job :func:`ivf_cell_stats` schedules: rebuild
+    the coarse quantizer from a bounded sample of the CURRENT corpus,
+    reassign every vector with the existing map-side argmin pass, and
+    atomically swap the persisted index — the "retrain offline on
+    drift" half of the append/monitor/retrain lifecycle whose other two
+    parts are :func:`append_ivf_batch` and :func:`ivf_cell_stats`.
+
+    Retraining invalidates every existing assignment (the cells
+    themselves move), so the job rebuilds the WHOLE index — never a
+    partial patch — into a staging directory and swaps it in with the
+    same rename discipline as ``sources/maintenance.compact``: readers
+    see the old index or the new one, never a mix, and a crash before
+    the swap leaves the live index untouched (the orphaned staging dir
+    is re-listable garbage, not corruption).
+
+    Cost at 100 TB: quantizer training stays the bounded driver-side
+    sample of :func:`ivf_index` (≤256·n_cells rows no matter the corpus
+    size); reassignment is the one shuffle-free argmin scan over the
+    corpus; the swap is metadata. ``n_cells`` defaults to the live
+    index's cell count; ``seed`` defaults to a DIFFERENT seed than the
+    initial build so a retrain on an unchanged corpus still draws a
+    fresh sample.
+
+    Returns the new centroid list (what callers holding an in-memory
+    ``(assigned, centers)`` handle must refresh to — their old handle
+    still reads the swapped-away assignments' lineage and must be
+    reloaded via :func:`load_ivf_index`).
+    """
+    import uuid
+
+    from ..sources.maintenance import _atomic_swap
+
+    if n_cells is None:
+        _, old_centers = load_ivf_index(spark, path)
+        n_cells = max(1, len(old_centers))
+    index = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+    )
+    staging = path.rstrip("/") + f"._staging_{uuid.uuid4().hex[:8]}"
+    save_ivf_index(index, staging)  # fully materialized before the swap
+    _atomic_swap(staging, path.rstrip("/"))
+    return index[1]
+
+
 def load_ivf_index(
     spark: SparkSession, path: str
 ) -> "tuple[DataFrame, list[list[float]]]":

@@ -517,3 +517,94 @@ def test_fixed_quantizer_twins_are_real_searchers(spark, sf_dir):
             got.setdefault(r.query_id, set()).add(r.vec_id)
         recall = sum(len(truth[q] & got.get(q, set())) for q in truth) / total
         assert recall >= floor, f"{name} recall {recall:.2f} < {floor}"
+
+
+def test_ivf_retrain_on_drift_rebalances_and_swaps_atomically(spark, tmp_path):
+    """The append/monitor/retrain lifecycle end-to-end: a drifted ingest
+    concentrates in one cell, ivf_cell_stats flags the skew, and
+    retrain_ivf_index rebuilds + atomically swaps the persisted index —
+    after which the skew drops, every vector is assigned exactly once,
+    queries still answer (returning the planted nearest neighbor), and
+    no staging directory survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        append_ivf_batch,
+        ivf_cell_stats,
+        ivf_index,
+        load_ivf_index,
+        retrain_ivf_index,
+        save_ivf_index,
+    )
+
+    def cluster(center, n, id0):
+        # deterministic jitter: no RNG, reproducible across runs/engines
+        return [
+            (
+                id0 + i,
+                [c + ((i * 37 + d * 11) % 100) / 200.0 for d, c in enumerate(center)],
+            )
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    corners = [
+        [10.0, 10.0, 0.0, 0.0],
+        [10.0, -10.0, 0.0, 0.0],
+        [-10.0, 10.0, 0.0, 0.0],
+        [-10.0, -10.0, 0.0, 0.0],
+    ]
+    initial = spark.createDataFrame(
+        sum((cluster(c, 100, i * 1000) for i, c in enumerate(corners)), []),
+        schema,
+    )
+    n_cells = 4
+    path = str(tmp_path / "ivf")
+    save_ivf_index(ivf_index(initial, n_cells=n_cells), path)
+
+    # planted drift: 2x the original corpus, all beside ONE corner -> one
+    # hot cell under the frozen quantizer
+    drifted = spark.createDataFrame(
+        cluster([10.5, 10.5, 0.0, 0.0], 800, 5000), schema
+    )
+    append_ivf_batch(spark, drifted, path)
+    corpus = initial.unionByName(drifted)
+
+    assigned, _ = load_ivf_index(spark, path)
+    skew_before = max(
+        r.skew for r in ivf_cell_stats(assigned, n_cells=n_cells).collect()
+    )
+    assert skew_before > 2.0  # the monitor flags the drift
+
+    retrain_ivf_index(spark, corpus, path)  # n_cells defaults to live index
+
+    assigned2, centers2 = load_ivf_index(spark, path)
+    assert len(centers2) == n_cells
+    stats_after = ivf_cell_stats(assigned2, n_cells=n_cells).collect()
+    skew_after = max(r.skew for r in stats_after)
+    assert skew_after < skew_before / 1.5  # skew drops
+    assert sum(r.n_vectors for r in stats_after) == corpus.count()
+    assert assigned2.select("vec_id").distinct().count() == corpus.count()
+    assert all(0 <= r.cell < n_cells for r in stats_after)
+
+    # queries still answer through the swapped index: vec 5000 points in
+    # the (10,10) direction, so every top hit must come from that angular
+    # family — the drifted region (>=5000) or corner A (<1000) — at
+    # near-perfect cosine
+    q = corpus.filter(F.col("vec_id") == 5000)
+    top = ann_ivf_topk(
+        corpus, q, k=3, index=(assigned2, centers2)
+    ).collect()
+    assert len(top) == 3
+    assert all(r.vec_id >= 5000 or r.vec_id < 1000 for r in top)
+    assert all(r.cos_sim > 0.99 for r in top)
+
+    # atomic swap left no staging/old debris beside the index
+    debris = [
+        p for p in os.listdir(tmp_path)
+        if p.startswith("ivf._staging_") or p.startswith("ivf._old_")
+    ]
+    assert debris == []
