@@ -873,10 +873,18 @@ def harmonic_centrality_hyperball(
     bytes in sparse mode) — radius-independent, versus the exact wedge
     join's Σ min(deg,cap)² pair enumeration that makes radius > 2
     intractable. Each round costs one shuffle join + one
-    partial-combining aggregate; the state frame is persisted per round
-    (both the join and the self-union read it, so an unpersisted unroll
-    would recompute the whole prefix 2^t times) and the previous
-    round's cache is released. Nothing collects to the driver.
+    partial-combining aggregate. The state frame is
+    ``localCheckpoint``-ed per round, NOT merely persisted: every round
+    references the previous state TWICE (the neighbor join and the
+    self-union), so without lineage truncation the logical plan doubles
+    per round and optimizer/compile time grows 2^radius even though the
+    cache dedupes execution (measured: radius 6 at sf0.1 took 55.8 s
+    persisted vs 3.0 s checkpointed; radius 12 is 3.9 s — constant
+    ~0.3 s/round). This is the iterate-with-materialized-state shape
+    the module docstring prescribes for iterative algorithms; on a
+    multi-executor cluster where executor loss must be survivable,
+    swap ``localCheckpoint`` for a reliable ``checkpoint`` directory —
+    same plan, durable blocks. Nothing collects to the driver.
 
     Returns ``(node, n_reached, harmonic)``: the estimated ball size at
     ``radius`` and the truncated harmonic centrality (double, 6 dp).
@@ -893,7 +901,7 @@ def harmonic_centrality_hyperball(
         .groupBy("node")
         .agg(F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("sk"))
         .select("node", "sk", F.lit(1.0).alias("est"), F.lit(0.0).alias("hsum"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     for t in range(1, radius + 1):
         nbr_union = (
@@ -912,7 +920,10 @@ def harmonic_centrality_hyperball(
             "est",
             "hsum",
         )
-        new_state = grown.select(
+        # eager localCheckpoint: materializes the round AND truncates
+        # lineage, so the next round's plan starts from a scan of these
+        # blocks instead of a 2x-deeper tree (see docstring)
+        state = grown.select(
             "node",
             "sk",
             F.hll_sketch_estimate("sk").cast("double").alias("est"),
@@ -924,10 +935,7 @@ def harmonic_centrality_hyperball(
                 )
                 / F.lit(float(t))
             ).alias("hsum"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        new_state.count()  # materialize before releasing the parent cache
-        state.unpersist()
-        state = new_state
+        ).localCheckpoint()
     return state.select(
         "node",
         F.col("est").cast("long").alias("n_reached"),
