@@ -1167,3 +1167,43 @@ def test_lsh_candidates_equal_bucket_collisions_at_64x(spark, sf_stress_dir):
     finally:
         idx_base.unpersist()
         idx_big.unpersist()
+
+
+def test_hyperball_component_independence_at_8x(spark, sf_stress_dir):
+    """HyperBall over 8 id-disjoint copies of the corpus navigation graph
+    must score every copy bit-identically to the base run: balls never
+    leak across components (the union-agg only merges along edges), and
+    in the sparse-exact sketch regime the per-copy (n_reached, harmonic)
+    pairs are EQUAL, not merely close. This is the disjoint-tenant
+    property a shared 100 TB graph job relies on: adding unrelated
+    subgraphs cannot perturb anyone's centrality."""
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        harmonic_centrality_hyperball,
+    )
+
+    edges = click_edges(load(spark, sf_stress_dir, "events"))
+    shift = 10_000_000
+    big = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            edges.select(
+                (F.col("src") + i * shift).alias("src"),
+                (F.col("dst") + i * shift).alias("dst"),
+                "w",
+            )
+            for i in range(REPLICAS)
+        ],
+    )
+    base = {
+        r.node: (r.n_reached, r.harmonic)
+        for r in harmonic_centrality_hyperball(edges, radius=3).collect()
+    }
+    got = {
+        r.node: (r.n_reached, r.harmonic)
+        for r in harmonic_centrality_hyperball(big, radius=3).collect()
+    }
+    assert len(got) == REPLICAS * len(base) and base
+    for i in range(REPLICAS):
+        for node, val in base.items():
+            assert got[node + i * shift] == val, (i, node)
