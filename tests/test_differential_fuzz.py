@@ -24,7 +24,12 @@ The suite runs at sf0.001 for latency; the (then-)identical corpus was
 also swept at sf0.01 (10× rows, the driver's correctness scale) with zero
 divergence, and two seeded EXPLORATION runs beyond the fixed corpus —
 100/shape (@seed(20260815), 1,100 plans) then 300/shape across all twelve
-shapes (@seed(818181), 3,600 plans) — also found zero. Round 8,
+then-current shapes (@seed(818181), 3,600 plans) — also found zero
+(round 9 added two more shapes — ORDER BY+LIMIT top-k and window-top-k
+over a join, fourteen total — and ran two more exploration sweeps:
+200/shape @sf0.01 seed 515151 and 400/shape @sf0.001 seed 626262,
+zero new divergences, one rediscovery of the pinned empty-ROLLUP case).
+Round 8,
 /tmp/fuzz_sf001.log and /tmp/fuzz_explore*.log protocols: rebuild each
 strategy's examples, assert per plan in one session (~5,500 total plan
 executions, five real divergences found and pinned, none unexplained).
@@ -801,6 +806,85 @@ def test_fuzz_grouping_sets(fuzz_spark, sf_dir, sql):
 def test_fuzz_null_semantics(fuzz_spark, sf_dir, sql):
     """Random NULL-injected group keys, NULL-skipping aggregates, and
     nullable window orderings with explicit NULLS placement."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+# Top-k shape: ORDER BY <expr> <dir> LIMIT k over raw lineitem rows. The
+# ordering is made TOTAL by appending the verified-unique column tail
+# (FIXTURES.md: synthetic lineitem is NOT keyed on (orderkey, linenumber);
+# the 6-column tail below is dup-free at every SF), so TakeOrdered on the
+# Spark side and the sort-limit on the DuckDB side must return the
+# identical row SET — no sampled/unstable-sort escape hatch.
+
+_LI_UNIQUE_TAIL = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate, "
+    "l_extendedprice"
+)
+
+_TOPK_ORDER_EXPRS = [
+    "l_extendedprice",
+    "l_quantity",
+    "l_discount",
+    "l_shipdate",
+    "l_extendedprice * (1 - l_discount)",
+]
+
+
+@st.composite
+def _topk_query(draw) -> str:
+    expr = draw(st.sampled_from(_TOPK_ORDER_EXPRS))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    k = draw(st.integers(1, 50))
+    where = draw(_predicates(_lineitem_atoms()))
+    return (
+        f"SELECT {_LI_UNIQUE_TAIL}, {expr} AS ord0 "
+        f"FROM lineitem WHERE {where} "
+        f"ORDER BY ord0 {direction}, {_LI_UNIQUE_TAIL} "
+        f"LIMIT {k}"
+    )
+
+
+# Window-over-join shape: per-group top-k on the result of a fact x dim
+# join — the WindowGroupLimit composition (rank inside a subquery, outer
+# rank filter). Ordering is total (o_totalprice then unique o_orderkey),
+# so both engines must keep the identical rows per group.
+
+
+@st.composite
+def _join_topk_query(draw) -> str:
+    part_key = draw(st.sampled_from(
+        ["c_nationkey", "c_mktsegment", "o_orderstatus", "o_orderpriority"]
+    ))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    k = draw(st.integers(1, 5))
+    wo = draw(_predicates(_orders_atoms()))
+    wc = draw(_predicates(_customer_atoms()))
+    return (
+        f"SELECT * FROM ("
+        f"SELECT {part_key} AS key0, o_orderkey, "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {part_key} "
+        f"ORDER BY o_totalprice {direction}, o_orderkey ASC) AS BIGINT) AS rn "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey "
+        f"WHERE ({wo} AND {wc})"
+        f") WHERE rn <= {k}"
+    )
+
+
+@settings(**_SETTINGS)
+@given(sql=_topk_query())
+def test_fuzz_order_limit_topk(fuzz_spark, sf_dir, sql):
+    """Random ORDER BY + LIMIT with a total (unique-tail) order: Spark's
+    TakeOrderedAndProject and DuckDB's sort-limit must return the
+    identical row set."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+@settings(**_SETTINGS)
+@given(sql=_join_topk_query())
+def test_fuzz_window_topk_over_join(fuzz_spark, sf_dir, sql):
+    """Random per-group top-k over a fact x dim join (rank in a subquery,
+    outer rank filter) — the WindowGroupLimit composition."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)
 
 
