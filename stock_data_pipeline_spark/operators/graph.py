@@ -936,9 +936,17 @@ def harmonic_centrality_hyperball(
                 / F.lit(float(t))
             ).alias("hsum"),
         ).localCheckpoint()
+    # Safe to release now: state is a materialized localCheckpoint, so the
+    # returned frame no longer reads bidir's cached blocks. Without this,
+    # repeated calls in one session accumulate MEMORY_AND_DISK blocks for
+    # the session lifetime (the checkpointed per-round state is still
+    # caller-visible only through the final frame, which owns its blocks).
+    bidir.unpersist()
     return state.select(
         "node",
-        F.col("est").cast("long").alias("n_reached"),
+        # round, don't truncate: cast('long') on a dense-regime estimate of
+        # 4999.97 would report 4999 and bias reach down by up to 1
+        F.round("est").cast("long").alias("n_reached"),
         F.round("hsum", 6).alias("harmonic"),
     )
 

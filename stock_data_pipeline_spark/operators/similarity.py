@@ -831,6 +831,16 @@ def retrain_ivf_index(
     initial build so a retrain on an unchanged corpus still draws a
     fresh sample.
 
+    Sampling: when ``train_fraction`` is None the job derives one from
+    ``corpus.count()`` so that ``fraction ≈ cap / N`` — a uniform draw
+    over the WHOLE current corpus whose expected size fills
+    :func:`ivf_index`'s 256·n_cells cap. Without this, ``ivf_index``'s
+    bare ``limit(cap)`` takes a partition-prefix, and drift concentrated
+    in later partitions (the common append-at-end case) would be absent
+    from training, reproducing the old centroids. The extra
+    ``count()`` is one aggregate — negligible for an offline retrain.
+    Pass ``train_fraction`` explicitly only to override the draw rate.
+
     Returns the new centroid list (what callers holding an in-memory
     ``(assigned, centers)`` handle must refresh to — their old handle
     still reads the swapped-away assignments' lineage and must be
@@ -843,6 +853,17 @@ def retrain_ivf_index(
     if n_cells is None:
         _, old_centers = load_ivf_index(spark, path)
         n_cells = max(1, len(old_centers))
+    if train_fraction is None:
+        # Uniform draw across the CURRENT corpus with expected size equal
+        # to ivf_index's 256·n_cells cap, so the downstream limit(cap)
+        # keeps (essentially) the whole draw — never a partition prefix.
+        # No oversampling headroom on purpose: extra rows beyond the cap
+        # would be cut by limit() from the tail partitions, reintroducing
+        # the prefix bias; a small binomial undershoot (~√cap rows) just
+        # trains k-means on marginally fewer points.
+        n = corpus.count()
+        cap = 256 * n_cells
+        train_fraction = min(1.0, cap / n) if n > 0 else 1.0
     index = ivf_index(
         corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
     )

@@ -812,7 +812,10 @@ def test_fuzz_null_semantics(fuzz_spark, sf_dir, sql):
 # Top-k shape: ORDER BY <expr> <dir> LIMIT k over raw lineitem rows. The
 # ordering is made TOTAL by appending the verified-unique column tail
 # (FIXTURES.md: synthetic lineitem is NOT keyed on (orderkey, linenumber);
-# the 6-column tail below is dup-free at every SF), so TakeOrdered on the
+# the 6-column tail below is verified dup-free at sf0.001/0.01/0.1 — the
+# SFs this fuzzer runs at; re-verify per FIXTURES.md before pointing the
+# fuzzer at a larger SF, or a duplicate tail would make the ORDER BY
+# non-total and fake a divergence), so TakeOrdered on the
 # Spark side and the sort-limit on the DuckDB side must return the
 # identical row SET — no sampled/unstable-sort escape hatch.
 
