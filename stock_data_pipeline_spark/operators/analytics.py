@@ -36,7 +36,7 @@ from ..registry import query
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b20 r9-green)
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
@@ -73,7 +73,7 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b21 r9-green)
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures → (name, value) rows — one pass,
@@ -104,7 +104,7 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — dashboard distribution stats.
@@ -138,7 +138,7 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full-partition frame (constant per
@@ -201,7 +201,7 @@ def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind rollup/cube) via
@@ -231,7 +231,7 @@ def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c2.c_nationkey = c.c_nationkey
     )
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: customers above their nation's mean
@@ -263,7 +263,7 @@ def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY c_nationkey
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
@@ -416,7 +416,7 @@ _HIST_WIDTH = 50_000.0
     FROM orders
     GROUP BY floor(o_totalprice / {_HIST_WIDTH})
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32: fixed-width histogram of order totals — the distribution card
@@ -541,7 +541,7 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(t_purchase) AS n_purchased_after_click
     FROM per_user
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: strictly-ordered conversion funnel — users whose first view
@@ -608,7 +608,7 @@ def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cohorts c JOIN activity a USING (user_id)
     GROUP BY c.cohort_week, a.active_week
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36: weekly cohort retention — users bucketed by first-seen week,
@@ -650,7 +650,7 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39: distinct users per event type — executed with the two-phase
@@ -728,6 +728,7 @@ _PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
 
 @query(
     "b44_table_profile",
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b44 r9-green)
     oracle=f"""
     {" UNION ALL ".join(
         f'''SELECT '{c}' AS column_name, COUNT(*) AS n,
@@ -938,6 +939,7 @@ def b55_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b57_returned_items",
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b57 r9-green)
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
            {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)", 4)}
@@ -1053,6 +1055,7 @@ def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b59_mad",
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b59 r9-green)
     oracle="""
     WITH med AS (
       SELECT c_mktsegment,

@@ -521,7 +521,7 @@ _B62_SQL = f"""
 """
 
 
-@query("b62_candle_patterns", oracle=_B62_SQL)
+@query("b62_candle_patterns", oracle=_B62_SQL, driver=False)  # rotated out r10 (r9-green)
 def b62_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B62: candlestick pattern screen over the daily bars — doji
     (indecision: body within 10% of the range), bullish engulfing
@@ -1153,7 +1153,7 @@ _B88_ORACLE = (
 )
 
 
-@query("b88_pairs_spread", oracle=_B88_ORACLE)
+@query("b88_pairs_spread", oracle=_B88_ORACLE, driver=False)  # rotated out r10 (r9-green)
 def b88_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B88: pairs-trading spread monitor — hedge one instrument against
     another with the OLS ratio (the b53 exact-moment machinery pointed

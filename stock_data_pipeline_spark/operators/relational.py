@@ -59,7 +59,7 @@ def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b02_group_agg",
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: b61 covers B2 group-agg)
     oracle=f"""
     SELECT
       l_returnflag,
@@ -151,7 +151,7 @@ def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b05_large_join",
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: b58 covers B5 large join)
     oracle=f"""
     SELECT
       o.o_orderpriority,
@@ -371,7 +371,7 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: b73 covers B6 join suite)
 )
 def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: outer + semi + anti joins, one driver-verified representative.
@@ -419,7 +419,7 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: b42 covers B10 top-k)
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: global top-k by price (tie-broken by key for determinism).
@@ -1077,7 +1077,7 @@ def a10_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY n.n_name
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b37_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37: the TPC-H Q5 local-supplier-volume shape — a 6-table star join
@@ -1148,7 +1148,7 @@ _Q18_MIN_QTY = 150
     )
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: the TPC-H Q18 large-volume-customer shape — orders whose total
@@ -1193,6 +1193,7 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b41_promo_revenue",
+    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b41 r9-green)
     oracle=f"""
     SELECT
       p.p_brand,

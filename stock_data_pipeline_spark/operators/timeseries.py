@@ -368,7 +368,7 @@ def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s LEFT JOIN hourly h
       ON s.event_type = h.event_type AND s.bucket = h.bucket
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B28: gap-filled hourly series — generate the dense per-key hour spine
@@ -447,7 +447,7 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B31: VWAP — quantity-weighted average price per entity per time
@@ -857,7 +857,7 @@ FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i
 """
 
 
-@query("b29_ema_rsi", oracle=_B29_SQL)
+@query("b29_ema_rsi", oracle=_B29_SQL, driver=False)  # rotated out r10 (r9-green)
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies
@@ -949,7 +949,7 @@ def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,  # rotated out r10 (driver-green r9; family rep: b47+b56 cover B9 frames)
 )
 def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: lag / 5-row moving average / running total per key.
@@ -1000,7 +1000,7 @@ def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dur_s IS NOT NULL
     GROUP BY user_id
     """,
-    driver=False,
+    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34: time-weighted average value per key — each observation weighted
