@@ -34,8 +34,6 @@ from ..registry import query
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b20 r9-green)
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,8 +69,6 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b21 r9-green)
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

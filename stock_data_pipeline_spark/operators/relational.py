@@ -57,8 +57,6 @@ def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b02_group_agg",
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: b61 covers B2 group-agg)
     oracle=f"""
     SELECT
@@ -149,8 +147,6 @@ def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b05_large_join",
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: b58 covers B5 large join)
     oracle=f"""
     SELECT
@@ -369,8 +365,6 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: b73 covers B6 join suite)
 )
 def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,8 +411,6 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: b42 covers B10 top-k)
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

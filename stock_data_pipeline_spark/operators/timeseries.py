@@ -947,8 +947,6 @@ def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
     driver=False,  # rotated out r10 (driver-green r9; family rep: b47+b56 cover B9 frames)
 )
 def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,13 @@ then-current shapes (@seed(818181), 3,600 plans) — also found zero
 (round 9 added two more shapes — ORDER BY+LIMIT top-k and window-top-k
 over a join, fourteen total — and ran two more exploration sweeps:
 200/shape @sf0.01 seed 515151 and 400/shape @sf0.001 seed 626262,
-zero new divergences, one rediscovery of the pinned empty-ROLLUP case).
+zero new divergences, one rediscovery of the pinned empty-ROLLUP case;
+round 10 added the two driver-green-but-never-fuzzed compositions —
+shape 15: as-of join, the engine's carry-forward DataFrame rewrite vs
+DuckDB's NATIVE ASOF JOIN; shape 16: pivot/unpivot, Spark pivot()/
+unpivot() vs conditional-aggregation / UNION ALL SQL — sixteen total,
+explored at 350/shape @sf0.001 seed 909090 + 150/shape @sf0.01 seed
+919191, zero divergences).
 Round 8,
 /tmp/fuzz_sf001.log and /tmp/fuzz_explore*.log protocols: rebuild each
 strategy's examples, assert per plan in one session (~5,500 total plan
@@ -990,3 +996,315 @@ def test_fuzz_harness_detects_divergence(fuzz_spark, sf_dir):
     spark_pdf = normalize(fuzz_spark.sql(a).toPandas())
     duck_pdf = normalize(run_oracle(b, sf_dir))
     assert _driver_hash(spark_pdf) != _driver_hash(duck_pdf)
+
+
+# --------------------------------------------------------------------------
+# Shape 15 (round 10): as-of join — the engine's union-and-carry-forward
+# compilation (the b07 family's rewrite, timeseries.py:155-274) vs DuckDB's
+# NATIVE ASOF JOIN. This is the one driver-green composition the fuzzer had
+# never stressed: the Spark side is built with the DataFrame API (Spark has
+# no ASOF syntax), the oracle side renders the same parameters as real
+# ASOF LEFT JOIN SQL. Generates both directions (backward l.ts >= r.ts,
+# forward l.ts <= r.ts), optional staleness tolerance (the b07c post-window
+# predicate), inner vs left semantics, and random predicates on BOTH
+# streams. Determinism: the right stream is pre-aggregated per
+# (user_id, ts) with MAX(value) so the matched payload is unique even when
+# multiple right events share a timestamp, and the carried columns ride ONE
+# struct through last(..., ignorenulls=True) so (ts, value) can never come
+# from different rows.
+# --------------------------------------------------------------------------
+
+_ASOF_TYPES = ["view", "click", "purchase"]
+
+
+@st.composite
+def _asof_params(draw):
+    left = draw(st.sampled_from(_ASOF_TYPES))
+    right = draw(st.sampled_from([t for t in _ASOF_TYPES if t != left]))
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    inner = draw(st.booleans())
+    tol_hours = draw(st.one_of(st.none(), st.integers(1, 48)))
+    wl = draw(_predicates(_events_atoms()))
+    wr = draw(_predicates(_events_atoms()))
+    return (left, right, direction, inner, tol_hours, wl, wr)
+
+
+def _asof_spark_frame(spark, params):
+    """The engine's carry-forward as-of compilation, parameterized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    left, right, direction, inner, tol, wl, wr = params
+    ev = spark.table("events")
+    l = ev.filter((F.col("event_type") == left) & F.expr(wl)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = (
+        ev.filter((F.col("event_type") == right) & F.expr(wr))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("rvalue"))
+    )
+    struct_t = "struct<rts:timestamp_ntz,rv:double>"
+    tagged = l.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(1).alias("side"),
+        F.lit(None).cast(struct_t).alias("r"),
+    ).unionByName(
+        r.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("side"),
+            F.struct(
+                F.col("ts").alias("rts"), F.col("rvalue").alias("rv")
+            ).alias("r"),
+        )
+    )
+    # at equal ts the right row sorts first (side 0 < 1) -> inclusive match,
+    # same as DuckDB's >= / <= ASOF inequality
+    order = (
+        [F.asc("ts"), F.asc("side")]
+        if direction == "backward"
+        else [F.desc("ts"), F.asc("side")]
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("r", ignorenulls=True).over(w)
+    carried = (
+        tagged.withColumn("m", m)
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "value", "m.rts", "m.rv")
+    )
+    if tol is None:
+        fresh = F.col("rts").isNotNull()
+    elif direction == "backward":
+        fresh = F.col("rts") >= F.col("ts") - F.expr(f"INTERVAL {tol} HOURS")
+    else:
+        fresh = F.col("rts") <= F.col("ts") + F.expr(f"INTERVAL {tol} HOURS")
+    out = carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(fresh, F.col("rts")).alias("asof_ts"),
+        F.when(fresh, F.col("rv")).alias("asof_value"),
+    )
+    if inner:
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
+
+
+def _asof_oracle_sql(params) -> str:
+    left, right, direction, inner, tol, wl, wr = params
+    op = ">=" if direction == "backward" else "<="
+    if tol is None:
+        fresh = "r.ts IS NOT NULL"
+    elif direction == "backward":
+        fresh = f"r.ts >= l.ts - INTERVAL {tol} HOUR"
+    else:
+        fresh = f"r.ts <= l.ts + INTERVAL {tol} HOUR"
+    core = (
+        f"WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+        f"WHERE event_type = '{left}' AND ({wl})), "
+        f"r AS (SELECT user_id, ts, MAX(value) AS rvalue FROM events "
+        f"WHERE event_type = '{right}' AND ({wr}) GROUP BY user_id, ts) "
+        f"SELECT l.event_id AS event_id, l.user_id AS user_id, "
+        f"l.ts AS ts, l.value AS value, "
+        f"CASE WHEN {fresh} THEN r.ts END AS asof_ts, "
+        f"CASE WHEN {fresh} THEN r.rvalue END AS asof_value "
+        f"FROM l ASOF LEFT JOIN r "
+        f"ON l.user_id = r.user_id AND l.ts {op} r.ts"
+    )
+    if inner:
+        return f"SELECT * FROM ({core}) WHERE asof_ts IS NOT NULL"
+    return core
+
+
+def _assert_frame_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
+    """The driver protocol for shapes whose Spark side is a DataFrame
+    composition rather than one shared SQL text."""
+    spark_pdf = normalize(spark_df.toPandas())
+    duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count {len(spark_pdf)} vs {len(duck_pdf)}\nSQL: {sql}"
+    )
+    assert _driver_hash(spark_pdf) == _driver_hash(duck_pdf), (
+        f"value-hash mismatch\nSQL: {sql}\n"
+        f"spark head:\n{spark_pdf.head()}\nduck head:\n{duck_pdf.head()}"
+    )
+
+
+@settings(**_SETTINGS)
+@given(params=_asof_params())
+def test_fuzz_asof_join(fuzz_spark, sf_dir, params):
+    """Random as-of joins: the engine's one-shuffle carry-forward rewrite
+    must agree with DuckDB's native ASOF JOIN on direction, tie-at-equal-ts
+    inclusion, staleness tolerance, and inner-vs-left semantics."""
+    _assert_frame_matches_oracle(
+        _asof_spark_frame(fuzz_spark, params), _asof_oracle_sql(params), sf_dir
+    )
+
+
+# --------------------------------------------------------------------------
+# Shape 16 (round 10): pivot / unpivot — Spark's pivot() with an explicit
+# value list (the b20 plan: ONE scan, no distinct-scan job) vs DuckDB
+# conditional aggregation, and DataFrame.unpivot vs the UNION ALL
+# rendering. The second never-fuzzed driver-green composition.
+# --------------------------------------------------------------------------
+
+_PIVOT_VALUES = {"l_linestatus": ["O", "F"], "l_returnflag": ["A", "N", "R"]}
+# (kind, SQL template with {cond}) — exact/order-free aggregates only
+_PIVOT_AGGS = [
+    ("count", "CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)"),
+    (
+        "sum_cents",
+        "CAST(SUM(CASE WHEN {cond} THEN "
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS BIGINT)",
+    ),
+    ("min_qty", "MIN(CASE WHEN {cond} THEN l_quantity END)"),
+    ("max_qty", "MAX(CASE WHEN {cond} THEN l_quantity END)"),
+]
+
+
+@st.composite
+def _pivot_params(draw):
+    group_key = draw(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"])
+    )
+    pivot_col = "l_linestatus" if group_key != "l_linestatus" else "l_returnflag"
+    all_vals = _PIVOT_VALUES[pivot_col]
+    vals = sorted(
+        draw(
+            st.lists(
+                st.sampled_from(all_vals),
+                min_size=1,
+                max_size=len(all_vals),
+                unique=True,
+            )
+        )
+    )
+    agg_i = draw(st.integers(0, len(_PIVOT_AGGS) - 1))
+    where = draw(_predicates(_lineitem_atoms()))
+    return (group_key, pivot_col, vals, agg_i, where)
+
+
+def _pivot_spark_frame(spark, params):
+    from pyspark.sql import functions as F
+
+    gk, pc, vals, agg_i, where = params
+    kind = _PIVOT_AGGS[agg_i][0]
+    if kind == "count":
+        agg = F.count(F.lit(1))
+    elif kind == "sum_cents":
+        agg = F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        )
+    elif kind == "min_qty":
+        agg = F.min("l_quantity")
+    else:
+        agg = F.max("l_quantity")
+    out = (
+        spark.table("lineitem")
+        .filter(F.expr(where))
+        .groupBy(gk)
+        .pivot(pc, vals)
+        .agg(agg)
+    )
+    cols = [F.col(gk)]
+    for v in vals:
+        c = F.col(f"`{v}`")
+        if kind == "count":
+            # Spark pivot yields NULL for an absent (group, value) cell;
+            # conditional COUNT yields 0 — align on the COUNT convention
+            c = F.coalesce(c, F.lit(0))
+        cols.append(c.alias(f"p_{v}"))
+    return out.select(*cols)
+
+
+def _pivot_oracle_sql(params) -> str:
+    gk, pc, vals, agg_i, where = params
+    tmpl = _PIVOT_AGGS[agg_i][1]
+    aggs = ", ".join(
+        tmpl.format(cond=f"{pc} = '{v}'") + f" AS p_{v}" for v in vals
+    )
+    return (
+        f"SELECT {gk}, {aggs} FROM lineitem WHERE {where} GROUP BY {gk}"
+    )
+
+
+@settings(**_SETTINGS)
+@given(params=_pivot_params())
+def test_fuzz_pivot(fuzz_spark, sf_dir, params):
+    """Random pivots with explicit value lists: Spark's pivot() must agree
+    with DuckDB conditional aggregation cell-for-cell, including absent
+    (group, value) cells (NULL for sum/min/max, 0 for count)."""
+    _assert_frame_matches_oracle(
+        _pivot_spark_frame(fuzz_spark, params), _pivot_oracle_sql(params), sf_dir
+    )
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_UNPIVOT_IDS = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_shipdate",
+    "l_extendedprice",
+]
+
+
+@st.composite
+def _unpivot_params(draw):
+    measures = sorted(
+        draw(
+            st.lists(
+                st.sampled_from(_UNPIVOT_MEASURES),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            )
+        )
+    )
+    modulus = draw(st.integers(50, 200))
+    where = draw(_predicates(_lineitem_atoms()))
+    return (measures, modulus, where)
+
+
+def _unpivot_spark_frame(spark, params):
+    from pyspark.sql import functions as F
+
+    measures, modulus, where = params
+    df = spark.table("lineitem").filter(
+        F.expr(f"l_orderkey % {modulus} = 0 AND ({where})")
+    )
+    return df.unpivot(
+        _UNPIVOT_IDS, measures, "measure_name", "measure_value"
+    )
+
+
+def _unpivot_oracle_sql(params) -> str:
+    measures, modulus, where = params
+    ids = ", ".join(_UNPIVOT_IDS)
+    parts = [
+        f"SELECT {ids}, '{m}' AS measure_name, {m} AS measure_value "
+        f"FROM lineitem WHERE l_orderkey % {modulus} = 0 AND ({where})"
+        for m in measures
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@settings(**_SETTINGS)
+@given(params=_unpivot_params())
+def test_fuzz_unpivot(fuzz_spark, sf_dir, params):
+    """Random unpivots (melt): DataFrame.unpivot must agree with the
+    UNION ALL relational rendering row-for-row. The id tail is the
+    verified-unique 6-column lineitem key, so row identity is exact."""
+    _assert_frame_matches_oracle(
+        _unpivot_spark_frame(fuzz_spark, params),
+        _unpivot_oracle_sql(params),
+        sf_dir,
+    )

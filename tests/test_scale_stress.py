@@ -1207,3 +1207,102 @@ def test_hyperball_component_independence_at_8x(spark, sf_stress_dir):
     for i in range(REPLICAS):
         for node, val in base.items():
             assert got[node + i * shift] == val, (i, node)
+
+
+# --------------------------------------------------------------------------
+# Round 10: 128x wedge-join probe (VERDICT r9 task 6) — triangle_stats was
+# the one quadratic-shaped shuffle without a probe past 8x.
+# --------------------------------------------------------------------------
+K128 = 128
+
+
+def test_triangle_wedge_join_matches_closed_form_at_128x(spark, sf_stress_dir):
+    """triangle_stats' dominant shuffle is the wedge join (graph.py:215):
+    canonical edges (a<b) self-joined on the shared middle vertex, so the
+    wedge count is EXACTLY Sigma_y hi_deg(y)*lo_deg(y), where hi_deg(y) =
+    #edges with b=y and lo_deg(y) = #edges with a=y. Probe one order past
+    the 64x probes with 128 id-disjoint copies of the corpus navigation
+    graph and assert:
+
+    - closed-form law: the measured wedge-join output EQUALS the degree-
+      product prediction computed from two aggregate tables — the shuffle
+      does no more and no less work than the wedge structure dictates;
+    - linearity: the 128x wedge count is exactly 128x the base count
+      (copies are id-disjoint, so no cross-copy wedges exist — the skew
+      profile scales by replication, never quadratically);
+    - restriction law: triangle_stats on the 128x graph, restricted to
+      one copy, is bit-identical to the base run — the big computation
+      embeds 128 faithful copies.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from stock_data_pipeline_spark.operators.graph import (
+        click_edges,
+        triangle_stats,
+        undirected_edges,
+    )
+
+    edges = click_edges(load(spark, sf_stress_dir, "events"))
+    big_edges = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            edges.select(
+                (F.col("src") + i * _COPY_SHIFT).alias("src"),
+                (F.col("dst") + i * _COPY_SHIFT).alias("dst"),
+                "w",
+            )
+            for i in range(K128)
+        ],
+    )
+
+    def wedge_count_and_prediction(e_raw):
+        e = undirected_edges(e_raw).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+            measured = e1.join(e2, "y").count()
+            hi = e.groupBy(F.col("b").alias("y")).agg(
+                F.count("*").alias("hi_deg")
+            )
+            lo = e.groupBy(F.col("a").alias("y")).agg(
+                F.count("*").alias("lo_deg")
+            )
+            predicted = (
+                hi.join(lo, "y")
+                .agg(F.sum(F.col("hi_deg") * F.col("lo_deg")).cast("bigint"))
+                .collect()[0][0]
+                or 0
+            )
+        finally:
+            e.unpersist()
+        return measured, predicted
+
+    m_base, p_base = wedge_count_and_prediction(edges)
+    m_big, p_big = wedge_count_and_prediction(big_edges)
+    assert m_base == p_base  # closed-form law at 1x
+    assert m_big == p_big  # closed-form law at 128x, exact
+    assert m_big == K128 * m_base  # linearity: no cross-copy wedges
+
+    # restriction law on the full operator output
+    base_rows = {
+        (r.node, r.degree, r.n_triangles, r.clustering)
+        for r in triangle_stats(edges).collect()
+    }
+    copy17 = (
+        triangle_stats(big_edges)
+        .filter(
+            (F.col("node") >= 17 * _COPY_SHIFT)
+            & (F.col("node") < 18 * _COPY_SHIFT)
+        )
+        .select(
+            (F.col("node") - 17 * _COPY_SHIFT).alias("node"),
+            "degree",
+            "n_triangles",
+            "clustering",
+        )
+    )
+    big_rows = {
+        (r.node, r.degree, r.n_triangles, r.clustering)
+        for r in copy17.collect()
+    }
+    assert big_rows == base_rows

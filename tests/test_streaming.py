@@ -1230,3 +1230,123 @@ def test_snapshot_read_as_of_is_stable_and_pruned(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "_batch_id" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0]
+
+
+def test_crash_mid_stream_replay_is_exactly_once(spark, tmp_path):
+    """Kill-mid-stream recovery for the production ingest sink
+    (run_stream_to_parquet, the A19/A20 path): simulate a crash AFTER a
+    micro-batch's data landed in the sink but BEFORE its checkpoint commit
+    — the exact at-least-once window the WAL leaves open — by deleting the
+    batch's entry from ``<ckpt>/commits/``. Restarting on the same
+    checkpoint must replay that batch (at-least-once delivery), and the
+    idempotent partition-overwrite writer must land it exactly once, so
+    the final sink equals the BATCH-mode read of the landing directory
+    row-for-row. This is the reference's retry semantics
+    (stock_data_to_gcp.py:82,134 — WRITE_APPEND under retries: 2, a
+    double-load defect) done right at engine scale.
+
+    A negative control replays the identical crash into a naive
+    append-mode foreachBatch sink and asserts it DOES double-load — proof
+    the commit-log truncation really re-runs the batch, so the green
+    assertion above is not vacuous."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from stock_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_stream_to_parquet,
+    )
+
+    # three single-file drops with disjoint rows (event_id % 3 slices)
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pdf = src.to_pandas()
+    land = tmp_path / "landing"
+    land.mkdir()
+    import pyarrow as pa
+
+    for i in range(2):  # first two drops land before the crash
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf[pdf["event_id"] % 3 == i], schema=src.schema,
+                preserve_index=False,
+            ),
+            str(land / f"drop{i}.parquet"),
+        )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_stream_to_parquet(read_event_stream(spark, str(land)), sink, checkpoint=ckpt)
+    q.awaitTermination(120)
+    committed = sorted(
+        int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    )
+    assert committed == [0, 1]  # one batch per file (maxFilesPerTrigger=1)
+
+    # the crash: batch 1's data is in the sink, its commit marker is not.
+    # Remove the marker AND its ChecksumFileSystem shadow (.1.crc) — a real
+    # crash-before-commit leaves neither; a stale crc alone would make the
+    # restart's commit rename fail with FileAlreadyExists.
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    crc = os.path.join(ckpt, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # a third drop lands while the job is down
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf[pdf["event_id"] % 3 == 2], schema=src.schema,
+            preserve_index=False,
+        ),
+        str(land / "drop2.parquet"),
+    )
+
+    # restart on the same checkpoint: batch 1 replays, drop2 becomes batch 2
+    q2 = run_stream_to_parquet(read_event_stream(spark, str(land)), sink, checkpoint=ckpt)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(sink).drop("_batch_id")
+    batch_oracle = spark.read.parquet(str(land))
+    assert out.count() == batch_oracle.count() == len(pdf)
+    assert sorted(r.event_id for r in out.select("event_id").collect()) == sorted(
+        r.event_id for r in batch_oracle.select("event_id").collect()
+    )
+    assert (
+        spark.read.parquet(sink).select("_batch_id").distinct().count() == 3
+    )
+
+    # ---- negative control: naive append sink double-loads on the same crash
+    land2 = tmp_path / "landing2"
+    land2.mkdir()
+    for i in range(2):
+        shutil.copy(str(land / f"drop{i}.parquet"), str(land2 / f"drop{i}.parquet"))
+    sink2 = str(tmp_path / "sink2")
+    ckpt2 = str(tmp_path / "ckpt2")
+
+    def naive_append(bdf, bid):  # the reference's WRITE_APPEND shape
+        bdf.write.mode("append").parquet(sink2)
+
+    qn = (
+        read_event_stream(spark, str(land2))
+        .writeStream.foreachBatch(naive_append)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qn.awaitTermination(120)
+    n_two_drops = spark.read.parquet(sink2).count()
+    os.remove(os.path.join(ckpt2, "commits", "1"))
+    crc2 = os.path.join(ckpt2, "commits", ".1.crc")
+    if os.path.exists(crc2):
+        os.remove(crc2)
+    qn2 = (
+        read_event_stream(spark, str(land2))
+        .writeStream.foreachBatch(naive_append)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qn2.awaitTermination(120)
+    n_batch1 = len(pdf[pdf["event_id"] % 3 == 1])
+    assert spark.read.parquet(sink2).count() == n_two_drops + n_batch1
