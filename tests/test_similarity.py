@@ -608,3 +608,89 @@ def test_ivf_retrain_on_drift_rebalances_and_swaps_atomically(spark, tmp_path):
         if p.startswith("ivf._staging_") or p.startswith("ivf._old_")
     ]
     assert debris == []
+
+
+def test_ivf_retrain_samples_whole_corpus_not_partition_prefix(spark, tmp_path):
+    """Regression for the r9-advice sampling bug: retrain_ivf_index with
+    train_fraction=None must train on a uniform draw over the WHOLE
+    current corpus, not ivf_index's bare ``limit(256·n_cells)`` prefix.
+    The corpus here is BIGGER than the training cap (3,000 rows vs
+    cap 1,024) and the drift sits entirely in the TAIL partitions — the
+    common append-at-end ingest shape — so prefix training cannot see a
+    single drifted row. The negative control proves that: a plain
+    ``ivf_index`` call (prefix semantics) leaves every centroid ~24
+    units away from the drift mass. The retrain job, drawing its
+    fraction-based sample across the corpus, must place a centroid ON
+    the drift cluster."""
+    import math
+
+    from stock_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        load_ivf_index,
+        retrain_ivf_index,
+        save_ivf_index,
+    )
+
+    def cluster(center, n, id0):
+        # deterministic jitter, no RNG (same convention as the lifecycle test)
+        return [
+            (
+                id0 + i,
+                [c + ((i * 37 + d * 11) % 100) / 200.0 for d, c in enumerate(center)],
+            )
+            for i in range(n)
+        ]
+
+    corners = [
+        [10.0, 10.0, 0.0, 0.0],
+        [10.0, -10.0, 0.0, 0.0],
+        [-10.0, 10.0, 0.0, 0.0],
+        [-10.0, -10.0, 0.0, 0.0],
+    ]
+    drift_center = [0.0, 0.0, 20.0, 0.0]
+    initial_rows = sum((cluster(c, 500, i * 1000) for i, c in enumerate(corners)), [])
+    drift_rows = cluster(drift_center, 1000, 10_000)
+    # ONE DataFrame, rows in ingest order: createDataFrame splits the
+    # list across partitions in order, so all 1,000 drifted rows land in
+    # the trailing partitions — exactly the append-at-end layout.
+    corpus = spark.createDataFrame(
+        initial_rows + drift_rows, "vec_id long, embedding array<double>"
+    )
+    n_cells = 4
+    assert len(initial_rows) > 256 * n_cells  # prefix can't reach the tail
+
+    def min_dist_to_drift(centers):
+        return min(
+            math.dist(c, drift_center) for c in centers
+        )
+
+    # Negative control — prefix semantics (train_fraction=None straight on
+    # ivf_index): the cap-sized limit() sees only corner rows, so no
+    # centroid is anywhere near the drift mass. This is the exact failure
+    # the advice described; it keeps the positive assertion non-vacuous.
+    _, prefix_centers = ivf_index(corpus, n_cells=n_cells, seed=43)
+    assert min_dist_to_drift(prefix_centers) > 15.0
+
+    # Live index trained before the drift arrived (authentic lifecycle).
+    path = str(tmp_path / "ivf")
+    initial = spark.createDataFrame(
+        initial_rows, "vec_id long, embedding array<double>"
+    )
+    save_ivf_index(ivf_index(initial, n_cells=n_cells), path)
+
+    # The retrain job derives fraction ≈ cap/N over the WHOLE corpus: the
+    # drift (1/3 of the mass, ~24 units from everything else) must win a
+    # centroid, and the swapped assignments must give it its own cell.
+    retrain_ivf_index(spark, corpus, path, n_cells=n_cells)
+    assigned, new_centers = load_ivf_index(spark, path)
+    assert min_dist_to_drift(new_centers) < 3.0
+
+    drift_cells = (
+        assigned.filter(F.col("vec_id") >= 10_000).select("cell").distinct().collect()
+    )
+    corner_cells = (
+        assigned.filter(F.col("vec_id") < 10_000).select("cell").distinct().collect()
+    )
+    drift_cell_ids = {r.cell for r in drift_cells}
+    assert len(drift_cell_ids) == 1  # the drift mass owns one cell...
+    assert drift_cell_ids.isdisjoint({r.cell for r in corner_cells})  # ...alone
