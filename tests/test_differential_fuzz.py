@@ -785,12 +785,21 @@ def test_fuzz_nested_aggregation(fuzz_spark, sf_dir, sql):
 def test_fuzz_grouping_sets(fuzz_spark, sf_dir, sql):
     """Random ROLLUP/CUBE/GROUPING SETS with GROUPING() indicators.
 
-    One REAL divergence is pinned inline because the fuzzer found it:
-    over ZERO matching rows, DuckDB emits the SQL-standard grand-total
-    row for each empty-capable () grouping set (COUNT 0, every key
-    NULL, every GROUPING() = 1) while Spark emits nothing. When row
-    counts differ, the only acceptable shape is exactly that."""
-    spark_pdf = normalize(fuzz_spark.sql(sql).toPandas())
+    One REAL divergence is pinned in _assert_grouping_sets_agree because
+    the fuzzer found it: over ZERO matching rows, DuckDB emits the
+    SQL-standard grand-total row for each empty-capable () grouping set
+    (COUNT 0, every key NULL, every GROUPING() = 1) while Spark emits
+    nothing. When row counts differ, the only acceptable shape is
+    exactly that."""
+    _assert_grouping_sets_agree(fuzz_spark, sf_dir, sql)
+
+
+def _assert_grouping_sets_agree(spark, sf_dir: str, sql: str) -> None:
+    """The grouping-sets twin of _assert_engines_agree: absorbs ONLY the
+    pinned empty-input grand-total divergence (module-level so the
+    exploration runner in tools/fuzz_explore.py sweeps the same check
+    the suite asserts)."""
+    spark_pdf = normalize(spark.sql(sql).toPandas())
     duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     if len(spark_pdf) != len(duck_pdf):
         assert len(spark_pdf) == 0, (

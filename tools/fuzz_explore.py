@@ -1,14 +1,19 @@
-"""Exploration sweep for the non-SQL-text fuzz shapes (15: as-of join,
-16: pivot + unpivot): fresh-seed random plans beyond the derandomized
-suite corpus. Usage: python tools/fuzz_explore.py <sf_dir> <n_per_shape> <seed>
-(The 14 single-SQL-text shapes have their own exploration protocol in
-BENCHNOTES rounds 8-9.)
+"""Exploration sweep over ALL differential-fuzz shapes: fresh-seed random
+plans beyond the derandomized suite corpus (BENCHNOTES rounds 8-10
+protocol, now one checked-in runner for the 14 single-SQL-text shapes AND
+the param shapes 15-16: as-of join, pivot, unpivot).
+
+Usage: python tools/fuzz_explore.py <sf_dir> <n_per_shape> <seed> [shape...]
+With no shape names, sweeps every shape. Prints one "<shape>: N plans OK"
+line per shape and a final EXPLORE_OK line.
 """
 import sys
+
 sys.path.insert(0, "/root/repo")
 SF = sys.argv[1]
 N = int(sys.argv[2])
 SEED = int(sys.argv[3])
+ONLY = set(sys.argv[4:])
 
 from hypothesis import HealthCheck, given, seed, settings
 from pyspark.sql import SparkSession
@@ -32,46 +37,62 @@ S = dict(
     derandomize=False,
     suppress_health_check=list(HealthCheck),
 )
+
+# (name, strategy factory, check taking the drawn value). The SQL-text
+# shapes all run the suite's _assert_engines_agree except grouping_sets,
+# which uses the divergence-aware twin — the exploration sweep must
+# absorb the pinned empty-input grand-total divergence exactly like the
+# suite does, no more and no less.
+def _sql(check=None):
+    check = check or fz._assert_engines_agree
+    return lambda sql: check(spark, SF, sql)
+
+
+SHAPES = [
+    ("single_table", fz._single_table_query, _sql()),
+    ("join", fz._join_query, _sql()),
+    ("window", fz._window_query, _sql()),
+    ("setop", fz._setop_query, _sql()),
+    ("exists", fz._exists_query, _sql()),
+    ("subquery_pred", fz._subquery_pred_query, _sql()),
+    ("string", fz._documents_query, _sql()),
+    ("temporal", fz._temporal_query, _sql()),
+    ("range_join", fz._range_join_query, _sql()),
+    ("nested_agg", fz._nested_agg_query, _sql()),
+    ("grouping_sets", fz._grouping_sets_query,
+     _sql(fz._assert_grouping_sets_agree)),
+    ("null_semantics", fz._null_semantics_query, _sql()),
+    ("topk", fz._topk_query, _sql()),
+    ("join_topk", fz._join_topk_query, _sql()),
+    ("asof", fz._asof_params,
+     lambda p: fz._assert_frame_matches_oracle(
+         fz._asof_spark_frame(spark, p), fz._asof_oracle_sql(p), SF)),
+    ("pivot", fz._pivot_params,
+     lambda p: fz._assert_frame_matches_oracle(
+         fz._pivot_spark_frame(spark, p), fz._pivot_oracle_sql(p), SF)),
+    ("unpivot", fz._unpivot_params,
+     lambda p: fz._assert_frame_matches_oracle(
+         fz._unpivot_spark_frame(spark, p), fz._unpivot_oracle_sql(p), SF)),
+]
+
 counts = {}
-
-
-def run(name, fn):
+total = 0
+for i, (name, strat, check) in enumerate(SHAPES):
+    if ONLY and name not in ONLY:
+        continue
     counts[name] = 0
-    fn()
+
+    def make_body(_name, _check):
+        # no default args on the decorated fn: @given rejects defaults
+        def body(drawn):
+            counts[_name] += 1
+            _check(drawn)
+
+        return body
+
+    sweep = seed(SEED + i)(settings(**S)(given(drawn=strat())(make_body(name, check))))
+    sweep()
+    total += counts[name]
     print(f"{name}: {counts[name]} plans OK", flush=True)
 
-
-@seed(SEED)
-@settings(**S)
-@given(params=fz._asof_params())
-def sweep_asof(params):
-    counts["asof"] += 1
-    fz._assert_frame_matches_oracle(
-        fz._asof_spark_frame(spark, params), fz._asof_oracle_sql(params), SF
-    )
-
-
-@seed(SEED + 1)
-@settings(**S)
-@given(params=fz._pivot_params())
-def sweep_pivot(params):
-    counts["pivot"] += 1
-    fz._assert_frame_matches_oracle(
-        fz._pivot_spark_frame(spark, params), fz._pivot_oracle_sql(params), SF
-    )
-
-
-@seed(SEED + 2)
-@settings(**S)
-@given(params=fz._unpivot_params())
-def sweep_unpivot(params):
-    counts["unpivot"] += 1
-    fz._assert_frame_matches_oracle(
-        fz._unpivot_spark_frame(spark, params), fz._unpivot_oracle_sql(params), SF
-    )
-
-
-run("asof", sweep_asof)
-run("pivot", sweep_pivot)
-run("unpivot", sweep_unpivot)
-print("EXPLORE_OK", SF, N, SEED)
+print("EXPLORE_OK", SF, "total_plans", total, "seed", SEED)

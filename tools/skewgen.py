@@ -1,5 +1,5 @@
-"""Generate a celebrity-skew twin of the sf0.01 fixtures at
-/tmp/skewdata/sf0.01-skew: same schemas, same small dims, but ONE hot key
+"""Generate a celebrity-skew twin of an sf fixture dir at
+/tmp/skewdata/sf{sf}-skew: same schemas, same small dims, but ONE hot key
 per big table amplified ~100x (99 modified copies of the hot key's rows).
 
 Uniqueness contracts preserved (FIXTURES.md):
@@ -10,12 +10,17 @@ Uniqueness contracts preserved (FIXTURES.md):
 - embeddings: copies get fresh vec_id (same vector -> one hot IVF cell)
 """
 import os
+import sys
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
-SRC = "/root/testdata/sf0.01"
-DST = "/tmp/skewdata/sf0.01-skew"
+# Usage: python tools/skewgen.py [sf]   (default 0.01; e.g. 0.1 for the
+# 10x twin — same ONE-hot-key-per-table recipe at every scale)
+_SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+SRC = f"/root/testdata/sf{_SF}"
+DST = f"/tmp/skewdata/sf{_SF}-skew"
 COPIES = 99
 os.makedirs(DST, exist_ok=True)
 
