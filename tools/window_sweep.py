@@ -36,9 +36,15 @@ if regime == "skew":
     qs["b19_sessionization"] = registry.full_queries()["b19_sessionization"]
     os_["b19_sessionization"] = registry.full_oracles()["b19_sessionization"]
 con = duckdb.connect()
+import os as _os
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    p = f"{sf}/{t}.parquet"
+    # split-layout fixtures (tools/splitgen.py) store each table as a
+    # DIRECTORY of part files; Spark reads that path as-is, DuckDB globs
+    if _os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 def vhash(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
