@@ -1306,3 +1306,69 @@ def test_triangle_wedge_join_matches_closed_form_at_128x(spark, sf_stress_dir):
         for r in copy17.collect()
     }
     assert big_rows == base_rows
+
+
+def test_decontaminate_join_grain_scales_linearly_at_64x(spark, sf_stress_dir):
+    """decontaminate's docstring claims its cost is Σ_shingle
+    df_train × df_eval — the inverted-index equi-join, linear in the
+    TRAIN side and never a cross join. Probe at 64x train replication
+    (~317k train docs) with the eval side FIXED, one order past the 8x
+    matrix:
+
+    - join-grain law: the shingle equi-join's candidate row count is
+      EXACTLY 64x the base Σ df_t·df_e (df_t scales 64x, df_e fixed);
+    - output law: the (train_id, eval_id, n_shared) result is EXACTLY
+      the base result replicated per copy — same evals, same n_shared
+      (identical text ⇒ identical distinct-shingle sets), pair count
+      64x base;
+    - eval invariance: the eval-side index is untouched by train growth.
+    """
+    from stock_data_pipeline_spark.functions.textfns import tokens, word_shingles
+    from stock_data_pipeline_spark.operators.text import (
+        _DECON_SHINGLE_K,
+        _EVAL_MOD,
+        decontaminate,
+    )
+
+    docs = load(spark, sf_stress_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    # shift copies far past _EVAL_MOD multiples so copy ids never
+    # collide; the eval set stays the ORIGINAL eval docs only
+    big_train = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            train.withColumn("doc_id", F.col("doc_id") + i * _COPY_SHIFT)
+            for i in range(K64)
+        ],
+    )
+
+    def shingled(df, id_alias):
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(word_shingles(tokens("text"), _DECON_SHINGLE_K)).alias(
+                "shingle"
+            ),
+        )
+
+    e = shingled(eval_set, "eval_id")
+    base_grain = shingled(train, "train_id").join(e, "shingle").count()
+    big_grain = shingled(big_train, "train_id").join(e, "shingle").count()
+    assert base_grain > 0
+    assert big_grain == K64 * base_grain, (big_grain, base_grain)
+
+    base = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in decontaminate(train, eval_set).collect()
+    }
+    assert base  # non-vacuous: sf0.1 has real contamination pairs
+    expected = {
+        (t + i * _COPY_SHIFT, e_id): n
+        for (t, e_id), n in base.items()
+        for i in range(K64)
+    }
+    big = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in decontaminate(big_train, eval_set).collect()
+    }
+    assert big == expected
