@@ -16,11 +16,16 @@ from stock_data_pipeline_spark.catalog import TABLES, table_path
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
-        )
+        p = table_path(sf_dir, name)
+        # split-layout fixtures (tools/splitgen.py) store a table as a
+        # DIRECTORY of part files; Spark reads the path as-is, DuckDB globs
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     return con.execute(sql).df()
 
 
