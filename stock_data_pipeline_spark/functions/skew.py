@@ -6,7 +6,19 @@ in preference order:
 
 1. **AQE skew-join** (`spark.sql.adaptive.skewJoin.enabled`, on by default
    in session.py) — splits oversized partitions at runtime; use it and do
-   nothing. This module exists for the cases AQE cannot touch:
+   nothing. Two measured reach limits (round 10, BENCHNOTES): it splits
+   at MAPPER granularity, so a shuffle with one effective mapper cannot
+   be split (a non-issue at 100 TB where every shuffle has thousands of
+   mappers); and it detects skew from COMPRESSED per-partition shuffle
+   bytes, so a hot key whose shuffled columns compress away (a key-only
+   shuffle: thousands of identical ids → a few hundred bytes) is
+   invisible to it — acceptable when cost is byte-driven, but
+   row-count-driven costs (sort CPU, per-row UDFs) still pile on one
+   task; that residual row-skew case belongs to salting. With real
+   payload bytes flowing, `SortMergeJoin(skew=true)` fires on exactly
+   the celebrity shape this module models, with output equal to the
+   unsplit join (tests/test_skew.py::test_aqe_skew_join_fires...).
+   This module exists for the cases AQE cannot touch:
 2. **Broadcast** the small side (no shuffle at all) — but only if it fits.
 3. **Manual salting** (this module) — when the build side is too big to
    broadcast AND the join is outside AQE's reach (streaming-static joins,
