@@ -1317,3 +1317,129 @@ def test_fuzz_unpivot(fuzz_spark, sf_dir, params):
         _unpivot_oracle_sql(params),
         sf_dir,
     )
+
+
+# --------------------------------------------------------------------------
+# Shape 17 (round 10): gap-fill / date-scaffold — the b28 compilation
+# (timeseries.py:348): dense per-key time spine via sequence()+explode on
+# the Spark side vs generate_series()+unnest on DuckDB, LEFT JOIN back to
+# the bucket aggregate, then one of three fill policies (LOCF via
+# last(..., IGNORE NULLS), typed zero-fill, or bare NULL + is_gap flag).
+# Spine bounds come from the AGGREGATE's min/max bucket (never a second
+# raw scan), mirroring the production operator. Determinism: (k, bucket)
+# is unique in the spine by construction and the metrics are exact
+# (COUNT) or order-free (MIN/MAX of double), so every fill is total.
+# --------------------------------------------------------------------------
+
+
+@st.composite
+def _gapfill_params(draw):
+    unit = draw(st.sampled_from(["hour", "day"]))
+    keymod = draw(st.integers(2, 6))  # key = user_id % keymod
+    where = draw(_predicates(_events_atoms()))
+    fill = draw(st.sampled_from(["locf", "zero", "null"]))
+    agg = draw(st.sampled_from(["cnt", "vmin", "vmax"]))
+    return (unit, keymod, where, fill, agg)
+
+
+def _gapfill_spark_frame(spark, params):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    unit, keymod, where, fill, agg = params
+    metric = {
+        "cnt": F.count("*").cast("long"),
+        "vmin": F.min("value"),
+        "vmax": F.max("value"),
+    }[agg]
+    keyed = (
+        spark.table("events")
+        .filter(F.expr(where))
+        .select(
+            (F.col("user_id") % keymod).alias("k"),
+            F.date_trunc(unit, "ts").alias("bucket"),
+            "value",
+        )
+    )
+    per_bucket = keyed.groupBy("k", "bucket").agg(metric.alias("m0"))
+    spine = (
+        per_bucket.groupBy("k")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {unit.upper()}"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(per_bucket, ["k", "bucket"], "left")
+    is_gap = F.col("m0").isNull().alias("is_gap")
+    if fill == "locf":
+        w = (
+            Window.partitionBy("k")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last("m0", ignorenulls=True).over(w)
+    elif fill == "zero":
+        zero = F.lit(0).cast("long") if agg == "cnt" else F.lit(0.0)
+        m = F.coalesce(F.col("m0"), zero)
+    else:
+        m = F.col("m0")
+    return j.select("k", "bucket", is_gap, m.alias("m"))
+
+
+def _gapfill_oracle_sql(params) -> str:
+    unit, keymod, where, fill, agg = params
+    metric = {
+        "cnt": "CAST(COUNT(*) AS BIGINT)",
+        "vmin": "MIN(value)",
+        "vmax": "MAX(value)",
+    }[agg]
+    if fill == "locf":
+        m = (
+            "last_value(j.m0 IGNORE NULLS) OVER (PARTITION BY j.k "
+            "ORDER BY j.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)"
+        )
+    elif fill == "zero":
+        zero = "CAST(0 AS BIGINT)" if agg == "cnt" else "CAST(0.0 AS DOUBLE)"
+        m = f"COALESCE(j.m0, {zero})"
+    else:
+        m = "j.m0"
+    return f"""
+    WITH per_bucket AS (
+      SELECT user_id % {keymod} AS k,
+             date_trunc('{unit}', ts) AS bucket,
+             {metric} AS m0
+      FROM events WHERE ({where})
+      GROUP BY user_id % {keymod}, date_trunc('{unit}', ts)
+    ),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 {unit.upper()}))
+               AS bucket
+      FROM (SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM per_bucket GROUP BY k)
+    ),
+    j AS (
+      SELECT s.k, s.bucket, p.m0
+      FROM spine s LEFT JOIN per_bucket p
+        ON s.k = p.k AND s.bucket = p.bucket
+    )
+    SELECT j.k AS k, j.bucket AS bucket, j.m0 IS NULL AS is_gap,
+           {m} AS m
+    FROM j
+    """
+
+
+@settings(**_SETTINGS)
+@given(params=_gapfill_params())
+def test_fuzz_gap_fill(fuzz_spark, sf_dir, params):
+    """Random gap-filled series: the sequence()+explode spine, the
+    aggregate-bounded lo/hi, the LEFT JOIN back, and all three fill
+    policies must agree with DuckDB's generate_series rendering."""
+    _assert_frame_matches_oracle(
+        _gapfill_spark_frame(fuzz_spark, params),
+        _gapfill_oracle_sql(params),
+        sf_dir,
+    )

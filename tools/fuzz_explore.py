@@ -73,6 +73,9 @@ SHAPES = [
     ("unpivot", fz._unpivot_params,
      lambda p: fz._assert_frame_matches_oracle(
          fz._unpivot_spark_frame(spark, p), fz._unpivot_oracle_sql(p), SF)),
+    ("gapfill", fz._gapfill_params,
+     lambda p: fz._assert_frame_matches_oracle(
+         fz._gapfill_spark_frame(spark, p), fz._gapfill_oracle_sql(p), SF)),
 ]
 
 counts = {}
