@@ -12,6 +12,16 @@ from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
 builder = SparkSession.builder.master("local[8]")
+# Vanilla 1g heap by default (the driver's own configuration). 50-query
+# single-session sweeps at 10x driver scale PLUS a 64-file split layout
+# can exhaust it late in the session (a broadcast-build OOM on b73 at
+# query ~25, round 10 — same plan/rows pass alone in a fresh 1g session:
+# harness capacity, not an engine defect). Set SWEEP_DRIVER_MEM=6g for
+# those oversized sweeps, mirroring the r8 full-surface rule.
+import os as _os
+if _os.environ.get("SWEEP_DRIVER_MEM"):
+    builder = builder.config(
+        "spark.driver.memory", _os.environ["SWEEP_DRIVER_MEM"])
 if regime == "nosmj":
     builder = (
         builder.config("spark.sql.adaptive.enabled", "false")
