@@ -35,6 +35,10 @@ _QUERIES = [
     "c01_exact_dedup",
     "c04_top_tokens",
     "c09_sequence_packing_portable",
+    # the query whose sf0.1+split64 sweep failure was adjudicated as
+    # session-heap capacity (BENCHNOTES r10): pin that its RESULT is
+    # layout-invariant so the adjudication stays checkable
+    "b73_q21_waiting_supplier",
 ]
 
 _K = 8  # part files per table (sf0.001 tables are tiny; 8 is plenty hostile)
