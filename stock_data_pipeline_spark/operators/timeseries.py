@@ -380,7 +380,15 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spine is #keys × #buckets rows generated from a tiny
     per-key min/max aggregate (never from the raw stream); the join back
     is aggregate-sized on both sides, and the LOCF window sorts buckets
-    within each key only. The hourly aggregate is MATERIALIZED
+    within each key only. One 100-TB footgun to own at deploy time: the
+    spine size is set by each key's raw min/max bucket, so a single
+    corrupt outlier timestamp (an epoch-zero tick, a year-9999 sentinel)
+    inflates that key's sequence() by millions of buckets. Production
+    bounds the scaffold by pre-filtering the events scan to the analysis
+    window (a pushdown ts-range predicate before this aggregate — one
+    line at the call site); the operator itself deliberately reproduces
+    the unbounded SQL semantics its oracle defines, so the guard belongs
+    to the caller, not hidden inside the compilation. The hourly aggregate is MATERIALIZED
     (``localCheckpoint`` — bucket-grain, MB at any tick volume) because
     it feeds both the spine and the join: Spark re-expands a
     twice-referenced frame (the b86 CTE trap), which would scan and
