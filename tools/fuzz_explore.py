@@ -78,6 +78,13 @@ SHAPES = [
          fz._gapfill_spark_frame(spark, p), fz._gapfill_oracle_sql(p), SF)),
 ]
 
+_KNOWN = {name for name, _, _ in SHAPES}
+_unknown = ONLY - _KNOWN
+if _unknown:
+    sys.exit(
+        f"unknown shape name(s) {sorted(_unknown)}; known: {sorted(_KNOWN)}"
+    )
+
 counts = {}
 total = 0
 for i, (name, strat, check) in enumerate(SHAPES):
@@ -98,4 +105,6 @@ for i, (name, strat, check) in enumerate(SHAPES):
     total += counts[name]
     print(f"{name}: {counts[name]} plans OK", flush=True)
 
+if ONLY and total == 0:
+    sys.exit("no plans ran despite explicit shape selection; refusing EXPLORE_OK")
 print("EXPLORE_OK", SF, "total_plans", total, "seed", SEED)

@@ -19,8 +19,8 @@ K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 SRC = f"/root/testdata/sf{_SF}"
 DST = f"/tmp/splitdata/sf{_SF}-split{K}"
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sys.path.insert(0, "/root/repo")
+from stock_data_pipeline_spark.catalog import TABLES  # noqa: E402
 
 for t in TABLES:
     tb = pq.read_table(f"{SRC}/{t}.parquet")

@@ -46,9 +46,8 @@ if regime == "skew":
     qs["b19_sessionization"] = registry.full_queries()["b19_sessionization"]
     os_["b19_sessionization"] = registry.full_oracles()["b19_sessionization"]
 con = duckdb.connect()
-import os as _os
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
+from stock_data_pipeline_spark.catalog import TABLES
+for t in TABLES:
     p = f"{sf}/{t}.parquet"
     # split-layout fixtures (tools/splitgen.py) store each table as a
     # DIRECTORY of part files; Spark reads that path as-is, DuckDB globs
