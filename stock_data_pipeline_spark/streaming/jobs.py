@@ -215,6 +215,55 @@ _RECURSIVE_SESSION_SQL = """
 """
 
 
+#: Default recursion-round budget for :func:`recursive_sessionize`. The
+#: uniform fixtures' longest per-user chain is 99 (sf0.1); the
+#: celebrity-skew twin's is ~8,600 — each round is a full self-join
+#: stage, so an uncapped walk on hostile data spins for hours
+#: (observed: no completion in 10+ min on the skew fixture,
+#: BENCHNOTES round 10) rather than erroring. 256 clears every sane
+#: chain with ~2.5x headroom while failing FAST on pathological ones.
+MAX_RECURSION_ROUNDS_DEFAULT = 256
+
+
+def recursive_sessionize(
+    spark: SparkSession, sf_dir: str, *, max_rounds: int = MAX_RECURSION_ROUNDS_DEFAULT
+) -> DataFrame:
+    """Recursive-CTE sessionization with an enforced round budget.
+
+    Before building the recursion, one cheap aggregate (count per user →
+    max) measures the longest chain; if it exceeds ``max_rounds`` the call
+    raises immediately with the actionable fix instead of launching a
+    self-join per event. The check costs one scan of ``events`` — O(rows)
+    once — versus the failure mode it prevents, O(longest_chain) join
+    stages (8,600 stages on the skew twin).
+    """
+    from ..catalog import load, register_views
+
+    longest = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
+    if longest > max_rounds:
+        raise ValueError(
+            f"recursive sessionization needs {longest} rounds (longest "
+            f"per-user event chain) but max_rounds={max_rounds}; each round "
+            "is a full self-join stage, so this would spin for hours, not "
+            "error. Use the window formulation "
+            "(streaming.jobs.sessionize / b19_sessionization), which "
+            "handles any chain length in one shuffle, or raise max_rounds "
+            "explicitly if you accept the cost."
+        )
+    # Recursion depth limit is pinned in session.RUNTIME_CONFS (which
+    # register_views→load re-applies on any session), not set here: a
+    # query must not mutate host-session conf as a side effect.
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SESSION_SQL)
+
+
 @query("b19_sessionize_recursive", oracle=_RECURSIVE_SESSION_SQL)
 def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19 twin on the Spark 4 recursive-CTE surface (WITH RECURSIVE,
@@ -230,14 +279,13 @@ def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark rejects UNION-distinct recursion
     ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so cyclic-graph closure
     (c02_dedup_clusters) stays on iterative pointer-jumping.
-    """
-    from ..catalog import register_views
 
-    # Recursion depth limit is pinned in session.RUNTIME_CONFS (which
-    # register_views→load re-applies on any session), not set here: a
-    # query must not mutate host-session conf as a side effect.
-    register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_SESSION_SQL)
+    Bounded (round 11): delegates to :func:`recursive_sessionize`, whose
+    ``max_rounds`` pre-check fails fast — loud ValueError, one aggregate
+    scan — on hostile chains (the skew twin's 8,600-event hot user)
+    instead of spinning through thousands of self-join stages.
+    """
+    return recursive_sessionize(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
