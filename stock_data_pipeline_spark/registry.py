@@ -76,16 +76,27 @@ def _memoized(name: str, fn: QueryFn) -> QueryFn:
             df = fn(spark, sf_dir)
             per_session[key] = df
             cap = _memo_capacity(spark)
+            evicted = 0
             while len(per_session) > cap:
-                # Eviction drops the PYTHON reference only; the JVM
-                # QueryExecution it pinned is reclaimed later, after
-                # Python GC runs the py4j finalizer and the
-                # ContextCleaner sweeps. A sweep that misses faster than
-                # GC cycles can therefore transiently hold a few more
-                # than `cap` plans' worth of JVM heap — the ~6x vanilla
-                # headroom quoted in the class comment is the
-                # steady-state bound, not an instantaneous one.
                 per_session.popitem(last=False)  # evict least recent
+                evicted += 1
+            if evicted:
+                # Eviction drops the PYTHON reference; the py4j finalizer
+                # that releases the JVM-side QueryExecution binding only
+                # runs once the DataFrame object is actually collected —
+                # and DataFrames sit in reference cycles, so plain
+                # refcounting does NOT free them at popitem. Relying on
+                # ambient gc latency let evicted plans (and every
+                # broadcast/persisted block they pin) accumulate JVM heap
+                # across a long single-session sweep (r10: broadcast-build
+                # OOM at query ~25 under sf0.1+split64 on a 1g driver).
+                # One cycle-collect per eviction batch makes reclamation
+                # prompt and deterministic; cost is ~ms against queries
+                # that run for seconds, and it only fires when the memo
+                # actually overflows.
+                import gc
+
+                gc.collect()
         else:
             per_session.move_to_end(key)
             # A memo hit skips catalog.load, so a hostile conf.set since
