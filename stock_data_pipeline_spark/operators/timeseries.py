@@ -377,26 +377,53 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream needs whenever a batch window is missed (retry gaps,
     /root/reference/dags/stock_data_to_gcp.py:82).
 
+    Delegates to :func:`gap_fill_hourly` with no guards — exactly the
+    unbounded SQL semantics the oracle defines. Production callers pass
+    ``bounds`` / ``max_buckets_per_key`` (round-11 API promotion of the
+    r10 docstring's caller-discipline guard).
+    """
+    return gap_fill_hourly(load(spark, sf_dir, "events"))
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    *,
+    bounds: "tuple[str, str] | None" = None,
+    max_buckets_per_key: "int | None" = None,
+) -> DataFrame:
+    """Gap-filled hourly LOCF series with enforceable spine guards.
+
     Scale: the spine is #keys × #buckets rows generated from a tiny
     per-key min/max aggregate (never from the raw stream); the join back
     is aggregate-sized on both sides, and the LOCF window sorts buckets
-    within each key only. One 100-TB footgun to own at deploy time: the
-    spine size is set by each key's raw min/max bucket, so a single
-    corrupt outlier timestamp (an epoch-zero tick, a year-9999 sentinel)
-    inflates that key's sequence() by millions of buckets. Production
-    bounds the scaffold by pre-filtering the events scan to the analysis
-    window (a pushdown ts-range predicate before this aggregate — one
-    line at the call site); the operator itself deliberately reproduces
-    the unbounded SQL semantics its oracle defines, so the guard belongs
-    to the caller, not hidden inside the compilation. The hourly aggregate is MATERIALIZED
-    (``localCheckpoint`` — bucket-grain, MB at any tick volume) because
-    it feeds both the spine and the join: Spark re-expands a
-    twice-referenced frame (the b86 CTE trap), which would scan and
-    aggregate the raw stream twice.
+    within each key only. The 100-TB footgun: the spine size is set by
+    each key's raw min/max bucket, so a single corrupt outlier timestamp
+    (an epoch-zero tick, a year-9999 sentinel) inflates that key's
+    ``sequence()`` by millions of buckets. Two guards, both optional so
+    the default reproduces the oracle's unbounded SQL semantics:
+
+    - ``bounds=(lo, hi)``: timestamp strings; a pushdown ts-range
+      pre-filter on the events scan — the analysis window. Outliers never
+      reach the aggregate, so the spine is bounded by construction.
+    - ``max_buckets_per_key``: hard cap embedded IN THE PLAN — a per-key
+      ``raise_error`` fires at execution time naming the key, its bucket
+      count, and the cap, instead of silently exploding the scaffold.
+      Plan-embedded (not an eager driver check) so the builder stays a
+      pure plan constructor under the registry memo.
+
+    The hourly aggregate is persisted (lazy, MEMORY_AND_DISK —
+    bucket-grain, MB at any tick volume) because it feeds both the spine
+    and the join: Spark re-expands a twice-referenced frame (the b86 CTE
+    trap), which would scan and aggregate the raw stream twice.
     """
     from pyspark import StorageLevel
 
-    events = load(spark, sf_dir, "events")
+    if bounds is not None:
+        lo_b, hi_b = bounds
+        events = events.filter(
+            (F.col("ts") >= F.lit(lo_b).cast("timestamp_ntz"))
+            & (F.col("ts") <= F.lit(hi_b).cast("timestamp_ntz"))
+        )
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
@@ -414,15 +441,36 @@ def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache still computes the twice-referenced aggregate once
     # Spine bounds come from the hourly AGGREGATE, not a second raw scan —
     # min/max of the bucket column equal the truncated raw min/max.
-    spine = (
-        hourly.groupBy("event_type")
-        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("bucket"),
+    key_span = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    if max_buckets_per_key is not None:
+        n_buckets = F.timestamp_diff("HOUR", F.col("lo"), F.col("hi")) + F.lit(1)
+        # raise_error inside otherwise(): evaluated only on violating rows,
+        # and referenced through the spine's hi column so pruning can't
+        # drop the guard. Message names the key, count, and cap.
+        key_span = key_span.withColumn(
+            "hi",
+            F.when(n_buckets <= F.lit(max_buckets_per_key), F.col("hi")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("gap-fill spine overflow: key '"),
+                        F.col("event_type"),
+                        F.lit("' spans "),
+                        n_buckets.cast("string"),
+                        F.lit(
+                            f" hourly buckets > max_buckets_per_key="
+                            f"{max_buckets_per_key}; an outlier timestamp is "
+                            "likely — pre-filter with bounds=(lo, hi) or "
+                            "raise the cap"
+                        ),
+                    )
+                ).cast("timestamp_ntz")
+            ),
         )
+    spine = key_span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
     )
     w = (
         Window.partitionBy("event_type")
