@@ -100,7 +100,7 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — dashboard distribution stats.
@@ -134,7 +134,7 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full-partition frame (constant per
@@ -175,7 +175,7 @@ LIMIT 10
 """
 
 
-@query("b24_sql_api", oracle=_Q3_SQL, driver=False)
+@query("b24_sql_api", oracle=_Q3_SQL, driver=True)
 def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the engine's tables as temp views + ANSI SQL
     through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
@@ -259,7 +259,7 @@ def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY c_nationkey
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
@@ -293,8 +293,7 @@ def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
     )
     GROUP BY window_start, event_type
-    """,
-)
+    """, driver=False)
 def b03_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2h duration / 1h slide): every event lands in two
     overlapping bars — the moving-bar dashboard view. ``F.window`` expands
@@ -465,7 +464,7 @@ def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    driver=False,
+    driver=True,
 )
 def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: the TPC-H Q1 pricing summary — 8 simultaneous aggregates over a
@@ -679,8 +678,7 @@ def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
-    """,
-)
+    """, driver=False)
 def b42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B42: the TPC-H Q3 shape — urgent-segment orders taken before the
     cutoff whose lineitems shipped after it, ranked by pending revenue.
@@ -809,7 +807,7 @@ _NUMERIC_RANGE_SQL = """
 
 # rotated out of the driver window late r7 (driver row r6 green); the B9
 # frame-window family stays in-window via b56_rolling_sharpe (ROWS frame)
-@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL)
+@query("b47_numeric_range_frame", oracle=_NUMERIC_RANGE_SQL, driver=False)
 def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9++: RANGE frame bounded by VALUE distance (±1000 of each order's
     own total) rather than row count or time — the price-neighborhood /
@@ -1002,8 +1000,7 @@ def b57_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation nc ON c.c_nationkey = nc.n_nationkey
     WHERE ns.n_name < nc.n_name
     GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
-    """,
-)
+    """, driver=False)
 def b58_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B58 (TPC-H Q7 shape): trade volume between distinct nation pairs
     per ship year. Six-table join where only orders↔lineitem is

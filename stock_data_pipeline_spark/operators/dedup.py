@@ -68,7 +68,7 @@ def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     FROM documents
     GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
     """,
-    driver=False,
+    driver=True,
 )
 def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: exact dedup — group by content hash, keep the smallest doc_id.
@@ -109,8 +109,7 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rn
       FROM documents
     ) WHERE rn = 1
-    """,
-)
+    """, driver=False)
 def c01_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1b: exact dedup with a QUALITY keeper rule — within each content
     group keep the longest document (ties to smallest doc_id), the usual
@@ -962,7 +961,7 @@ def simhash_portable_pairs(docs: DataFrame, *, max_hamming: int = 3) -> DataFram
     )
 
 
-@query("c02_simhash_portable", oracle=_simhash_portable_oracle())
+@query("c02_simhash_portable", oracle=_simhash_portable_oracle(), driver=False)
 def c02_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2c': the oracle-backed SimHash — md5-hex bit source so the full
     pipeline (tokenize → 64 bit-majorities → two-halves signature →
@@ -1140,7 +1139,7 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
     """,
-    driver=False,
+    driver=True,
 )
 def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2g: the DEDUPED CORPUS itself — the query every upstream operator

@@ -572,7 +572,7 @@ _B78_SQL = f"""
 """
 
 
-@query("b78_bollinger", oracle=_B78_SQL, driver=False)
+@query("b78_bollinger", oracle=_B78_SQL, driver=True)
 def b78_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B78: Bollinger bands (5-day mean ± 2σ) with breakout flags.
 

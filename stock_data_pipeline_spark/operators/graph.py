@@ -421,7 +421,7 @@ def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_labels(click_edges(load(spark, sf_dir, "events")))
 
 
-@query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE)
+@query("c10_triangle_clustering", oracle=_TRIANGLE_ORACLE, driver=False)
 def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: per-node triangle count + local clustering coefficient over
     the undirected navigation graph mined from ``events`` — the graph
@@ -435,7 +435,7 @@ def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(click_edges(load(spark, sf_dir, "events")))
 
 
-@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS))
+@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS), driver=False)
 def c10_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: damped PageRank over the user-navigation graph mined from
     ``events`` — the link-graph quality prior of web-corpus curation,
@@ -572,7 +572,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 @query(
     "c10_kcore_peel",
     oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
-    driver=False,  # window full at 50; family in-window via the c10 trio
+    driver=True,  # window full at 50; family in-window via the c10 trio
 )
 def c10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: fixed-round k-core peeling (k=85, 4 rounds) over the
@@ -822,7 +822,7 @@ def _harmonic_oracle(max_hub: int) -> str:
 @query(
     "c10_harmonic_centrality",
     oracle=_harmonic_oracle(HC_MAX_HUB),
-    driver=False,  # window full at 50; family in-window via the c10 trio
+    driver=True,  # window full at 50; family in-window via the c10 trio
 )
 def c10_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: radius-2 truncated harmonic centrality over the navigation
@@ -954,7 +954,7 @@ def harmonic_centrality_hyperball(
 @query(
     "c10_link_prediction",
     oracle=_link_prediction_oracle(RA_MAX_HUB, RA_TOP_K),
-    driver=False,  # window full at 50; family in-window via the c10 trio
+    driver=True,  # window full at 50; family in-window via the c10 trio
 )
 def c10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: top-100 predicted links on the navigation graph by the

@@ -148,8 +148,7 @@ def sample_frames(docs: DataFrame) -> DataFrame:
            sha256(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16))
              AS frame_sha256
     FROM f WHERE idx % 4 = 0
-    """,
-)
+    """, driver=False)
 def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling over opaque media payloads — every 4th 16-byte
     frame's offset and sha256, the keyframe-extraction plumbing shape.
@@ -530,7 +529,7 @@ def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       END AS INT) AS img_bytes
     FROM documents
     """,
-    driver=False,
+    driver=True,
 )
 def c05_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5e: REAL image decode — deterministic BMP/PPM files are written

@@ -202,7 +202,7 @@ _BUCKETED_READY: set[str] = set()
     WHERE o.o_totalprice > 1000.0
     GROUP BY o.o_orderpriority
     """,
-    driver=False,
+    driver=True,
 )
 def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 on the 100 TB growth path: identical semantics to b05_large_join,
@@ -551,7 +551,7 @@ def b12_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    driver=False,
+    driver=True,
 )
 def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13a: ROLLUP — per-(flag,status), per-flag subtotals, grand total.
@@ -603,7 +603,7 @@ def b13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,
 )
 def b13_rollup_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13: one driver-verified representative for rollup/cube/grouping
@@ -790,7 +790,7 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,
 )
 def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15b: exact linear-interpolated percentiles per group — Spark
@@ -917,7 +917,7 @@ def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ) WHERE user_rank <= 20
     """,
-    driver=False,
+    driver=True,
 )
 def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15d: mergeable heavy-hitters — ``approx_top_k_accumulate`` builds
@@ -1299,7 +1299,7 @@ _LATERAL_TOPK_SQL = """
 """
 
 
-@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=False)
+@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=True)
 def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B46: LATERAL correlated subquery — the two most expensive line
     items PER ORDER, written as a per-row dependent subquery. The

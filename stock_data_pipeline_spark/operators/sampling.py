@@ -478,7 +478,7 @@ def chunk_documents(
       FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
     )
     """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
-    driver=False,
+    driver=True,
 )
 def c09_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9b: context-window chunking — every document split into 32-token
@@ -769,8 +769,7 @@ def c09_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN value <= q2 THEN 1
                 WHEN value <= q3 THEN 2
                 ELSE 3 END
-    """,
-)
+    """, driver=False)
 def c08_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8e: discretize a numeric feature into corpus-quantile buckets —
     the standard feature-engineering step before stratified balancing or
@@ -836,8 +835,7 @@ from ..sources.export import DEFAULT_N_SHARDS as _N_INTERLEAVE_SHARDS
     SELECT doc_id, shard, seq,
            seq * {_N_INTERLEAVE_SHARDS} + shard AS global_order
     FROM seqd
-    """,
-)
+    """, driver=False)
 def c09_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9e: the canonical data-loader read order over sharded exports —
     each shard is internally shuffled by a seeded content hash, and the
@@ -1101,8 +1099,7 @@ _WS_K = 100
     ORDER BY CAST(floor((-ln(u) / n_chars) * 1000000000000.0) AS BIGINT) ASC,
              doc_id ASC
     LIMIT {_WS_K}
-    """,
-)
+    """, driver=False)
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8f: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     2006: take the k items with the largest u^(1/w), equivalently the
@@ -1275,7 +1272,7 @@ def _dsir_oracle() -> str:
 @query(
     "c08_dsir_select",
     oracle=_dsir_oracle(),
-    driver=False,  # window full at 50; family in-window via the c08 reps
+    driver=True,  # window full at 50; family in-window via the c08 reps
 )
 def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8i: DSIR-style importance-weighted data selection (Xie et al.

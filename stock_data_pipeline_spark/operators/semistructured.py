@@ -69,7 +69,7 @@ def parse_news_dom(html_col: Column | str) -> Column:
     FROM events
     GROUP BY event_type
     """,
-    driver=False,
+    driver=True,
 )
 def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: the JSON surface over ``events.props`` — typed ``from_json``
@@ -216,7 +216,7 @@ def c07_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN -value > 0 THEN -value * 2.0 END AS neg_x2
     FROM events
     """,
-    driver=False,
+    driver=True,
 )
 def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 map functions: build a map<string,double> per event with
@@ -265,8 +265,7 @@ def c07_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            source || ' headline ' || CAST(item AS VARCHAR) AS title
     FROM documents, (SELECT unnest([0, 1]) AS item)
     WHERE doc_id % 7 = 0
-    """,
-)
+    """, driver=False)
 def c06_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6c: the declarative XML/DOM extraction path, driver-checkable —
     each row renders a well-formed news-list snippet from its own
@@ -362,8 +361,7 @@ def a13_news_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(generate_subscripts(embedding[1:4], 1) - 1 AS INT) * 10 + label
              AS tag
     FROM embeddings
-    """,
-)
+    """, driver=False)
 def c07_inline_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7b: struct-array construction and fan-out — ``arrays_zip`` pairs
     each (bounded) embedding prefix with its position, ``inline``

@@ -131,7 +131,7 @@ def cosine_pandas_scores(
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
-    driver=False,
+    driver=True,
 )
 def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3a: exact top-k nearest neighbors by cosine for a query set.
@@ -698,8 +698,7 @@ def _ivf_fixed_oracle() -> str:
 
 
 @query(
-    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle()
-)
+    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle(), driver=False)
 def c03_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3c': IVF search over a FIXED seeded coarse quantizer — the
     oracle-backed twin of c03_ann_ivf. Identical engine machinery

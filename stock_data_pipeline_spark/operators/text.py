@@ -164,7 +164,7 @@ def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY freq DESC, token ASC
     LIMIT 20
     """,
-    driver=False,
+    driver=True,
 )
 def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4b: global top-20 token frequencies (explode → count → top-k).
@@ -334,7 +334,7 @@ def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM term_freq t JOIN doc_freq d ON t.token = d.token CROSS JOIN corpus c
     ) WHERE term_rank <= 5
     """,
-    driver=False,
+    driver=True,
 )
 def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4f: top-5 characteristic terms per source by TF-IDF — the standard
@@ -1284,8 +1284,7 @@ def bigram_pmi(
     JOIN uni uy ON bgc.y = uy.token
     CROSS JOIN tot CROSS JOIN btot
     WHERE bgc.c_xy >= {PMI_MIN_COUNT}
-    """,
-)
+    """, driver=False)
 def c04_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4o: bigram PMI collocation mining over ``documents`` — the
     corpus-profiling / phrase-vocabulary primitive (tokenizer vocab

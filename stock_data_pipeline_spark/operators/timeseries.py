@@ -81,7 +81,7 @@ def flagship_event_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type, date_trunc('day', ts)
     """,
-    driver=False,
+    driver=True,
 )
 def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: OHLCV bars — the resample of 2-min ticks into daily bars that the
@@ -124,7 +124,7 @@ def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
-    driver=False,
+    driver=True,
 )
 def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7a: latest event per key — the "current price per ticker" snapshot
@@ -162,7 +162,7 @@ def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
     # representative whose last driver-green row predates r7
-    driver=True,
+    driver=False,
 )
 def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7b: as-of join — for every purchase, the most recent click by the
@@ -503,7 +503,7 @@ def gap_fill_hourly(
     FROM lineitem
     GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
 )
 def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B31: VWAP — quantity-weighted average price per entity per time
@@ -1113,7 +1113,7 @@ _HOUR_US = 3_600_000_000
       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
     )
     """,
-    driver=False,
+    driver=True,
 )
 def b40_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B40: per-event trailing-hour rollup — a TIME-based RANGE frame
