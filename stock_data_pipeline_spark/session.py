@@ -42,6 +42,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # is owned by the same pin/heal machinery as every other conf instead
     # of leaking into the host session as a query side effect.
     "spark.sql.cteRecursionLevelLimit": "100000",
+    # The recursion ROW limit caps total rows accumulated across all
+    # levels — the walk CTE emits one row per event, so the 1M default
+    # trips at exactly sf1 (1M events; found by the r11 sf1 sweep:
+    # RECURSION_ROW_LIMIT_EXCEEDED). 100M covers sf100's event count;
+    # the real hostile-input guard is recursive_sessionize's max_rounds
+    # pre-check, not this backstop.
+    "spark.sql.cteRecursionRowLimit": "100000000",
     # spark.sql.files.maxPartitionBytes deliberately stays at the 128 MB
     # default. Finer local splits (3-way → 6-32-way scans on the ~11 MB
     # fixtures) were tested in round 5 AND re-tested in round 7 with an

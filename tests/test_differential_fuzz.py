@@ -1443,3 +1443,88 @@ def test_fuzz_gap_fill(fuzz_spark, sf_dir, params):
         _gapfill_oracle_sql(params),
         sf_dir,
     )
+
+
+# --------------------------------------------------------------------------
+# Shape 18 (round 11): chained-window analytics — the b35/b36 composition
+# class (multiple window functions over the same partition key feeding an
+# aggregate). Promoted to the driver window in r10 but never generatively
+# covered: the existing window shape draws SINGLE independent window
+# expressions, not windows whose CASE conditions reference a PREVIOUS
+# window's output (the funnel chain) or a window MIN feeding a grouped
+# rollup (the cohort chain). One SQL text, both dialects.
+# --------------------------------------------------------------------------
+@st.composite
+def _chained_window_query(draw) -> str:
+    kind = draw(st.sampled_from(["funnel", "retention"]))
+    where = draw(_predicates(_events_atoms()))
+    if kind == "retention":
+        unit = draw(st.sampled_from(["day", "week", "month"]))
+        return f"""
+        WITH activity AS (
+          SELECT DISTINCT user_id, date_trunc('{unit}', ts) AS active_b
+          FROM events WHERE ({where}) AND user_id IS NOT NULL
+        ),
+        cohorted AS (
+          SELECT user_id, active_b,
+                 MIN(active_b) OVER (PARTITION BY user_id) AS cohort_b
+          FROM activity
+        )
+        SELECT CAST(cohort_b AS TIMESTAMP) AS cohort_b,
+               CAST(active_b AS TIMESTAMP) AS active_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cohorted GROUP BY cohort_b, active_b
+        """
+    # funnel: 2- or 3-stage chain of conditional-MIN windows, each stage's
+    # CASE referencing the previous stage's window output
+    n_stages = draw(st.integers(2, 3))
+    stages = draw(st.permutations(["'view'", "'click'", "'purchase'"]))[:n_stages]
+    cmp_op = draw(st.sampled_from([">=", ">"]))
+    pk = draw(st.sampled_from(["user_id", "user_id % 5", "user_id % 11"]))
+    out = draw(st.sampled_from(["per_key", "counts"]))
+    ctes = [
+        f"""s0 AS (
+          SELECT {pk} AS k, ts, event_type,
+            MIN(CASE WHEN event_type = {stages[0]} THEN ts END)
+              OVER (PARTITION BY {pk}) AS t0
+          FROM events WHERE ({where})
+        )"""
+    ]
+    for i in range(1, n_stages):
+        ctes.append(
+            f"""s{i} AS (
+          SELECT *,
+            MIN(CASE WHEN event_type = {stages[i]} AND ts {cmp_op} t{i - 1}
+                     THEN ts END)
+              OVER (PARTITION BY k) AS t{i}
+          FROM s{i - 1}
+        )"""
+        )
+    ts_cols = [f"t{i}" for i in range(n_stages)]
+    per_key = (
+        "per_key AS (SELECT k, "
+        + ", ".join(f"MAX({t}) AS {t}" for t in ts_cols)
+        + f" FROM s{n_stages - 1} GROUP BY k)"
+    )
+    if out == "per_key":
+        final = "SELECT k, " + ", ".join(ts_cols) + " FROM per_key"
+    else:
+        final = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+            + ", ".join(
+                f"CAST(COUNT({t}) AS BIGINT) AS n{i}"
+                for i, t in enumerate(ts_cols)
+            )
+            + " FROM per_key"
+        )
+    return "WITH " + ", ".join(ctes + [per_key]) + " " + final
+
+
+@settings(**_SETTINGS)
+@given(sql=_chained_window_query())
+def test_fuzz_chained_windows(fuzz_spark, sf_dir, sql):
+    """Random funnel/retention compositions: chained conditional-MIN
+    windows over one partition key (each stage's condition reading the
+    previous window's output) and window-MIN-feeding-aggregate cohort
+    rollups must agree across engines row-for-row."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)

@@ -76,6 +76,7 @@ SHAPES = [
     ("gapfill", fz._gapfill_params,
      lambda p: fz._assert_frame_matches_oracle(
          fz._gapfill_spark_frame(spark, p), fz._gapfill_oracle_sql(p), SF)),
+    ("chained_window", fz._chained_window_query, _sql()),
 ]
 
 _KNOWN = {name for name, _, _ in SHAPES}
