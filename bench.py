@@ -147,6 +147,42 @@ def main() -> None:
             ),
         }
         detail = {"headline": record, "two_scale": two_scale}
+        # Third scale point (round 11): when the sf1 replication twin
+        # exists (tools/scalegen.py -> /tmp/scaledata/sf1, ~6M lineitem),
+        # time the same headline set there so BENCH_DETAIL.json carries a
+        # three-point 0.01/0.1/1 scaling table. Optional by existence:
+        # the driver's default run is unchanged on hosts without the twin.
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scaledata/sf1")
+        if (
+            os.environ.get("SPARK_GRAFT_THREE_SCALE", "1") != "0"
+            and os.path.isdir(sf1_dir)
+            and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
+        ):
+            big: dict[str, float] = {}
+            for _ in range(2):
+                for name in HEADLINE_QUERIES:
+                    fn = registry.get(name).fn
+                    t0 = time.perf_counter()
+                    fn(spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    big[name] = min(big.get(name, dt), dt)
+            big_total = round(sum(big.values()), 3)
+            detail["three_scale"] = {
+                "sf1_dir": sf1_dir,
+                "sf1_total": big_total,
+                "queries_sf1": big,
+                "ratios_sf1_over_sf0_1": {
+                    n: round(big[n] / timings[n], 2)
+                    if timings[n] > 0
+                    else None
+                    for n in HEADLINE_QUERIES
+                },
+                "suite_ratio_sf1_over_sf0_1": (
+                    round(big_total / total, 2) if total > 0 else None
+                ),
+            }
         # Earlier stdout line (NOT last) + standing file artifact.
         print(json.dumps({"two_scale": two_scale}))
         detail_path = os.path.join(
