@@ -18,12 +18,24 @@ ONLY = set(sys.argv[4:])
 from hypothesis import HealthCheck, given, seed, settings
 from pyspark.sql import SparkSession
 
-spark = (
+builder = (
     SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+# Per-row-output shapes (window, asof) collect the WHOLE result through
+# the driver for hashing — fine at the design scales (sf0.001/0.01), but
+# at sf1 a 6M-row toPandas blew the default 1g heap (r11 mini-fuzz:
+# java.lang.OutOfMemoryError mid-collect, JVM death, hypothesis then
+# spinning on ConnectionRefused). Same env hook as window_sweep.py for
+# oversized runs: SWEEP_DRIVER_MEM=6g.
+import os as _os
+
+if _os.environ.get("SWEEP_DRIVER_MEM"):
+    builder = builder.config(
+        "spark.driver.memory", _os.environ["SWEEP_DRIVER_MEM"]
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import tests.test_differential_fuzz as fz
