@@ -16,11 +16,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
-# Usage: python tools/skewgen.py [sf]   (default 0.01; e.g. 0.1 for the
-# 10x twin — same ONE-hot-key-per-table recipe at every scale)
+# Usage: python tools/skewgen.py [sf] [src] [dst]
+# (default sf 0.01; src/dst default to the driver fixture at that sf and
+# /tmp/skewdata/sf{sf}-skew. Pass src/dst explicitly to skew a derived
+# twin instead, e.g. the r11 sf1 replication twin:
+#   python tools/skewgen.py 1 /tmp/scaledata/sf1 /tmp/skewdata/sf1-skew)
 _SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
-SRC = f"/root/testdata/sf{_SF}"
-DST = f"/tmp/skewdata/sf{_SF}-skew"
+SRC = sys.argv[2] if len(sys.argv) > 2 else f"/root/testdata/sf{_SF}"
+DST = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/skewdata/sf{_SF}-skew"
 COPIES = 99
 os.makedirs(DST, exist_ok=True)
 

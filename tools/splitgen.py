@@ -16,8 +16,10 @@ import pyarrow.parquet as pq
 
 _SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-SRC = f"/root/testdata/sf{_SF}"
-DST = f"/tmp/splitdata/sf{_SF}-split{K}"
+# Optional src/dst overrides (r11): split a derived twin, e.g.
+#   python tools/splitgen.py 1 64 /tmp/scaledata/sf1 /tmp/splitdata/sf1-split64
+SRC = sys.argv[3] if len(sys.argv) > 3 else f"/root/testdata/sf{_SF}"
+DST = sys.argv[4] if len(sys.argv) > 4 else f"/tmp/splitdata/sf{_SF}-split{K}"
 
 sys.path.insert(0, "/root/repo")
 from stock_data_pipeline_spark.catalog import TABLES  # noqa: E402
