@@ -46,7 +46,16 @@ HEADLINE_QUERIES = [
     "b37_regional_revenue",
     "b38_large_orders",
     "c01_exact_dedup",
-    "c02_minhash_lsh",
+    # c02: the PRODUCTION near-dup path — exact-dedup-first, then banded
+    # LSH over the survivors (operators/dedup.py near_dedup_corpus). The
+    # uncapped single-stage MinHash+LSH diagnostic (c02_minhash_lsh) left
+    # the headline in r12: on a dup-heavy corpus its candidate mass is
+    # Sigma C(|bucket|,2) — quadratic by construction (28.2 s at sf1,
+    # 87.8x for 10x data, BENCH_DETAIL r11) — and it dominated the
+    # three_scale suite ratio while measuring a plan nobody runs (the
+    # dedup-first law is pinned in tests/test_scalegen_recipe.py). It is
+    # still timed every run as a NAMED diagnostic (see DIAGNOSTIC_QUERIES).
+    "c02_near_dedup_corpus",
     "c03_cosine_topk",
     "c03_ann_ivf",
     "c04_top_tokens",
@@ -102,6 +111,21 @@ def main() -> None:
         "sf": sf,
     }
 
+    detail: dict = {"headline": record}
+
+    def _time_set(names: list[str], at_dir: str, passes: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for _ in range(passes):
+            for name in names:
+                fn = registry.get(name).fn
+                t0 = time.perf_counter()
+                fn(spark, at_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, dt), dt)
+        return out
+
     # Two-scale evidence (standing artifact since r8): the same queries at
     # a 10x-smaller SF, with per-query large/small ratios. A scan-bound
     # plan reads ~linear-in-bytes (ratio → data factor as fixed costs
@@ -123,16 +147,7 @@ def main() -> None:
             )
         except ValueError:  # e.g. SPARK_GRAFT_SMALL_SF_DIR=/data/small
             small_sf = None
-        small: dict[str, float] = {}
-        for _ in range(2):
-            for name in HEADLINE_QUERIES:
-                fn = registry.get(name).fn
-                t0 = time.perf_counter()
-                fn(spark, small_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = round(time.perf_counter() - t0, 3)
-                small[name] = min(small.get(name, dt), dt)
+        small = _time_set(HEADLINE_QUERIES, small_dir, 2)
         small_total = round(sum(small.values()), 3)
         two_scale = {
             "small_sf": small_sf,
@@ -146,52 +161,75 @@ def main() -> None:
                 round(total / small_total, 2) if small_total > 0 else None
             ),
         }
-        detail = {"headline": record, "two_scale": two_scale}
-        # Third scale point (round 11): when the sf1 replication twin
-        # exists (tools/scalegen.py -> /tmp/scaledata/sf1, ~6M lineitem),
-        # time the same headline set there so BENCH_DETAIL.json carries a
-        # three-point 0.01/0.1/1 scaling table. Optional by existence:
-        # the driver's default run is unchanged on hosts without the twin.
-        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scaledata/sf1")
-        if (
-            os.environ.get("SPARK_GRAFT_THREE_SCALE", "1") != "0"
-            and os.path.isdir(sf1_dir)
-            and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
-        ):
-            big: dict[str, float] = {}
-            for _ in range(2):
-                for name in HEADLINE_QUERIES:
-                    fn = registry.get(name).fn
-                    t0 = time.perf_counter()
-                    fn(spark, sf1_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = round(time.perf_counter() - t0, 3)
-                    big[name] = min(big.get(name, dt), dt)
-            big_total = round(sum(big.values()), 3)
-            detail["three_scale"] = {
-                "sf1_dir": sf1_dir,
-                "sf1_total": big_total,
-                "queries_sf1": big,
-                "ratios_sf1_over_sf0_1": {
-                    n: round(big[n] / timings[n], 2)
-                    if timings[n] > 0
-                    else None
-                    for n in HEADLINE_QUERIES
-                },
-                "suite_ratio_sf1_over_sf0_1": (
-                    round(big_total / total, 2) if total > 0 else None
-                ),
-            }
-        # Earlier stdout line (NOT last) + standing file artifact.
+        detail["two_scale"] = two_scale
+        # Earlier stdout line (NOT last).
         print(json.dumps({"two_scale": two_scale}))
+
+    # Third scale point (round 11; hoisted out of the two_scale branch and
+    # keyed neutrally in r12 — ADVICE r11): when the sf1 replication twin
+    # exists (tools/scalegen.py -> /tmp/scaledata/sf1, ~6M lineitem), time
+    # the same headline set there so BENCH_DETAIL.json carries a
+    # three-point scaling table. The ratio denominators are whatever SF
+    # this run's primary dir was — recorded as base_sf, NOT assumed 0.1.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/scaledata/sf1")
+    if (
+        os.environ.get("SPARK_GRAFT_THREE_SCALE", "1") != "0"
+        and os.path.isdir(sf1_dir)
+        and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
+    ):
+        big = _time_set(HEADLINE_QUERIES, sf1_dir, 2)
+        big_total = round(sum(big.values()), 3)
+        detail["three_scale"] = {
+            "sf1_dir": sf1_dir,
+            "base_sf": sf,
+            "sf1_total": big_total,
+            "queries_sf1": big,
+            "ratios_sf1_over_base": {
+                n: round(big[n] / timings[n], 2) if timings[n] > 0 else None
+                for n in HEADLINE_QUERIES
+            },
+            "suite_ratio_sf1_over_base": (
+                round(big_total / total, 2) if total > 0 else None
+            ),
+        }
+
+    # Named non-headline diagnostics (r12, VERDICT r11 task 1): plans we
+    # deliberately keep OUT of the headline because they measure a known
+    # anti-pattern, timed anyway so the reading never goes unmonitored.
+    # c02_minhash_lsh is the UNCAPPED single-stage LSH — quadratic
+    # candidate mass (Sigma C(|bucket|,2)) on dup-heavy corpora; the
+    # production composition (exact-dedup-first) is the c02 headline.
+    DIAGNOSTIC_QUERIES = ["c02_minhash_lsh"]
+    diag: dict[str, dict[str, float]] = {}
+    for name in DIAGNOSTIC_QUERIES:
+        registry.get(name).fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm, like the headline set
+    diag["base"] = _time_set(DIAGNOSTIC_QUERIES, sf_dir, 2)
+    if os.path.isdir(sf1_dir) and os.path.abspath(sf1_dir) != os.path.abspath(
+        sf_dir
+    ):
+        diag["sf1"] = _time_set(DIAGNOSTIC_QUERIES, sf1_dir, 1)
+    detail["diagnostics"] = {
+        "note": (
+            "non-headline by design: c02_minhash_lsh is the uncapped "
+            "single-stage LSH whose candidate mass is quadratic on "
+            "dup-heavy corpora (BENCH_DETAIL r11 three_scale, 87.8x at "
+            "10x data); the headline c02 entry is the production "
+            "dedup-first composition (c02_near_dedup_corpus)"
+        ),
+        "base_sf": sf,
+        "timings": diag,
+    }
+
+    if len(detail) > 1:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
         try:
             with open(detail_path, "w") as fh:
                 json.dump(detail, fh, indent=1)
-        except OSError:  # read-only checkout: the stdout line still has it
+        except OSError:  # read-only checkout: the stdout lines still have it
             pass
 
     # The compact headline MUST be the very last stdout line (see module

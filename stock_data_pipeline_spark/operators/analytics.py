@@ -34,7 +34,7 @@ from ..registry import query
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b20 r9-green)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
@@ -69,7 +69,7 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
     """,
-    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b21 r9-green)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures → (name, value) rows — one pass,
@@ -100,7 +100,7 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
-    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r11 rotation (driver-green r10)
 )
 def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — dashboard distribution stats.
@@ -134,7 +134,7 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
-    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r11 rotation (driver-green r10)
 )
 def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full-partition frame (constant per
@@ -175,7 +175,7 @@ LIMIT 10
 """
 
 
-@query("b24_sql_api", oracle=_Q3_SQL, driver=True)
+@query("b24_sql_api", oracle=_Q3_SQL, driver=False)  # demoted in the r12 rotation (r11-green)
 def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: the engine's tables as temp views + ANSI SQL
     through ``spark.sql`` (TPC-H Q3 shape). Catalyst produces the same
@@ -197,7 +197,7 @@ def b24_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green); B13 family rep stays b13_rollup
 )
 def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind rollup/cube) via
@@ -227,7 +227,7 @@ def b26_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c2.c_nationkey = c.c_nationkey
     )
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green)
 )
 def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: customers above their nation's mean
@@ -259,7 +259,7 @@ def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY c_nationkey
     """,
-    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r11 rotation (driver-green r10)
 )
 def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
@@ -411,7 +411,7 @@ _HIST_WIDTH = 50_000.0
     FROM orders
     GROUP BY floor(o_totalprice / {_HIST_WIDTH})
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green); B15 family rep stays b15_topk_sketch
 )
 def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32: fixed-width histogram of order totals — the distribution card
@@ -464,7 +464,7 @@ def b32_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    driver=True,
+    driver=False,  # demoted in the r12 rotation (r11-green); stays a bench headline
 )
 def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: the TPC-H Q1 pricing summary — 8 simultaneous aggregates over a
@@ -536,7 +536,7 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(t_purchase) AS n_purchased_after_click
     FROM per_user
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green)
 )
 def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: strictly-ordered conversion funnel — users whose first view
@@ -603,7 +603,7 @@ def b35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cohorts c JOIN activity a USING (user_id)
     GROUP BY c.cohort_week, a.active_week
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green)
 )
 def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36: weekly cohort retention — users bucketed by first-seen week,
@@ -645,7 +645,7 @@ def b36_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green)
 )
 def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B39: distinct users per event type — executed with the two-phase
@@ -722,7 +722,7 @@ _PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
 
 @query(
     "b44_table_profile",
-    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b44 r9-green)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
     oracle=f"""
     {" UNION ALL ".join(
         f'''SELECT '{c}' AS column_name, COUNT(*) AS n,
@@ -836,7 +836,7 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 40 = 0
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B48: ratio-to-report — each order's share of its priority class's

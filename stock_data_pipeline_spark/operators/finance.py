@@ -474,7 +474,7 @@ _B61_SQL = """
 """
 
 
-@query("b61_mom_growth", oracle=_B61_SQL)
+@query("b61_mom_growth", oracle=_B61_SQL, driver=False)  # demoted in the r12 rotation (r11-green); B2 family rep now b02_group_agg
 def b61_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B61: month-over-month growth and indexed level per priority class —
     the period-over-period report every revenue dashboard opens with.

@@ -572,7 +572,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 @query(
     "c10_kcore_peel",
     oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
-    driver=True,  # window full at 50; family in-window via the c10 trio
+    driver=True,  # promoted r11 (never-driver-seen family member); driver-green r11
 )
 def c10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: fixed-round k-core peeling (k=85, 4 rounds) over the
@@ -822,7 +822,7 @@ def _harmonic_oracle(max_hub: int) -> str:
 @query(
     "c10_harmonic_centrality",
     oracle=_harmonic_oracle(HC_MAX_HUB),
-    driver=True,  # window full at 50; family in-window via the c10 trio
+    driver=False,  # demoted in the r12 rotation (r11-green); C10 family rep stays c10_kcore_peel
 )
 def c10_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: radius-2 truncated harmonic centrality over the navigation
@@ -954,7 +954,7 @@ def harmonic_centrality_hyperball(
 @query(
     "c10_link_prediction",
     oracle=_link_prediction_oracle(RA_MAX_HUB, RA_TOP_K),
-    driver=True,  # window full at 50; family in-window via the c10 trio
+    driver=False,  # demoted in the r12 rotation (r11-green); C10 family rep stays c10_kcore_peel
 )
 def c10_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: top-100 predicted links on the navigation graph by the

@@ -57,7 +57,7 @@ def b01_filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b02_group_agg",
-    driver=False,  # rotated out r10 (driver-green r9; family rep: b61 covers B2 group-agg)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
     oracle=f"""
     SELECT
       l_returnflag,
@@ -365,7 +365,7 @@ def b06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
-    driver=False,  # rotated out r10 (driver-green r9; family rep: b73 covers B6 join suite)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: outer + semi + anti joins, one driver-verified representative.
@@ -411,7 +411,7 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
-    driver=False,  # rotated out r10 (driver-green r9; family rep: b42 covers B10 top-k)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: global top-k by price (tie-broken by key for determinism).
@@ -1069,7 +1069,7 @@ def a10_union_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
     GROUP BY n.n_name
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green); stays a bench headline
 )
 def b37_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B37: the TPC-H Q5 local-supplier-volume shape — a 6-table star join
@@ -1185,7 +1185,7 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b41_promo_revenue",
-    driver=False,  # rotated out r10 (driver-green r9; family rep: no family requirement; b41 r9-green)
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
     oracle=f"""
     SELECT
       p.p_brand,
@@ -1248,7 +1248,7 @@ def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b45_try_arithmetic",
-    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
     oracle="""
     SELECT
       event_id,
@@ -1299,7 +1299,7 @@ _LATERAL_TOPK_SQL = """
 """
 
 
-@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=True)
+@query("b46_lateral_topk", oracle=_LATERAL_TOPK_SQL, driver=False)  # demoted in the r12 rotation (r11-green); B10 family rep now b10_topk_orders
 def b46_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B46: LATERAL correlated subquery — the two most expensive line
     items PER ORDER, written as a per-row dependent subquery. The

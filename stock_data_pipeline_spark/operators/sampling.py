@@ -1272,7 +1272,7 @@ def _dsir_oracle() -> str:
 @query(
     "c08_dsir_select",
     oracle=_dsir_oracle(),
-    driver=True,  # window full at 50; family in-window via the c08 reps
+    driver=True,  # promoted r10 (stale c08 representative); driver-green r10-r11
 )
 def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8i: DSIR-style importance-weighted data selection (Xie et al.

@@ -248,12 +248,9 @@ def _lsh_oracle_sql(n_tables: int = 4, n_planes: int = 8, dim: int = 64) -> str:
     """
 
 
-# driver=False: ANN family's driver representative is c03_ann_ivf (both were
-# rows-only no_oracle checks until round 7 gave THIS one a full SQL oracle;
-# the window was already frozen — promote in a future rotation).
 @query(
     "c03_ann_lsh",
-    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c03 stays in-window via c03_ivf_fixed_centroids;
+    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8);
     # stays on the full bench/oracle-parity surface
     driver=False,
     oracle=_lsh_oracle_sql(),
@@ -1029,7 +1026,7 @@ def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3f: filtered vector search — top-k cosine neighbors restricted by

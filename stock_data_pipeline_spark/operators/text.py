@@ -203,7 +203,7 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4c: per-document quality score (length / stopword-density /
@@ -263,7 +263,7 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4d: language-ID heuristic — EN function-word density + CJK-script
@@ -391,7 +391,7 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c04_fingerprint",
-    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
     oracle="""
     SELECT
       doc_id,

@@ -368,7 +368,7 @@ def b07_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s LEFT JOIN hourly h
       ON s.event_type = h.event_type AND s.bucket = h.bucket
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green)
 )
 def b28_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B28: gap-filled hourly series — generate the dense per-key hour spine
@@ -415,6 +415,20 @@ def gap_fill_hourly(
     bucket-grain, MB at any tick volume) because it feeds both the spine
     and the join: Spark re-expands a twice-referenced frame (the b86 CTE
     trap), which would scan and aggregate the raw stream twice.
+
+    Cache lifetime (ADVICE r11): that persist is a CacheManager entry
+    that OUTLIVES the returned Python handle — dropping the DataFrame
+    frees the py4j binding, not the cached blocks. The registered-query
+    path is bounded by the plan memo (one entry per (sf_dir, name)), but
+    ad-hoc callers issuing repeated direct calls with varying
+    ``events``/``bounds``/``max_buckets_per_key`` would accumulate one
+    session-lifetime cache entry per call. The persisted frame is
+    therefore exposed as ``returned_df.hourly_cache`` — release it when
+    done::
+
+        filled = gap_fill_hourly(events, bounds=(lo, hi))
+        ...consume filled...
+        filled.hourly_cache.unpersist()
     """
     from pyspark import StorageLevel
 
@@ -477,7 +491,7 @@ def gap_fill_hourly(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         spine.join(hourly, ["event_type", "bucket"], "left")
         .select(
             "event_type",
@@ -486,6 +500,9 @@ def gap_fill_hourly(
             F.last("hour_avg", ignorenulls=True).over(w).alias("filled_avg"),
         )
     )
+    # Unpersist hook — see "Cache lifetime" in the docstring.
+    out.hourly_cache = hourly
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -503,7 +520,7 @@ def gap_fill_hourly(
     FROM lineitem
     GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     """,
-    driver=False,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r10 rotation (driver-green r1-r9); B3-adjacent rollup, family rep stays b03
 )
 def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B31: VWAP — quantity-weighted average price per entity per time
@@ -913,7 +930,7 @@ FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i
 """
 
 
-@query("b29_ema_rsi", oracle=_B29_SQL, driver=False)  # rotated out r10 (r9-green)
+@query("b29_ema_rsi", oracle=_B29_SQL, driver=True)  # promoted r12: stale representative (last driver row r<=9)
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies
@@ -1054,7 +1071,7 @@ def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dur_s IS NOT NULL
     GROUP BY user_id
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # demoted in the r12 rotation (r11-green); stays a bench headline
 )
 def b34_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34: time-weighted average value per key — each observation weighted

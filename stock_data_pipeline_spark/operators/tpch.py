@@ -60,7 +60,7 @@ def _rev() -> F.Column:
       AND l.l_discount BETWEEN 0.05 AND 0.07
       AND l.l_quantity < 24.0
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b63_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue lost to discounts in a band — a single
@@ -205,7 +205,7 @@ def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_name LIKE '%widget%'
     GROUP BY ns.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
     """,
-    driver=False,
+    driver=True,  # promoted r12: stale representative (last driver row r<=9)
 )
 def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on widget-line products by supplier nation
@@ -568,7 +568,7 @@ GROUP BY s.s_name
 """
 
 
-@query("b73_q21_waiting_supplier", oracle=_Q21_SQL)
+@query("b73_q21_waiting_supplier", oracle=_Q21_SQL, driver=False)  # demoted in the r12 rotation (r11-green); B6 family rep now b06_join_suite
 def b73_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole-blame supplier — late lines on finished
     multi-supplier orders where NO other supplier was also late. The

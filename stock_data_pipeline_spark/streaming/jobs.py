@@ -224,44 +224,87 @@ _RECURSIVE_SESSION_SQL = """
 #: chain with ~2.5x headroom while failing FAST on pathological ones.
 MAX_RECURSION_ROUNDS_DEFAULT = 256
 
+# The GUARDED twin of _RECURSIVE_SESSION_SQL that Spark actually runs:
+# identical text except the recursion reads from a `guarded` projection
+# whose per-row CASE raises (Spark `raise_error`) the moment any
+# non-NULL user's chain position exceeds {max_rounds}. The guard is IN
+# THE PLAN — evaluated during the anchor's first scan, BEFORE any
+# recursive self-join stage launches — mirroring gap_fill_hourly's
+# plan-embedded spine cap, so the builder stays a pure plan constructor
+# under the registry memo (the r11 eager groupBy+collect pre-check both
+# ran a Spark job at memo time and froze the measurement there).
+# NULL users are exempt by construction: the recursive join condition
+# `o.user_id = w.user_id` never matches NULL, so a NULL-user chain of
+# any length contributes exactly its rn=1 anchor row and adds no
+# recursion depth — capping it would reject data the walk terminates on.
+_RECURSIVE_SESSION_SQL_GUARDED = """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS rn
+      FROM events
+    ),
+    guarded AS (
+      SELECT user_id, ts,
+             CASE WHEN user_id IS NULL OR rn <= {max_rounds} THEN rn
+                  ELSE CAST(raise_error(CONCAT(
+                    'recursive sessionization: user ',
+                    CAST(user_id AS STRING),
+                    ' has an event chain of at least ',
+                    CAST(rn AS STRING),
+                    ' events > max_rounds={max_rounds}; each recursion ',
+                    'round is a full self-join stage, so an uncapped walk ',
+                    'spins for hours instead of erroring. Use the window ',
+                    'formulation (streaming.jobs.sessionize / ',
+                    'b19_sessionization), which handles any chain length ',
+                    'in one shuffle, or raise max_rounds explicitly if ',
+                    'you accept the cost.'
+                  )) AS INT) END AS rn
+      FROM ordered
+    ),
+    walk(user_id, rn, ts, session_seq) AS (
+      SELECT user_id, rn, ts, CAST(1 AS BIGINT) AS session_seq
+      FROM guarded WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             w.session_seq + CASE WHEN o.ts > w.ts + INTERVAL 30 MINUTE
+                                  THEN 1 ELSE 0 END
+      FROM guarded o
+      JOIN walk w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM walk
+    GROUP BY user_id, session_seq
+"""
+
 
 def recursive_sessionize(
     spark: SparkSession, sf_dir: str, *, max_rounds: int = MAX_RECURSION_ROUNDS_DEFAULT
 ) -> DataFrame:
-    """Recursive-CTE sessionization with an enforced round budget.
+    """Recursive-CTE sessionization with a plan-embedded round budget.
 
-    Before building the recursion, one cheap aggregate (count per user →
-    max) measures the longest chain; if it exceeds ``max_rounds`` the call
-    raises immediately with the actionable fix instead of launching a
-    self-join per event. The check costs one scan of ``events`` — O(rows)
-    once — versus the failure mode it prevents, O(longest_chain) join
-    stages (8,600 stages on the skew twin).
+    The returned plan's ``guarded`` projection raises at EXECUTION time —
+    during the anchor's first scan, before any recursive self-join stage
+    launches — if any non-NULL user's chain exceeds ``max_rounds``. The
+    builder itself runs no job (pure plan constructor, registry-memo
+    safe), and because the guard rides the plan it re-measures on every
+    execution instead of freezing a driver-side pre-check at memo time.
+    On clean data the CASE is the identity on ``rn``, so results are
+    bit-identical to the unguarded oracle text.
     """
-    from ..catalog import load, register_views
+    from ..catalog import register_views
 
-    longest = (
-        load(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
-        or 0
-    )
-    if longest > max_rounds:
-        raise ValueError(
-            f"recursive sessionization needs {longest} rounds (longest "
-            f"per-user event chain) but max_rounds={max_rounds}; each round "
-            "is a full self-join stage, so this would spin for hours, not "
-            "error. Use the window formulation "
-            "(streaming.jobs.sessionize / b19_sessionization), which "
-            "handles any chain length in one shuffle, or raise max_rounds "
-            "explicitly if you accept the cost."
-        )
     # Recursion depth limit is pinned in session.RUNTIME_CONFS (which
     # register_views→load re-applies on any session), not set here: a
     # query must not mutate host-session conf as a side effect.
     register_views(spark, sf_dir)
-    return spark.sql(_RECURSIVE_SESSION_SQL)
+    return spark.sql(
+        _RECURSIVE_SESSION_SQL_GUARDED.format(max_rounds=int(max_rounds))
+    )
 
 
 @query("b19_sessionize_recursive", oracle=_RECURSIVE_SESSION_SQL)
@@ -271,19 +314,22 @@ def b19_sessionize_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     session counter when the 30-minute gap is exceeded. The IDENTICAL SQL
     text runs on DuckDB as the oracle.
 
-    Deliberately ``driver=False``/non-headline: recursion is the
-    SQL-surface demonstration, not the scale path — each recursion level
-    is a self-join, and depth equals the longest per-user chain, so the
+    Driver-verified (in the window since r10) but deliberately
+    non-headline in bench.py: recursion is the SQL-surface
+    demonstration, not the scale path — each recursion level is a
+    self-join, and depth equals the longest per-user chain, so the
     window formulation in :func:`sessionize` (one shuffle, any chain
     length) is what runs at 100 TB. Recursion on acyclic chains only:
     Spark rejects UNION-distinct recursion
     ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), so cyclic-graph closure
     (c02_dedup_clusters) stays on iterative pointer-jumping.
 
-    Bounded (round 11): delegates to :func:`recursive_sessionize`, whose
-    ``max_rounds`` pre-check fails fast — loud ValueError, one aggregate
-    scan — on hostile chains (the skew twin's 8,600-event hot user)
-    instead of spinning through thousands of self-join stages.
+    Bounded (round 11, plan-embedded round 12): delegates to
+    :func:`recursive_sessionize`, whose ``max_rounds`` guard now rides
+    the plan itself — a per-row ``raise_error`` in the recursion's
+    input projection fails fast at the anchor's first scan on hostile
+    chains (the skew twin's 8,600-event hot user) instead of spinning
+    through thousands of self-join stages.
     """
     return recursive_sessionize(spark, sf_dir)
 

@@ -109,6 +109,22 @@ def test_bounds_exclude_outlier_and_match_clean_result(
     pd.testing.assert_frame_equal(clean, bounded)
 
 
+def test_hourly_cache_hook_releases_the_persisted_aggregate(clean_events):
+    """ADVICE r11: each direct gap_fill_hourly call persists its hourly
+    aggregate, and that CacheManager entry outlives the Python handle —
+    ad-hoc callers need a release hook. The returned frame exposes the
+    persisted aggregate as ``hourly_cache``; unpersisting it must drop
+    the storage level back to NONE (no cached blocks retained)."""
+    from pyspark import StorageLevel
+
+    out = gap_fill_hourly(clean_events, max_buckets_per_key=100_000)
+    out.count()  # materialize the cache
+    assert out.hourly_cache.storageLevel == StorageLevel.MEMORY_AND_DISK
+    out.hourly_cache.unpersist(blocking=True)
+    assert not out.hourly_cache.storageLevel.useMemory
+    assert not out.hourly_cache.storageLevel.useDisk
+
+
 def test_bounds_reach_the_parquet_scan(clean_events, ts_range):
     """The bounds pre-filter must push down to the scan, not post-filter:
     at 100 TB the whole point is skipping row groups."""
