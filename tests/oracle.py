@@ -29,6 +29,65 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
+def collect_pdf(df) -> pd.DataFrame:
+    """Spark-result → pandas for the differential compare.
+
+    Default: plain ``toPandas()`` — one collect, fastest at the design
+    scales (sf0.001/0.01). ``FUZZ_STREAM_COLLECT=1`` switches to a
+    streamed twin that pulls ONE PARTITION AT A TIME through
+    ``toLocalIterator`` and buffers rows as Arrow record chunks, so the
+    driver JVM never materializes the whole result at once (r11's sf1
+    mini-fuzz OOM: a ~6M-row ``toPandas`` killed the default-1g fuzz
+    JVM mid-collect, VERDICT r11 task 7). All chunks are concatenated
+    at the ARROW level and converted to pandas ONCE, which preserves
+    ``toPandas``'s exact dtype mapping (int-with-nulls → float64,
+    timestamp → datetime64[us], decimal → object) — equivalence pinned
+    by tests/test_stream_collect.py. Python-side memory still holds the
+    full frame, like the DuckDB side of the compare; the JVM heap stops
+    being the binding constraint on where fuzzing can run.
+    """
+    import os
+
+    if os.environ.get("FUZZ_STREAM_COLLECT") != "1":
+        return df.toPandas()
+    return _streamed_pdf(df)
+
+
+def _streamed_pdf(df, rows_per_chunk: int = 100_000) -> pd.DataFrame:
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    # toPandas renders TIMESTAMP (LTZ) as tz-NAIVE session-tz wall time;
+    # the row-level iterator would instead surface OS-local naive
+    # datetimes and the Arrow schema a tz-aware column — both wrong for
+    # hash parity. Casting LTZ→NTZ in the PLAN applies the session tz
+    # JVM-side (identical wall times to toPandas, no OS-tz dependence).
+    # Scalar columns only, which is all the fuzz shapes emit.
+    if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
+        df = df.select(
+            [
+                F.col(f.name).cast("timestamp_ntz").alias(f.name)
+                if isinstance(f.dataType, T.TimestampType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    schema = to_arrow_schema(df.schema)
+    names = schema.names
+    chunks: list[pa.Table] = []
+    buf: list[dict] = []
+    for row in df.toLocalIterator(prefetchPartitions=False):
+        buf.append(dict(zip(names, row)))
+        if len(buf) >= rows_per_chunk:
+            chunks.append(pa.Table.from_pylist(buf, schema=schema))
+            buf = []
+    if buf or not chunks:
+        chunks.append(pa.Table.from_pylist(buf, schema=schema))
+    return pa.concat_tables(chunks).to_pandas()
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out = out.reindex(sorted(out.columns), axis=1)

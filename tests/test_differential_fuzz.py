@@ -49,7 +49,7 @@ from hypothesis import strategies as st
 
 from stock_data_pipeline_spark.catalog import TABLES, load
 
-from .oracle import _driver_hash, normalize, run_oracle
+from .oracle import _driver_hash, collect_pdf, normalize, run_oracle
 
 _SETTINGS = dict(
     max_examples=40,
@@ -688,7 +688,7 @@ def _oracle_or_skip(sql: str, sf_dir: str):
 
 
 def _assert_engines_agree(spark, sf_dir: str, sql: str) -> None:
-    spark_pdf = normalize(spark.sql(sql).toPandas())
+    spark_pdf = normalize(collect_pdf(spark.sql(sql)))
     duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count {len(spark_pdf)} vs {len(duck_pdf)}\nSQL: {sql}"
@@ -799,7 +799,7 @@ def _assert_grouping_sets_agree(spark, sf_dir: str, sql: str) -> None:
     pinned empty-input grand-total divergence (module-level so the
     exploration runner in tools/fuzz_explore.py sweeps the same check
     the suite asserts)."""
-    spark_pdf = normalize(spark.sql(sql).toPandas())
+    spark_pdf = normalize(collect_pdf(spark.sql(sql)))
     duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     if len(spark_pdf) != len(duck_pdf):
         assert len(spark_pdf) == 0, (
@@ -1139,7 +1139,7 @@ def _asof_oracle_sql(params) -> str:
 def _assert_frame_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
     """The driver protocol for shapes whose Spark side is a DataFrame
     composition rather than one shared SQL text."""
-    spark_pdf = normalize(spark_df.toPandas())
+    spark_pdf = normalize(collect_pdf(spark_df))
     duck_pdf = normalize(_oracle_or_skip(sql, sf_dir))
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count {len(spark_pdf)} vs {len(duck_pdf)}\nSQL: {sql}"
@@ -1527,4 +1527,114 @@ def test_fuzz_chained_windows(fuzz_spark, sf_dir, sql):
     windows over one partition key (each stage's condition reading the
     previous window's output) and window-MIN-feeding-aggregate cohort
     rollups must agree across engines row-for-row."""
+    _assert_engines_agree(fuzz_spark, sf_dir, sql)
+
+
+# --------------------------------------------------------------------------
+# Shape 19 (round 12): recursive-CTE chains — b19_sessionize_recursive is
+# the only recursion consumer and its SQL is one pinned text; Spark 4's
+# cteRecursionRowLimit bit at sf1 (r11), so the recursion surface gets
+# generative coverage: bounded-depth acyclic chains, one SQL text, both
+# dialects. Three sub-shapes: a table-free arithmetic generator (depth,
+# affine + modular accumulators drawn), a per-user gap-walk over events
+# (the b19 family generalized: gap, depth cap, user slice, and a second
+# parity accumulator drawn), and a per-order linenumber walk over
+# lineitem (a REAL FK chain, depth <= 7). Integer accumulators only —
+# float accumulation plays no part, and double→BIGINT goes through the
+# house FLOOR(x + 0.5) spelling (bare CAST is a pinned divergence).
+# --------------------------------------------------------------------------
+@st.composite
+def _recursive_chain_query(draw) -> str:
+    kind = draw(st.sampled_from(["generator", "events_walk", "lineitem_walk"]))
+    if kind == "generator":
+        depth = draw(st.integers(2, 60))
+        a = draw(st.integers(0, 9))
+        b = draw(st.integers(1, 7))
+        c = draw(st.integers(0, 5))
+        m = draw(st.sampled_from([3, 5, 7, 11]))
+        return f"""
+        WITH RECURSIVE seq(n, acc, accm) AS (
+          SELECT CAST(1 AS BIGINT), CAST({a} AS BIGINT), CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT n + 1, acc + n * {b} + {c}, (accm * {m} + n) % 97
+          FROM seq WHERE n < {depth}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(acc) AS BIGINT) AS sum_acc,
+               CAST(MAX(acc) AS BIGINT) AS max_acc,
+               CAST(SUM(accm) AS BIGINT) AS sum_accm
+        FROM seq
+        """
+    if kind == "events_walk":
+        gap = draw(st.sampled_from([5, 15, 30, 45, 90]))
+        max_rn = draw(st.integers(5, 40))
+        u = draw(st.sampled_from([3, 7, 17, 31]))
+        where = draw(_predicates(_events_atoms()))
+        return f"""
+        WITH RECURSIVE ordered AS (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ) AS rn
+          FROM events
+          WHERE user_id IS NOT NULL AND user_id % 101 < {u} AND ({where})
+        ),
+        walk(user_id, rn, ts, sessions, parity) AS (
+          SELECT user_id, rn, ts, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.user_id, o.rn, o.ts,
+                 w.sessions + CASE WHEN o.ts > w.ts + INTERVAL {gap} MINUTE
+                                   THEN 1 ELSE 0 END,
+                 (w.parity + o.rn) % 2
+          FROM ordered o
+          JOIN walk w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+          WHERE o.rn <= {max_rn}
+        )
+        SELECT user_id,
+               CAST(MAX(sessions) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(SUM(parity) AS BIGINT) AS parity_mass
+        FROM walk GROUP BY user_id
+        """
+    # lineitem_walk: follow l_linenumber 1,2,3,... within each order —
+    # a genuine FK chain whose depth the data caps at 7.
+    p = draw(st.sampled_from([7, 13, 29]))
+    where = draw(_predicates(_lineitem_atoms()))
+    out = draw(st.sampled_from(["per_order", "global"]))
+    final = (
+        "SELECT l_orderkey, CAST(MAX(qty_acc) AS BIGINT) AS qty_run, "
+        "CAST(MAX(l_linenumber) AS BIGINT) AS chain_len "
+        "FROM walk GROUP BY l_orderkey"
+        if out == "per_order"
+        else "SELECT CAST(COUNT(*) AS BIGINT) AS n_steps, "
+        "CAST(SUM(qty_acc) AS BIGINT) AS qty_mass, "
+        "CAST(MAX(l_linenumber) AS BIGINT) AS max_chain "
+        "FROM walk"
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_orderkey % {p} = 0 AND ({where})
+    ),
+    walk(l_orderkey, l_linenumber, qty_acc) AS (
+      SELECT l_orderkey, l_linenumber, qty FROM base WHERE l_linenumber = 1
+      UNION ALL
+      SELECT b.l_orderkey, b.l_linenumber, w.qty_acc + b.qty
+      FROM base b
+      JOIN walk w ON b.l_orderkey = w.l_orderkey
+                 AND b.l_linenumber = w.l_linenumber + 1
+    )
+    {final}
+    """
+
+
+@settings(**_SETTINGS)
+@given(sql=_recursive_chain_query())
+def test_fuzz_recursive_chains(fuzz_spark, sf_dir, sql):
+    """Random bounded-depth recursive CTEs: arithmetic generators,
+    per-user gap walks over events, and per-order linenumber walks over
+    lineitem must agree across engines row-for-row."""
     _assert_engines_agree(fuzz_spark, sf_dir, sql)

@@ -23,14 +23,18 @@ builder = (
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
 )
-# Per-row-output shapes (window, asof) collect the WHOLE result through
-# the driver for hashing — fine at the design scales (sf0.001/0.01), but
-# at sf1 a 6M-row toPandas blew the default 1g heap (r11 mini-fuzz:
-# java.lang.OutOfMemoryError mid-collect, JVM death, hypothesis then
-# spinning on ConnectionRefused). Same env hook as window_sweep.py for
-# oversized runs: SWEEP_DRIVER_MEM=6g.
+# Per-row-output shapes (window, asof) hash the WHOLE result. Through
+# r11 that was a single toPandas collect, and at sf1 a 6M-row collect
+# blew the default 1g heap (java.lang.OutOfMemoryError mid-collect, JVM
+# death, hypothesis then spinning on ConnectionRefused). r12 (VERDICT
+# r11 task 7): the compare path now streams one partition at a time
+# (tests/oracle.collect_pdf under FUZZ_STREAM_COLLECT=1, defaulted ON
+# here), so the JVM never holds the full result and sf1 fuzz runs at
+# the DEFAULT heap. SWEEP_DRIVER_MEM stays honored as an escape hatch
+# (and FUZZ_STREAM_COLLECT=0 restores the single-collect path).
 import os as _os
 
+_os.environ.setdefault("FUZZ_STREAM_COLLECT", "1")
 if _os.environ.get("SWEEP_DRIVER_MEM"):
     builder = builder.config(
         "spark.driver.memory", _os.environ["SWEEP_DRIVER_MEM"]
@@ -89,6 +93,7 @@ SHAPES = [
      lambda p: fz._assert_frame_matches_oracle(
          fz._gapfill_spark_frame(spark, p), fz._gapfill_oracle_sql(p), SF)),
     ("chained_window", fz._chained_window_query, _sql()),
+    ("recursive_chain", fz._recursive_chain_query, _sql()),
 ]
 
 _KNOWN = {name for name, _, _ in SHAPES}
