@@ -47,7 +47,7 @@ RUNTIME_CONFS: dict[str, str] = {
     # trips at exactly sf1 (1M events; found by the r11 sf1 sweep:
     # RECURSION_ROW_LIMIT_EXCEEDED). 100M covers sf100's event count;
     # the real hostile-input guard is recursive_sessionize's max_rounds
-    # pre-check, not this backstop.
+    # plan-embedded raise_error (r12), not this backstop.
     "spark.sql.cteRecursionRowLimit": "100000000",
     # spark.sql.files.maxPartitionBytes deliberately stays at the 128 MB
     # default. Finer local splits (3-way → 6-32-way scans on the ~11 MB
