@@ -941,8 +941,10 @@ def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-backed since round 7 via the recursive-CTE replay of pandas'
     ewm loop (see ``_B29_SQL``) — bit-exact, not tolerance-compared.
-    driver=False only because the round-7 verification window was frozen
-    before this landed; promote with c04_compression_ratio in r8.
+    Driver-verified since the r12 rotation. The ORACLE's iteration count
+    is the longest per-key chain, so skew-regime sweeps substitute it
+    (tools/window_sweep.py) and the engine's skew behavior is pinned by
+    tests/test_timeseries_oracle.py::test_engine_matches_pandas_on_skewed_chain.
     """
     return with_indicators(load(spark, sf_dir, "events"))
 

@@ -135,3 +135,57 @@ def test_b29_oracle_bitwise_on_arbitrary_series():
         b = d[col].to_numpy(dtype=float)
         eq = (a == b) | (np.isnan(a) & np.isnan(b))
         assert eq.all(), f"{col}: {int((~eq).sum())} rows differ bitwise"
+
+
+def test_engine_matches_pandas_on_skewed_chain(spark):
+    """b29's ENGINE under celebrity skew (round 12): the recursive-CTE
+    ORACLE is O(longest per-key chain) iterations, so the skew-regime
+    window sweep substitutes it (tools/window_sweep.py) — this test is
+    the standing engine-side skew evidence it points at. One hot user
+    with a 10,000-event chain (the sf1-skew hot-key shape) plus normal
+    keys goes through the DISTRIBUTED path (shard repartition →
+    applyInPandas → Arrow batching of one giant group) and must equal
+    pandas' ewm loop bit-for-bit on every row."""
+    import numpy as np
+    import pandas as pd
+
+    from stock_data_pipeline_spark.operators.timeseries import (
+        _indicators_shard,
+        with_indicators,
+    )
+
+    rng = np.random.default_rng(1212)
+    rows = []
+    eid = 0
+    chains = {0: 10_000, 1: 37, 2: 1, 3: 99}
+    for uid, n in chains.items():
+        vals = rng.standard_normal(n) * 50.0 + 100.0
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    uid,
+                    eid,
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                    float(v),
+                )
+            )
+            eid += 1
+    src = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+
+    got = (
+        with_indicators(spark.createDataFrame(src))
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _indicators_shard(src.copy())
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(src)
+    for col in ["ema", "rsi"]:
+        a = got[col].to_numpy(dtype=float)
+        b = want[col].to_numpy(dtype=float)
+        eq = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert eq.all(), f"{col}: {int((~eq).sum())} rows differ bitwise"

@@ -45,6 +45,20 @@ if regime == "skew":
     del qs["b19_sessionize_recursive"]; del os_["b19_sessionize_recursive"]
     qs["b19_sessionization"] = registry.full_queries()["b19_sessionization"]
     os_["b19_sessionization"] = registry.full_oracles()["b19_sessionization"]
+    # Same class of substitution for b29_ema_rsi (in-window since r12):
+    # its ENGINE side is a per-key applyInPandas, skew-safe by
+    # construction — but its ORACLE replays pandas' ewm loop as a DuckDB
+    # recursive CTE whose iteration count is the LONGEST PER-KEY CHAIN
+    # (the docstring's "fine for an oracle" assumes uniform <=99-event
+    # chains; the skew twins' hot key makes it 9,900+ iterations over a
+    # joined working table — intractable oracle cost, not an engine
+    # hazard). The engine-vs-pandas parity ON A SKEWED CHAIN is pinned in
+    # tests/test_timeseries_oracle.py::test_engine_matches_pandas_on_skewed_chain;
+    # the sweep slot substitutes the window-family b09_moving_window.
+    if "b29_ema_rsi" in qs:
+        del qs["b29_ema_rsi"]; os_.pop("b29_ema_rsi", None)
+        qs["b09_moving_window"] = registry.full_queries()["b09_moving_window"]
+        os_["b09_moving_window"] = registry.full_oracles()["b09_moving_window"]
 con = duckdb.connect()
 from stock_data_pipeline_spark.catalog import TABLES
 for t in TABLES:
