@@ -29,9 +29,13 @@ builder = (
 # death, hypothesis then spinning on ConnectionRefused). r12 (VERDICT
 # r11 task 7): the compare path now streams one partition at a time
 # (tests/oracle.collect_pdf under FUZZ_STREAM_COLLECT=1, defaulted ON
-# here), so the JVM never holds the full result and sf1 fuzz runs at
-# the DEFAULT heap. SWEEP_DRIVER_MEM stays honored as an escape hatch
-# (and FUZZ_STREAM_COLLECT=0 restores the single-collect path).
+# here), so the JVM never holds the full result — the r11 OOM class
+# (window/asof collects at sf1) runs at the DEFAULT heap. The remaining
+# 1g boundary is EXECUTION memory, not collect: a 6M-row shuffle/sort
+# inside the single local-mode JVM can still OOM a heavy shape
+# (observed r12: null_semantics at sf1), so FULL-shape sf1 sweeps still
+# set SWEEP_DRIVER_MEM=6g; FUZZ_STREAM_COLLECT=0 restores the
+# single-collect path.
 import os as _os
 
 _os.environ.setdefault("FUZZ_STREAM_COLLECT", "1")
