@@ -46,16 +46,15 @@ HEADLINE_QUERIES = [
     "b37_regional_revenue",
     "b38_large_orders",
     "c01_exact_dedup",
-    # c02: the PRODUCTION near-dup path — candidate pairs → connected
-    # components → anti-join the non-keepers away (operators/dedup.py
-    # c02_near_dedup_corpus). The uncapped single-stage MinHash+LSH
-    # diagnostic (c02_minhash_lsh) left the headline in r12: on a
-    # dup-heavy corpus its candidate mass is Sigma C(|bucket|,2) —
-    # quadratic by construction (28.2 s at sf1, 87.8x for 10x data,
-    # BENCH_DETAIL r11) — and it dominated the three_scale suite ratio
-    # while measuring a plan nobody runs (the dedup-first law is pinned
-    # in tests/test_scalegen_recipe.py). It is still timed every run as
-    # a NAMED diagnostic (see DIAGNOSTIC_QUERIES).
+    # c02: the PRODUCTION near-dup path — since r13 the SCALE-SAFE
+    # composition (VERDICT r12 task 1): exact-dedup first, df-pruned
+    # pairs, connected components, anti-join (operators/dedup.py
+    # near_dedup_corpus). Two anti-pattern variants are timed every run
+    # as NAMED diagnostics (see DIAGNOSTIC_QUERIES): c02_minhash_lsh
+    # (uncapped single-stage LSH, quadratic candidate mass on dup-heavy
+    # corpora — left the headline in r12) and c02_near_dedup_exactpairs
+    # (the r12 headline composition, whose unpruned pair join is
+    # unbounded under stop-shingle skew — left the headline in r13).
     "c02_near_dedup_corpus",
     "c03_cosine_topk",
     "c03_ann_ivf",
@@ -75,7 +74,7 @@ HEADLINE_QUERIES = [
 # only the post-checkpoint tail (measured 0.11 s vs the honest 2.5 s at
 # sf0.1). The bench invalidates these plans before EVERY timed pass so the
 # reported number covers the full composition, not the prepared tail.
-EAGER_BUILDER_QUERIES = {"c02_near_dedup_corpus"}
+EAGER_BUILDER_QUERIES = {"c02_near_dedup_corpus", "c02_near_dedup_exactpairs"}
 
 
 def main() -> None:
@@ -92,11 +91,16 @@ def main() -> None:
     # smallest SF so the timed section measures steady-state execution at
     # the target SF — not JIT/codegen, Arrow init, Python-worker spinup, or
     # ML class loading (measured ~2-4 s of one-time cost per cold path).
+    # Falls back to warming at sf_dir itself when the tiny fixture is
+    # absent (ADVICE r12) — slower warm-up, but the run still completes.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     spark.range(1000).selectExpr("sum(id)").collect()
     for name in HEADLINE_QUERIES:
-        registry.get(name).fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        registry.get(name).fn(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Three timed passes, keep the per-query MIN: single-shot local
     # timings swing ±25% with machine noise (whole-run swings of ±15%
@@ -211,14 +215,17 @@ def main() -> None:
     # deliberately keep OUT of the headline because they measure a known
     # anti-pattern, timed anyway so the reading never goes unmonitored.
     # c02_minhash_lsh is the UNCAPPED single-stage LSH — quadratic
-    # candidate mass (Sigma C(|bucket|,2)) on dup-heavy corpora; the
-    # production composition (exact-dedup-first) is the c02 headline.
-    DIAGNOSTIC_QUERIES = ["c02_minhash_lsh"]
+    # candidate mass (Sigma C(|bucket|,2)) on dup-heavy corpora.
+    # c02_near_dedup_exactpairs is the r12 headline composition — its
+    # unpruned pair join is Sigma df², unbounded under stop-shingle skew
+    # (VERDICT r12 finding 1); the headline c02 slot now measures the
+    # scale-safe dedup-first + df-pruned composition.
+    DIAGNOSTIC_QUERIES = ["c02_minhash_lsh", "c02_near_dedup_exactpairs"]
     diag: dict[str, dict[str, float]] = {}
     for name in DIAGNOSTIC_QUERIES:
-        registry.get(name).fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()  # warm, like the headline set
+        registry.get(name).fn(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm, like the headline set
     diag["base"] = _time_set(DIAGNOSTIC_QUERIES, sf_dir, 2)
     if os.path.isdir(sf1_dir) and os.path.abspath(sf1_dir) != os.path.abspath(
         sf_dir
@@ -227,24 +234,28 @@ def main() -> None:
     detail["diagnostics"] = {
         "note": (
             "non-headline by design: c02_minhash_lsh is the uncapped "
-            "single-stage LSH whose candidate mass is quadratic on "
-            "dup-heavy corpora (BENCH_DETAIL r11 three_scale, 87.8x at "
-            "10x data); the headline c02 entry is the production "
-            "dedup-first composition (c02_near_dedup_corpus)"
+            "single-stage LSH (quadratic candidate mass on dup-heavy "
+            "corpora, BENCH_DETAIL r11 three_scale 87.8x at 10x data); "
+            "c02_near_dedup_exactpairs is the r12 composition whose "
+            "unpruned pair join is unbounded under stop-shingle skew; "
+            "the headline c02 entry is the scale-safe dedup-first + "
+            "df-pruned composition (c02_near_dedup_corpus)"
         ),
         "base_sf": sf,
         "timings": diag,
     }
 
-    if len(detail) > 1:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        try:
-            with open(detail_path, "w") as fh:
-                json.dump(detail, fh, indent=1)
-        except OSError:  # read-only checkout: the stdout lines still have it
-            pass
+    # detail always carries headline + diagnostics, so the write is
+    # unconditional by design (the r12 `len(detail) > 1` guard was dead —
+    # ADVICE r12). Scale sections are present iff their fixture dirs are.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:  # read-only checkout: the stdout lines still have it
+        pass
 
     # The compact headline MUST be the very last stdout line (see module
     # docstring). Flush so nothing Spark buffers can land after it.

@@ -1128,8 +1128,140 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD))
 
 
+# Pruned closure prefix (r13): the SCALE-SAFE near-dedup composition's
+# oracle. Exact-dedup first (min-doc_id keeper per content fingerprint —
+# the pinned law, tests/test_scalegen_recipe.py), then the inverted-index
+# Jaccard join over SURVIVORS with the max_shingle_df stop-shingle prune
+# ON, then transitive closure. Every stage is spelled identically to the
+# Spark composition so the driver hash compare pins the full pipeline.
+_PRUNED_CLOSURE_CTE = f"""
+    WITH RECURSIVE surv AS (
+      SELECT doc_id, source, n_chars, text FROM (
+        SELECT doc_id, source, n_chars, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    sh0 AS (
+      SELECT doc_id, unnest({sql_word_shingles(sql_tokens('text'), _SHINGLE_K)}) AS shingle
+      FROM surv
+    ),
+    keepsh AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {_PRUNE_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst
+    )
+"""
+
+
+def near_dedup_corpus(
+    docs: DataFrame,
+    *,
+    threshold: float = _JACCARD_THRESHOLD,
+    max_shingle_df: "int | None" = _PRUNE_MAX_DF,
+) -> DataFrame:
+    """The production near-dedup composition: exact-dedup FIRST, then
+    df-pruned near-dup pairs over the survivors, then connected
+    components, then anti-join the non-keepers away.
+
+    Stage order is the scale contract (the pinned law,
+    tests/test_scalegen_recipe.py): exact copies are the bulk of any raw
+    crawl's duplication and each exact-dup family of size m would
+    otherwise contribute m² rows to EVERY shingle bucket it touches —
+    dedup-first removes that mass for the price of one hash-keyed window.
+    The surviving pair stage runs with ``max_shingle_df`` ON, so its
+    inverted-index join cost is Σ_shingle min(df, cap)² — bounded under
+    stop-shingle skew where the unpruned join's Σ df² is not
+    (tests/test_scale_stress.py: ×64 candidate growth under 8× corpus
+    replication for the unpruned join, bounded for this one).
+
+    Per-stage scale shape: (1) exact keeper = row_number over the content
+    fingerprint — compiles to WindowGroupLimit, partial top-1 before the
+    exchange, so dup-heavy corpora shrink map-side; (2) pruned pairs =
+    equi-join on the capped shingle index, never all-pairs; (3) clusters
+    = pointer-jumping over candidate-sized edges; (4) the only remaining
+    corpus-sized work is one LEFT ANTI hash join on doc_id — the drop set
+    broadcasts at any realistic duplicate rate.
+    """
+    fp = canonical_fingerprint("text")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    pairs = ngram_jaccard_pairs(
+        survivors, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    clusters = dedup_clusters(pairs)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return survivors.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 @query(
     "c02_near_dedup_corpus",
+    oracle=_PRUNED_CLOSURE_CTE
+    + """
+    , clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM surv d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+    driver=True,
+)
+def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g: the DEDUPED CORPUS itself — the query every upstream operator
+    in the C2 family exists to serve, recomposed in r13 as the
+    SCALE-SAFE plan (VERDICT r12 task 1): exact-dedup first, then
+    df-pruned pairs, then components, then anti-join (see
+    :func:`near_dedup_corpus` for the per-stage scale argument). The
+    previous composition — pairs from the UNPRUNED exact index join,
+    whose Σ df² cost is unbounded under stop-shingle skew — survives as
+    the named diagnostic ``c02_near_dedup_exactpairs`` below, still
+    oracle-backed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return near_dedup_corpus(docs)
+
+
+@query(
+    "c02_near_dedup_exactpairs",
     oracle=_CLOSURE_CTE
     + """
     , clusters AS (
@@ -1139,18 +1271,16 @@ def c02_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
     """,
-    driver=True,
+    driver=False,
 )
-def c02_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2g: the DEDUPED CORPUS itself — the query every upstream operator
-    in the C2 family exists to serve. Near-dup pairs → connected
-    components → every non-keeper (doc_id ≠ its cluster's min) is
-    anti-joined away; singletons pass through untouched.
-
-    Scale: pairs and clusters are candidate-sized, so the only
-    corpus-sized work is the final LEFT ANTI hash join on doc_id — the
-    drop set broadcasts at any realistic duplicate rate.
-    """
+def c02_near_dedup_exactpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g-diagnostic: the r12 headline composition — near-dup corpus with
+    the pair stage on the UNPRUNED exact index join (no dedup-first, no
+    df cap). Kept registered and oracle-backed as ground truth for the
+    pruned composition's quality tests and as a named bench diagnostic
+    (like c02_minhash_lsh), NOT as the production path: its Σ df² join
+    cost is unbounded under stop-shingle skew (dedup.py:223,
+    tests/test_scale_stress.py)."""
     docs = load(spark, sf_dir, "documents")
     clusters = dedup_clusters(
         ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)

@@ -429,6 +429,14 @@ def gap_fill_hourly(
         filled = gap_fill_hourly(events, bounds=(lo, hi))
         ...consume filled...
         filled.hourly_cache.unpersist()
+
+    ``hourly_cache`` is a plain Python attribute on the DIRECTLY returned
+    object only (ADVICE r12): any transformation (``filter``/``select``)
+    returns a NEW DataFrame without it, so capture the handle before
+    composing — ``filled.filter(...).hourly_cache`` raises
+    AttributeError rather than silently leaking the cache. It would also
+    shadow a real ``hourly_cache`` column's attribute accessor; none of
+    this operator's outputs carry that name.
     """
     from pyspark import StorageLevel
 

@@ -76,6 +76,13 @@ def _streamed_pdf(df, rows_per_chunk: int = 100_000) -> pd.DataFrame:
         )
     schema = to_arrow_schema(df.schema)
     names = schema.names
+    # dict(zip(names, row)) below would silently collapse duplicate output
+    # column names (toPandas keeps both) — fail loudly instead of
+    # diverging confusingly at the hash compare (ADVICE r12).
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"streamed collect requires unique column names, got {names}"
+        )
     chunks: list[pa.Table] = []
     buf: list[dict] = []
     for row in df.toLocalIterator(prefetchPartitions=False):

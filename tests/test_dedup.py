@@ -500,3 +500,58 @@ def test_fuzzy_join_blocking_has_perfect_recall(spark):
         (x, y) in {(0, 5), (2, 5)} for x, y, _ in got
     )
     assert (3, 5, 1) in got
+
+
+# --------------------------------------------------------------------------
+# near_dedup_corpus — the r13 scale-safe composition (VERDICT r12 task 1)
+# --------------------------------------------------------------------------
+def test_near_dedup_corpus_exact_first_beats_prune_blindness(spark):
+    """Exact copies must be dropped even when the df prune would hide
+    them from the PAIR stage: 30 verbatim copies of one doc push every
+    one of its shingles past max_shingle_df, so a pairs-only pipeline
+    (prune before exact dedup) would keep all 30. The composition's
+    dedup-first stage removes 29 before shingling — the ordering law
+    the recomposition exists to enforce."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import near_dedup_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(i, "dup", len(base), base) for i in range(30)]
+    rows += [(100, "solo", 41, "kilo lima mike november oscar papa quebec")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, text string"
+    )
+    out = near_dedup_corpus(docs, threshold=0.5, max_shingle_df=5)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 100]  # min-id keeper per exact family + the solo
+
+
+def test_near_dedup_corpus_transitive_near_dups_collapse(spark, doc_df):
+    """Planted near-dup pairs (i, 100+i) collapse to the min-id keeper;
+    whitespace/case variants collapse at the EXACT stage (canonical
+    fingerprint), so they never reach the pair join."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import near_dedup_corpus
+
+    docs = doc_df.select(
+        "doc_id",
+        F.lit("t").alias("source"),
+        F.length("text").cast("int").alias("n_chars"),
+        "text",
+    )
+    # add a case/whitespace variant of doc 0: exact-stage duplicate
+    variant = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(500).cast("long").alias("doc_id"),
+        "source",
+        "n_chars",
+        F.upper(F.concat(F.lit("  "), F.col("text"))).alias("text"),
+    )
+    out = near_dedup_corpus(
+        docs.unionByName(variant), threshold=0.5, max_shingle_df=None
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert 500 not in kept  # exact variant dropped before pairing
+    for i in range(8):
+        assert i in kept and (100 + i) not in kept  # near-dup keeper = min id
