@@ -210,6 +210,17 @@ def main() -> None:
                 round(big_total / total, 2) if total > 0 else None
             ),
         }
+        # Earlier stdout line, like two_scale: BENCHNOTES prose must quote
+        # figures from the SHIPPED artifact (VERDICT r12 finding 2 — the
+        # r12 notes quoted 3.95/9.9x from a pre-regeneration run while the
+        # JSON said 3.52/8.24x), so the run emits them where the log and
+        # the file can't diverge.
+        print(json.dumps({"three_scale_summary": {
+            "sf1_total": big_total,
+            "suite_ratio_sf1_over_base": detail["three_scale"][
+                "suite_ratio_sf1_over_base"
+            ],
+        }}))
 
     # Named non-headline diagnostics (r12, VERDICT r11 task 1): plans we
     # deliberately keep OUT of the headline because they measure a known
@@ -248,6 +259,9 @@ def main() -> None:
     # detail always carries headline + diagnostics, so the write is
     # unconditional by design (the r12 `len(detail) > 1` guard was dead —
     # ADVICE r12). Scale sections are present iff their fixture dirs are.
+    # The unix stamp ties any BENCHNOTES prose to THIS generation run
+    # (VERDICT r12 finding 2: quote shipped figures, or stamp the run).
+    detail["generated_at_unix"] = int(time.time())
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

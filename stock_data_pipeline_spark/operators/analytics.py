@@ -678,7 +678,10 @@ def b39_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
     LIMIT 10
-    """, driver=False)
+    """,
+    # re-promoted r13 rotation (driver-green r10, stale since): B10's
+    # in-window rep (TakeOrderedAndProject); b10_topk_orders rotated out
+    driver=True)
 def b42_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B42: the TPC-H Q3 shape — urgent-segment orders taken before the
     cutoff whose lineitems shipped after it, ranked by pending revenue.

@@ -68,7 +68,7 @@ def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     FROM documents
     GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); C1 family rep is the re-promoted c01_dedup_keep_best
 )
 def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: exact dedup — group by content hash, keep the smallest doc_id.
@@ -109,7 +109,10 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rn
       FROM documents
     ) WHERE rn = 1
-    """, driver=False)
+    """,
+    # re-promoted r13 rotation (driver-green r10, stale since): C1's
+    # in-window rep (quality-keeper rule); c01_exact_dedup rotated out
+    driver=True)
 def c01_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1b: exact dedup with a QUALITY keeper rule — within each content
     group keep the longest document (ties to smallest doc_id), the usual

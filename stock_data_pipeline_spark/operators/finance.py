@@ -410,7 +410,9 @@ _B56_SQL = f"""
 """
 
 
-@query("b56_rolling_sharpe", oracle=_B56_SQL)
+# rotated out r13 (driver-green r12); B9 frame family rep is the
+# re-promoted b09_moving_window (+ b79_atr for the finance-frame shape)
+@query("b56_rolling_sharpe", oracle=_B56_SQL, driver=False)
 def b56_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B56: 10-day rolling Sharpe ratio (mean/σ of daily returns).
 
@@ -572,7 +574,9 @@ _B78_SQL = f"""
 """
 
 
-@query("b78_bollinger", oracle=_B78_SQL, driver=True)
+# rotated out r13 (driver-green r12); the band/volatility shape stays
+# in-window via the re-promoted b79_atr
+@query("b78_bollinger", oracle=_B78_SQL, driver=False)
 def b78_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B78: Bollinger bands (5-day mean ± 2σ) with breakout flags.
 
@@ -615,7 +619,9 @@ _B79_SQL = f"""
 """
 
 
-@query("b79_atr", oracle=_B79_SQL, driver=False)
+# re-promoted r13 rotation (driver-green r9, stale since): the
+# greatest-of-lags true-range frame returns in-window
+@query("b79_atr", oracle=_B79_SQL, driver=True)
 def b79_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B79: Average True Range (5-day simple mean of the true range).
 
@@ -1009,9 +1015,9 @@ _B87_SQL = f"""
 
 @query(
     "b87_momentum_rank",
-    # demoted in the round-9 rotation: driver-green r8; B8 rep is the re-promoted b08_rank_in_group;
-    # stays on the full bench/oracle-parity surface
-    driver=False,
+    # re-promoted r13 rotation (driver-green r8, stale since): B8's
+    # in-window rep; b08_rank_in_group rotated out this round
+    driver=True,
     oracle=_B87_SQL,
 )
 def b87_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -404,9 +404,10 @@ def _components_oracle(rounds: int) -> str:
 
 @query(
     "c10_component_labels",
-    # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c10 stays in-window via pagerank + triangles;
-    # stays on the full bench/oracle-parity surface
-    driver=False,
+    # re-promoted r13 rotation (driver-green r8, stale since): C10's
+    # in-window rep (fixed-round label propagation); c10_kcore_peel
+    # rotated out this round
+    driver=True,
     oracle=_components_oracle(CC_ROUNDS),
 )
 def c10_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,7 +573,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 @query(
     "c10_kcore_peel",
     oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
-    driver=True,  # promoted r11 (never-driver-seen family member); driver-green r11
+    driver=False,  # rotated out r13 (driver-green r11-r12); C10 family rep is the re-promoted c10_component_labels
 )
 def c10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: fixed-round k-core peeling (k=85, 4 rounds) over the

@@ -529,7 +529,7 @@ def _image_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       END AS INT) AS img_bytes
     FROM documents
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); C5 family rep is the re-promoted c05_audio_header
 )
 def c05_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5e: REAL image decode — deterministic BMP/PPM files are written
@@ -894,7 +894,7 @@ def _audio_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         AS n_frames
     FROM documents
     """,
-    driver=False,
+    driver=True,  # re-promoted r13 rotation (driver-green r10, stale since): C5's binary-header-parse rep; c05_image_decode rotated out
 )
 def c05_audio_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5g: REAL audio container parsing — per document a deterministic

@@ -147,7 +147,7 @@ def b04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b05_large_join",
-    driver=False,  # rotated out r10 (driver-green r9; family rep: b58 covers B5 large join)
+    driver=True,  # re-promoted r13 rotation (driver-green r9, stale since; B5 AQE shuffle-join rep returns in-window)
     oracle=f"""
     SELECT
       o.o_orderpriority,
@@ -202,7 +202,7 @@ _BUCKETED_READY: set[str] = set()
     WHERE o.o_totalprice > 1000.0
     GROUP BY o.o_orderpriority
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); B5 family rep is the re-promoted b05_large_join
 )
 def b05_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5 on the 100 TB growth path: identical semantics to b05_large_join,
@@ -411,7 +411,7 @@ def b06_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r13 (driver-green r12); B10 family rep is the promoted b42_shipping_priority (TakeOrderedAndProject, bigger shape)
 )
 def b10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10: global top-k by price (tie-broken by key for determinism).
@@ -551,7 +551,7 @@ def b12_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); B13 family rep is the re-promoted b13_cube
 )
 def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13a: ROLLUP — per-(flag,status), per-flag subtotals, grand total.
@@ -567,9 +567,9 @@ def b13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b13_cube",
-    # demoted in the round-9 rotation: driver-green r8; B13 rep is the re-promoted b13_rollup_cube_sets;
-    # stays on the full bench/oracle-parity surface
-    driver=False,
+    # re-promoted r13 rotation (driver-green r8, stale since): B13's
+    # in-window rep; b13_rollup rotated out this round
+    driver=True,
     oracle=f"""
     SELECT
       o_orderstatus,
@@ -788,9 +788,9 @@ def b15_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY c_mktsegment
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
-    driver=False,
+    # re-promoted r13 rotation (driver-green r9-r10, stale since): B15's
+    # in-window rep; b15_topk_sketch rotated out this round
+    driver=True,
 )
 def b15_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15b: exact linear-interpolated percentiles per group — Spark
@@ -917,7 +917,7 @@ def b15_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ) WHERE user_rank <= 20
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); B15 family rep is the re-promoted b15_exact_percentiles
 )
 def b15_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B15d: mergeable heavy-hitters — ``approx_top_k_accumulate`` builds

@@ -128,7 +128,7 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int], default: int) -> D
     )
     GROUP BY lang
     """,
-    driver=False,
+    driver=True,  # re-promoted r13 rotation (driver-green r7, stale since): C8's hash-gated sampler rep; c08_dsir_select rotated out
 )
 def c08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8b: stratified corpus rebalancing — keep 40% of 'en' docs, 90% of
@@ -478,7 +478,7 @@ def chunk_documents(
       FROM (SELECT doc_id, {{tokens}} AS tok FROM documents)
     )
     """.replace("{tokens}", "string_split_regex(lower(trim(text)), '\\s+')"),
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); C9 family rep is the re-promoted c09_curriculum_order
 )
 def c09_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9b: context-window chunking — every document split into 32-token
@@ -1031,7 +1031,7 @@ from ..functions.textfns import (
              AS pos_in_bucket
     FROM scored
     """,
-    driver=False,
+    driver=True,  # re-promoted r13 rotation (driver-green r10, stale since): C9's ordering rep; c09_doc_chunking rotated out
 )
 def c09_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9f: curriculum read order — documents banded by ABSOLUTE quality
@@ -1272,7 +1272,7 @@ def _dsir_oracle() -> str:
 @query(
     "c08_dsir_select",
     oracle=_dsir_oracle(),
-    driver=True,  # promoted r10 (stale c08 representative); driver-green r10-r11
+    driver=False,  # rotated out r13 (driver-green r10-r12); C8 family reps are c08_split_leakage + the re-promoted c08_stratified_sample
 )
 def c08_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8i: DSIR-style importance-weighted data selection (Xie et al.

@@ -131,7 +131,7 @@ def cosine_pandas_scores(
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); C3 reps are c03_filtered_topk + the re-promoted c03_ivf_fixed_centroids
 )
 def c03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3a: exact top-k nearest neighbors by cosine for a query set.
@@ -694,8 +694,10 @@ def _ivf_fixed_oracle() -> str:
     """
 
 
+# re-promoted r13 rotation (driver-green r10, stale since): the
+# oracle-backed IVF twin returns in-window; c03_cosine_topk rotated out
 @query(
-    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle(), driver=False)
+    "c03_ivf_fixed_centroids", oracle=_ivf_fixed_oracle(), driver=True)
 def c03_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3c': IVF search over a FIXED seeded coarse quantizer — the
     oracle-backed twin of c03_ann_ivf. Identical engine machinery

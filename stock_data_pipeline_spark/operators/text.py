@@ -164,7 +164,7 @@ def c04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY freq DESC, token ASC
     LIMIT 20
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); C4 token-stat rep is the re-promoted c04_bigram_pmi
 )
 def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4b: global top-20 token frequencies (explode → count → top-k).
@@ -263,7 +263,7 @@ def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r13 (driver-green r12); C4 per-doc-classifier rep is the re-promoted c04_winnowing fingerprint shape
 )
 def c04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4d: language-ID heuristic — EN function-word density + CJK-script
@@ -685,7 +685,7 @@ def winnow_fingerprints(
 
 @query(
     "c04_winnowing",
-    driver=False,  # rotated out r8 (driver-green r7); family keeps an in-window rep
+    driver=True,  # re-promoted r13 rotation (driver-green r7, stale since): document-fingerprint rep; c04_lang_id rotated out
     oracle=f"""
     WITH grams AS (
       SELECT doc_id,
@@ -1284,7 +1284,10 @@ def bigram_pmi(
     JOIN uni uy ON bgc.y = uy.token
     CROSS JOIN tot CROSS JOIN btot
     WHERE bgc.c_xy >= {PMI_MIN_COUNT}
-    """, driver=False)
+    """,
+    # re-promoted r13 rotation (driver-green r10, stale since): C4's
+    # collocation/token-stat rep; c04_top_tokens rotated out this round
+    driver=True)
 def c04_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4o: bigram PMI collocation mining over ``documents`` — the
     corpus-profiling / phrase-vocabulary primitive (tokenizer vocab

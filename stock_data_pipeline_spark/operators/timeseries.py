@@ -124,7 +124,7 @@ def b03_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
-    driver=True,
+    driver=False,  # rotated out r13 (driver-green r12); B7 family rep is the re-promoted b07_asof_join
 )
 def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7a: latest event per key — the "current price per ticker" snapshot
@@ -160,9 +160,9 @@ def b07_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
-    driver=False,
+    # re-promoted r13 rotation (driver-green r9-r10, stale since): B7's
+    # in-window rep; b07_latest_per_key rotated out this round
+    driver=True,
 )
 def b07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7b: as-of join — for every purchase, the most recent click by the
@@ -576,7 +576,7 @@ def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts <= p.ts
     GROUP BY p.event_id, p.user_id, p.ts
     """,
-    driver=False,
+    driver=True,  # re-promoted r13 rotation (driver-green r10, stale since): range-join shape returns in-window
 )
 def b30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30: interval join — per purchase, count/sum the same user's clicks
@@ -975,9 +975,9 @@ def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) WHERE bal_rank <= 3
     """,
-    # re-promoted in the round-9 rotation (VERDICT r8 task 2): stale core
-    # representative whose last driver-green row predates r7
-    driver=True,
+    # rotated out r13 (driver-green r12); B8 family rep is the promoted
+    # b87_momentum_rank (dense-rank deciles, bigger shape)
+    driver=False,
 )
 def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8: top-3 customers by balance within each nation ("top movers").
@@ -1030,7 +1030,7 @@ def b08_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
-    driver=False,  # rotated out r10 (driver-green r9; family rep: b47+b56 cover B9 frames)
+    driver=True,  # re-promoted r13 rotation (driver-green r9, stale since): B9's ROWS-frame rep; b56/b78 rotated out this round
 )
 def b09_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9: lag / 5-row moving average / running total per key.

@@ -60,7 +60,7 @@ def _rev() -> F.Column:
       AND l.l_discount BETWEEN 0.05 AND 0.07
       AND l.l_quantity < 24.0
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r13 (driver-green r12); pushdown-scan TPC-H rep is the re-promoted b65_q8_market_share
 )
 def b63_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: revenue lost to discounts in a band — a single
@@ -149,7 +149,7 @@ def b64_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
     GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
     """,
-    driver=False,
+    driver=True,  # re-promoted r13 rotation (driver-green r10, stale since): 8-table join-tree TPC-H rep; b63/b66 rotated out
 )
 def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of the ECONOMY-part
@@ -205,7 +205,7 @@ def b65_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_name LIKE '%widget%'
     GROUP BY ns.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r13 (driver-green r12); dim-broadcast TPC-H rep is the re-promoted b65_q8_market_share
 )
 def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on widget-line products by supplier nation

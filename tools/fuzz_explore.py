@@ -39,10 +39,59 @@ builder = (
 import os as _os
 
 _os.environ.setdefault("FUZZ_STREAM_COLLECT", "1")
+
+# Per-shape EXECUTION-heap floors at sf1-class fixtures (r13, VERDICT r12
+# task 7 — the requirement is self-documenting, no hand-remembered env
+# vars). These are the shapes whose generated plans shuffle/sort the full
+# fact table inside the single local-mode JVM; everything absent from
+# this table runs at the default 1g heap even at sf1 (the streamed
+# compare path already removed the COLLECT hazard). Floors are empirical
+# (r12: null_semantics OOM'd at 1g; r13 re-probed per shape). The tool
+# sizes the session to the max floor among SELECTED shapes when the
+# fixture is sf1-class; an explicit SWEEP_DRIVER_MEM always wins.
+SHAPE_HEAP_FLOORS_GB = {
+    "null_semantics": 6,
+}
+_SF1_CLASS_EVENT_ROWS = 500_000
+
+
+def _fixture_is_sf1_class(sf_dir):
+    try:
+        import pyarrow.parquet as _pq
+
+        p = _os.path.join(sf_dir, "events.parquet")
+        if _os.path.isdir(p):
+            import glob as _glob
+
+            return (
+                sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _glob.glob(_os.path.join(p, "*.parquet"))
+                )
+                >= _SF1_CLASS_EVENT_ROWS
+            )
+        return _pq.ParquetFile(p).metadata.num_rows >= _SF1_CLASS_EVENT_ROWS
+    except Exception:
+        return False  # unknown layout: keep default heap, fail loudly later
+
+
 if _os.environ.get("SWEEP_DRIVER_MEM"):
     builder = builder.config(
         "spark.driver.memory", _os.environ["SWEEP_DRIVER_MEM"]
     )
+elif _fixture_is_sf1_class(SF):
+    _sel = ONLY if ONLY else set(SHAPE_HEAP_FLOORS_GB)
+    _need = max(
+        (SHAPE_HEAP_FLOORS_GB[s] for s in _sel if s in SHAPE_HEAP_FLOORS_GB),
+        default=0,
+    )
+    if _need:
+        print(
+            f"heap floor: {_need}g (sf1-class fixture + shapes "
+            f"{sorted(s for s in _sel if s in SHAPE_HEAP_FLOORS_GB)})",
+            flush=True,
+        )
+        builder = builder.config("spark.driver.memory", f"{_need}g")
 spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 

@@ -33,32 +33,6 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
 qs, os_ = e.queries(), e.oracle_sql()
-if regime == "skew":
-    # Documented substitution (BENCHNOTES r10): b19_sessionize_recursive's
-    # recursion depth equals the longest per-user chain (8,600 events for
-    # the hot user => 8,600 self-join rounds) — the docstring already
-    # declares it the SQL-surface demo, not the scale path. The engine's
-    # actual sessionize operator (window formulation, b19_sessionization)
-    # is swept on the skewed fixtures instead.
-    from stock_data_pipeline_spark import registry
-    qs = dict(qs); os_ = dict(os_)
-    del qs["b19_sessionize_recursive"]; del os_["b19_sessionize_recursive"]
-    qs["b19_sessionization"] = registry.full_queries()["b19_sessionization"]
-    os_["b19_sessionization"] = registry.full_oracles()["b19_sessionization"]
-    # Same class of substitution for b29_ema_rsi (in-window since r12):
-    # its ENGINE side is a per-key applyInPandas, skew-safe by
-    # construction — but its ORACLE replays pandas' ewm loop as a DuckDB
-    # recursive CTE whose iteration count is the LONGEST PER-KEY CHAIN
-    # (the docstring's "fine for an oracle" assumes uniform <=99-event
-    # chains; the skew twins' hot key makes it 9,900+ iterations over a
-    # joined working table — intractable oracle cost, not an engine
-    # hazard). The engine-vs-pandas parity ON A SKEWED CHAIN is pinned in
-    # tests/test_timeseries_oracle.py::test_engine_matches_pandas_on_skewed_chain;
-    # the sweep slot substitutes the window-family b09_moving_window.
-    if "b29_ema_rsi" in qs:
-        del qs["b29_ema_rsi"]; os_.pop("b29_ema_rsi", None)
-        qs["b09_moving_window"] = registry.full_queries()["b09_moving_window"]
-        os_["b09_moving_window"] = registry.full_oracles()["b09_moving_window"]
 con = duckdb.connect()
 from stock_data_pipeline_spark.catalog import TABLES
 for t in TABLES:
@@ -68,6 +42,45 @@ for t in TABLES:
     if _os.path.isdir(p):
         p = f"{p}/*.parquet"
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+# Recurrence-oracle cost probe (r13, VERDICT r12 task 5) — replaces the
+# old hand-listed per-REGIME substitutions. A query whose DuckDB oracle
+# replays a per-row recurrence as a recursive CTE over `events` has
+# ORACLE cost proportional to the LONGEST per-user chain in the fixture
+# (one CTE level per chain position, each level re-joining the working
+# table): tractable on uniform fixtures (<=~100-event chains),
+# intractable on a celebrity-skew twin (9,900+ at sf0.01-skew, ~99k at
+# sf1-skew). The ENGINE side of both queries is chain-length-safe by
+# construction (session_window / sharded applyInPandas; bit-exact
+# hot-chain parity pinned in tests/test_timeseries_oracle.py and
+# tests/test_recursion_bound.py), so when the probe trips the sweep
+# mechanically swaps in the declared same-family twin — for ANY regime
+# or sf, not a per-regime hand list.
+RECURRENCE_ORACLE_TWINS = {
+    "b19_sessionize_recursive": "b19_sessionization",
+    "b29_ema_rsi": "b09_moving_window",
+}
+MAX_ORACLE_CHAIN = 1000
+_present = [n for n in RECURRENCE_ORACLE_TWINS if n in qs]
+if _present:
+    max_chain = con.execute(
+        "SELECT COALESCE(MAX(c), 0) FROM "
+        "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)"
+    ).fetchone()[0]
+    if max_chain > MAX_ORACLE_CHAIN:
+        from stock_data_pipeline_spark import registry
+        qs = dict(qs); os_ = dict(os_)
+        for _name in _present:
+            _twin = RECURRENCE_ORACLE_TWINS[_name]
+            del qs[_name]; os_.pop(_name, None)
+            qs[_twin] = registry.full_queries()[_twin]
+            os_[_twin] = registry.full_oracles()[_twin]
+            print(
+                f"SUBSTITUTE {_name} -> {_twin}: fixture max per-key chain "
+                f"{max_chain} > {MAX_ORACLE_CHAIN} makes the recursive-CTE "
+                "oracle intractable (engine skew-safety pinned in-suite)",
+                flush=True,
+            )
 
 def vhash(pdf):
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
