@@ -60,7 +60,14 @@ HEADLINE_QUERIES = [
     "c03_ann_ivf",
     "c04_top_tokens",
     "c04_tfidf_terms",
-    "c04_decontaminate",
+    # c04 decontamination: since r13 the VERDICTS shape (per-train-doc
+    # contaminated flag, dedup-first + fingerprint propagation) — the
+    # r13 three-decade probe showed the (train, eval) PAIR LIST's row
+    # count is inherently quadratic in the per-text copy factor (102x
+    # rows for 10x data on the 100-copy sf10 twin; engine wall 16.4x =
+    # SUB-output-linear, so the plan was fine but the output contract
+    # wasn't). The pair list stays timed as a named diagnostic.
+    "c04_decontaminate_verdicts",
     "c05_multimodal_features",
     "c06_json_extract",
     "c08_hash_split",
@@ -231,7 +238,14 @@ def main() -> None:
     # unpruned pair join is Sigma df², unbounded under stop-shingle skew
     # (VERDICT r12 finding 1); the headline c02 slot now measures the
     # scale-safe dedup-first + df-pruned composition.
-    DIAGNOSTIC_QUERIES = ["c02_minhash_lsh", "c02_near_dedup_exactpairs"]
+    # c04_decontaminate is the quadratic-OUTPUT pair list (r13 probe:
+    # 102x rows for 10x data on the replication twin); the headline slot
+    # measures the linear-output verdicts composition.
+    DIAGNOSTIC_QUERIES = [
+        "c02_minhash_lsh",
+        "c02_near_dedup_exactpairs",
+        "c04_decontaminate",
+    ]
     diag: dict[str, dict[str, float]] = {}
     for name in DIAGNOSTIC_QUERIES:
         registry.get(name).fn(spark, warm_dir).write.format("noop").mode(

@@ -545,6 +545,132 @@ def c04_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, eval_set)
 
 
+def decontaminate_verdicts(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    k: int = _DECON_SHINGLE_K,
+    min_shared: int = _DECON_MIN_SHARED,
+) -> DataFrame:
+    """Per-TRAIN-DOC contamination verdicts — the output a production
+    decontamination pass actually consumes (drop/keep per row), LINEAR in
+    the corpus at any duplicate rate, unlike the (train, eval) PAIR LIST
+    (:func:`decontaminate`), whose row count is inherently quadratic in
+    the per-text copy factor (r13 three-decade probe: the pair list grew
+    102× for 10× data on the 100-copy twin — output cardinality, not a
+    plan defect; this shape is the remedy).
+
+    Scale composition (the c02 dedup-first law applied to
+    decontamination): both sides collapse to one representative per
+    content fingerprint BEFORE shingling — identical texts have identical
+    shingle sets, hence identical verdicts, so collapsing is
+    semantics-preserving, and the inverted-index join cost
+    Σ_shingle df_t·df_e becomes independent of the duplicate factor.
+    Verdicts propagate back to every train copy by fingerprint
+    (hash-keyed equi-join), and ``n_eval_hits`` counts eval DOCS (copies
+    included) by carrying each eval fingerprint's group size through the
+    pair stage — bit-identical to running the pair list on the raw
+    corpus and aggregating, which is exactly what the DuckDB oracle does.
+    """
+    from .dedup import canonical_fingerprint
+
+    fp = canonical_fingerprint("text")
+    t_fp = train.select(F.col("doc_id").alias("train_id"), fp.alias("_fp"), "text")
+    e_fp = eval_set.select(F.col("doc_id").alias("eval_id"), fp.alias("_fp"), "text")
+    # Representatives via hash AGG, not a row_number window: the partial
+    # (map-side) aggregate collapses same-text copies before the
+    # exchange, so the shuffle carries one text per distinct content —
+    # on a dup-heavy corpus that is the difference between shuffling the
+    # corpus and shuffling its unique set. min_by keeps the min-id row's
+    # text (any copy's text shingles identically, but min_by is the
+    # deterministic choice).
+    t_groups = t_fp.groupBy("_fp").agg(
+        F.min("train_id").alias("_rep"),
+        F.min_by("text", "train_id").alias("text"),
+    )
+    e_groups = e_fp.groupBy("_fp").agg(
+        F.min("eval_id").alias("eval_rep"),
+        F.count("*").alias("_n_copies"),
+        F.min_by("text", "eval_id").alias("text"),
+    )
+    t_rep = t_groups.select(F.col("_rep").alias("doc_id"), "text")
+    e_rep = e_groups.select(F.col("eval_rep").alias("doc_id"), "text")
+    pairs = decontaminate(t_rep, e_rep, k=k, min_shared=min_shared)
+    rep_verdicts = (
+        pairs.join(
+            e_groups.select(
+                F.col("eval_rep").alias("eval_id"), "_n_copies"
+            ),
+            "eval_id",
+        )
+        .groupBy("train_id")
+        .agg(
+            F.sum("_n_copies").cast("bigint").alias("n_eval_hits"),
+            F.max("n_shared").cast("bigint").alias("max_shared"),
+        )
+    )
+    return (
+        t_fp.select("train_id", "_fp")
+        .join(t_groups.select("_fp", "_rep"), "_fp")
+        .join(
+            rep_verdicts.withColumnRenamed("train_id", "_rep"), "_rep", "left"
+        )
+        .select(
+            "train_id",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("bigint").alias(
+                "n_eval_hits"
+            ),
+            F.col("max_shared").cast("bigint").alias("max_shared"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "c04_decontaminate_verdicts",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id AS train_id,
+             unnest({_DECON_SH_SQL}) AS shingle
+      FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+    ), sh_e AS (
+      SELECT doc_id AS eval_id,
+             unnest({_DECON_SH_SQL}) AS shingle
+      FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    ), pairs AS (
+      SELECT train_id, eval_id, COUNT(*) AS n_shared
+      FROM sh_t JOIN sh_e USING (shingle)
+      GROUP BY train_id, eval_id
+      HAVING COUNT(*) >= {_DECON_MIN_SHARED}
+    ), v AS (
+      SELECT train_id,
+             CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+             CAST(MAX(n_shared) AS BIGINT) AS max_shared
+      FROM pairs GROUP BY train_id
+    )
+    SELECT d.doc_id AS train_id,
+           CAST(COALESCE(v.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+           v.max_shared AS max_shared,
+           COALESCE(v.n_eval_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN v ON v.train_id = d.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    """,
+    driver=False,
+)
+def c04_decontaminate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4h': decontamination VERDICTS — per-train-doc (n_eval_hits,
+    max_shared, contaminated) over the same eval split as
+    c04_decontaminate. The production output shape (linear rows at any
+    duplicate rate); the engine side runs dedup-first with fingerprint
+    propagation (:func:`decontaminate_verdicts`), the oracle replays the
+    raw pair list + aggregate — identical results because identical
+    texts have identical shingle sets."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return decontaminate_verdicts(train, eval_set)
+
+
 # --------------------------------------------------------------------------
 # C4i — repetition-based quality filter (Gopher-style repetition rules)
 # --------------------------------------------------------------------------

@@ -107,6 +107,47 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert [(r.train_id, r.eval_id) for r in rows] == [(10, 900)]
 
 
+def test_decontaminate_verdicts_propagates_to_copies(spark):
+    """r13 production shape: verdicts are computed on content
+    representatives and propagated to every copy — exact copies (incl.
+    case/whitespace variants) get IDENTICAL verdicts, and n_eval_hits
+    counts eval DOCS including copies."""
+    from stock_data_pipeline_spark.operators.text import (
+        decontaminate_verdicts,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy sleeping dog"
+    train = spark.createDataFrame(
+        [
+            (10, f"prefix words here {phrase} suffix words"),
+            (11, f"PREFIX WORDS HERE {phrase.upper()} SUFFIX WORDS  "),
+            (12, "completely unrelated content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [
+            (900, f"eval question mentions {phrase} verbatim"),
+            (901, f"EVAL QUESTION MENTIONS {phrase} VERBATIM"),  # copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.train_id: r
+        for r in decontaminate_verdicts(
+            train, eval_set, k=5, min_shared=3
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    # both train copies contaminated with the SAME verdict; eval copies
+    # both counted
+    for tid in (10, 11):
+        assert out[tid].contaminated and out[tid].n_eval_hits == 2
+        assert out[tid].max_shared == out[10].max_shared
+    assert not out[12].contaminated and out[12].n_eval_hits == 0
+    assert out[12].max_shared is None
+
+
 def test_winnowing_guarantee_and_density(spark):
     """MOSS guarantee: any shared run of k+w-1 (=8) tokens yields at
     least one shared fingerprint; disjoint-vocabulary docs share none;
