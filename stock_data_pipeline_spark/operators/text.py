@@ -577,30 +577,34 @@ def decontaminate_verdicts(
     fp = canonical_fingerprint("text")
     t_fp = train.select(F.col("doc_id").alias("train_id"), fp.alias("_fp"), "text")
     e_fp = eval_set.select(F.col("doc_id").alias("eval_id"), fp.alias("_fp"), "text")
-    # Representatives via hash AGG, not a row_number window: the partial
+    # Uniques via hash AGG, not a row_number window: the partial
     # (map-side) aggregate collapses same-text copies before the
     # exchange, so the shuffle carries one text per distinct content —
     # on a dup-heavy corpus that is the difference between shuffling the
     # corpus and shuffling its unique set. min_by keeps the min-id row's
     # text (any copy's text shingles identically, but min_by is the
-    # deterministic choice).
-    t_groups = t_fp.groupBy("_fp").agg(
-        F.min("train_id").alias("_rep"),
-        F.min_by("text", "train_id").alias("text"),
+    # deterministic choice). The pair stage is keyed by the FINGERPRINT
+    # itself (no rep-id indirection): each unique frame is referenced
+    # exactly once, so Catalyst never re-expands the agg (the b86
+    # twice-referenced-CTE trap), and the verdict propagation is one
+    # fingerprint-keyed join of the fingerprint-sized verdict table —
+    # which broadcasts at any realistic contamination rate.
+    t_uniq = t_fp.groupBy("_fp").agg(
+        F.min_by("text", "train_id").alias("text")
     )
-    e_groups = e_fp.groupBy("_fp").agg(
-        F.min("eval_id").alias("eval_rep"),
+    e_uniq = e_fp.groupBy("_fp").agg(
         F.count("*").alias("_n_copies"),
         F.min_by("text", "eval_id").alias("text"),
     )
-    t_rep = t_groups.select(F.col("_rep").alias("doc_id"), "text")
-    e_rep = e_groups.select(F.col("eval_rep").alias("doc_id"), "text")
-    pairs = decontaminate(t_rep, e_rep, k=k, min_shared=min_shared)
-    rep_verdicts = (
+    pairs = decontaminate(
+        t_uniq.select(F.col("_fp").alias("doc_id"), "text"),
+        e_uniq.select(F.col("_fp").alias("doc_id"), "text"),
+        k=k,
+        min_shared=min_shared,
+    )
+    fp_verdicts = (
         pairs.join(
-            e_groups.select(
-                F.col("eval_rep").alias("eval_id"), "_n_copies"
-            ),
+            e_uniq.select(F.col("_fp").alias("eval_id"), "_n_copies"),
             "eval_id",
         )
         .groupBy("train_id")
@@ -608,13 +612,11 @@ def decontaminate_verdicts(
             F.sum("_n_copies").cast("bigint").alias("n_eval_hits"),
             F.max("n_shared").cast("bigint").alias("max_shared"),
         )
+        .withColumnRenamed("train_id", "_fp")
     )
     return (
         t_fp.select("train_id", "_fp")
-        .join(t_groups.select("_fp", "_rep"), "_fp")
-        .join(
-            rep_verdicts.withColumnRenamed("train_id", "_rep"), "_rep", "left"
-        )
+        .join(fp_verdicts, "_fp", "left")
         .select(
             "train_id",
             F.coalesce("n_eval_hits", F.lit(0)).cast("bigint").alias(

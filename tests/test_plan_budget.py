@@ -33,6 +33,10 @@ PLAN_BUDGETS = {
     "b58_volume_shipping": (2, 4),
     "c01_exact_dedup": (1, 0),
     "c04_decontaminate": (3, 1),
+    # r13: verdicts shape — two fingerprint-unique aggs + shingle join +
+    # two pair/verdict aggs + one fingerprint propagation join; the
+    # verdict table broadcasts
+    "c04_decontaminate_verdicts": (6, 2),
     "c04_top_tokens": (2, 0),
     # round 4: TPC-H completion — dims broadcast, fact shuffles at most
     # twice (agg + distribution / threshold join-back)

@@ -52,6 +52,7 @@ ALLOWED_MULTI_SCAN = {
     "c03_semdedup": "cell assignment + within-cell pair self-join (persisted index in production)",
     "c03_semdedup_exact": "all-pairs ground truth self-join",
     "c04_decontaminate": "train corpus vs eval-set shingle index are different logical relations in documents",
+    "c04_decontaminate_verdicts": "train/eval slices + the eval-unique frame feeding both the pair stage and the copy-count join (eval side is the tiny slice)",
     "c04_tfidf_terms": "1-row corpus-count scan (zero-column) besides the term scan",
     "c08_distribution_drift": "two dataset versions are two filtered slices of documents",
     "c08_quantile_bucketize": "exact-percentile bounds pass + assignment pass (bounds broadcast back; 2 scans beat a fact shuffle)",

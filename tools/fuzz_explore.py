@@ -42,15 +42,21 @@ _os.environ.setdefault("FUZZ_STREAM_COLLECT", "1")
 
 # Per-shape EXECUTION-heap floors at sf1-class fixtures (r13, VERDICT r12
 # task 7 — the requirement is self-documenting, no hand-remembered env
-# vars). These are the shapes whose generated plans shuffle/sort the full
-# fact table inside the single local-mode JVM; everything absent from
-# this table runs at the default 1g heap even at sf1 (the streamed
-# compare path already removed the COLLECT hazard). Floors are empirical
-# (r12: null_semantics OOM'd at 1g; r13 re-probed per shape). The tool
-# sizes the session to the max floor among SELECTED shapes when the
-# fixture is sf1-class; an explicit SWEEP_DRIVER_MEM always wins.
+# vars). These are the shapes whose generated plans can shuffle/sort the
+# full fact table inside the single local-mode JVM; every shape absent
+# from this table ran green at the DEFAULT 1g heap at sf1 in the r13
+# per-shape isolation probe (2-10 fresh plans each, /tmp/r13_floor*.log
+# — the streamed compare path already removed the COLLECT hazard, so
+# these floors are execution memory only). Floors are draw-dependent
+# empirics, not proofs: null_semantics and window both PASSED 2-plan
+# probes at 1g and OOM'd at 10 plans (a heavier generated plan trips
+# it), so a new OOM on an unlisted shape means "add its floor here",
+# not "set an env var and move on". The tool sizes the session to the
+# max floor among SELECTED shapes when the fixture is sf1-class; an
+# explicit SWEEP_DRIVER_MEM always wins.
 SHAPE_HEAP_FLOORS_GB = {
     "null_semantics": 6,
+    "window": 6,
 }
 _SF1_CLASS_EVENT_ROWS = 500_000
 
