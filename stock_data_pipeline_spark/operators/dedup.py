@@ -1214,14 +1214,27 @@ def near_dedup_corpus(
     = pointer-jumping over candidate-sized edges; (4) the only remaining
     corpus-sized work is one LEFT ANTI hash join on doc_id — the drop set
     broadcasts at any realistic duplicate rate.
+
+    The survivor frame feeds TWO consumers — the pair index and the final
+    anti-join probe — and the cluster stage in between is eager
+    (``dedup_clusters`` checkpoints per round), so without materialization
+    the scan+fingerprint+window subtree executes once per consumer. The
+    slim projection (only the output columns plus ``text``) followed by a
+    lazy ``localCheckpoint`` computes survivors once at minimal width:
+    at corpus scale the second consumer re-reads survivor-sized blocks
+    instead of re-scanning the raw corpus, and locally it is the faster
+    plan (r13 min-of-4 at sf0.1: 3.87 s vs 4.24 s recompute; a FULL-width
+    checkpoint loses — 4.75 s — which is why the projection precedes it).
     """
     fp = canonical_fingerprint("text")
     w = Window.partitionBy("_fp").orderBy("doc_id")
     survivors = (
-        docs.withColumn("_fp", fp)
+        docs.select("doc_id", "source", "n_chars", "text")
+        .withColumn("_fp", fp)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
+        .localCheckpoint(eager=False)
     )
     pairs = ngram_jaccard_pairs(
         survivors, threshold=threshold, max_shingle_df=max_shingle_df
