@@ -173,3 +173,18 @@ def test_allowlist_has_no_stale_entries(registry_scan_counts):
         f"allowlisted queries no longer multi-scan (drop the entries): "
         f"{no_longer_multi}"
     )
+
+
+def test_near_dedup_corpus_materializes_survivors_once(registry_scan_counts):
+    """r13 materialize-once pin: `near_dedup_corpus` checkpoints its
+    exact-dedup survivors (slim projection + localCheckpoint), so the
+    RETURNED frame's plan reads the checkpointed RDD for both the pair
+    stage and the final anti-join probe — the corpus parquet is scanned
+    only inside the eager cluster build, never in the final plan. A
+    regression back to recompute-per-consumer (dropping the checkpoint)
+    would surface here as documents.parquet scans > 0."""
+    counts = registry_scan_counts["c02_near_dedup_corpus"]
+    assert counts["documents.parquet"] == 0, (
+        f"final near-dedup plan re-scans the corpus: {counts} — the "
+        "survivors checkpoint was dropped or bypassed"
+    )
