@@ -87,6 +87,37 @@ def _estimated_scan_partitions(df: DataFrame, target: int) -> int:
     return est
 
 
+def local_scan_bytes(df: DataFrame) -> int | None:
+    """Total byte size of ``df``'s file-source inputs when every file is
+    a stat-able local path; ``None`` when unknown (no file source, remote
+    scheme, or stat failure).
+
+    Used for recompute-vs-materialize decisions (the checkpoint gate in
+    ``operators/text.py::decontaminate_verdicts``): a plan subtree that
+    is cheap to rebuild from a kilobyte-scale local fixture is expensive
+    to rebuild from a terabyte-scale production scan, and the only
+    honest way to pick per-run is to look at the input, the same way
+    :func:`rebalance` does. ``None`` (remote/unknown) deliberately reads
+    as "assume big": at cluster scale inputs are object-store URIs, and
+    the materialize branch is the scale-safe default."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(parsed.path)
+        except OSError:
+            return None
+    return total
+
+
 def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the frame is under-parallelized."""
     target = min_partitions or session_parallelism(df.sparkSession)

@@ -36,14 +36,28 @@ from ..registry import query
 _MERSENNE_P = (1 << 31) - 1
 
 
+def canonical_text(text_col: "str | F.Column" = "text") -> F.Column:
+    """The canonical form the fingerprint hashes: lowercased, trimmed,
+    whitespace runs collapsed to single spaces. Exposed separately
+    (r13) because tokenization is INVARIANT under it —
+    ``tokens(x) == tokens(canonical_text(x))`` structurally, since
+    :func:`~..functions.textfns.tokens` is ``split(lower(trim(.)),
+    '\\s+')`` — so shingle-based operators may substitute the canonical
+    text for any raw text of the same fingerprint group without
+    changing a single shingle (decontaminate_verdicts relies on this to
+    dedup with a plain hash aggregate instead of a min_by sort)."""
+    return F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+
+
 def canonical_fingerprint(text_col: "str | F.Column" = "text") -> F.Column:
     """THE exact-dedup identity: md5 of the lowercased,
-    whitespace-normalized text. One definition shared by c01/c09 batch
-    dedup, the corpus prep chain (operators/sampling.py), and the
-    streaming cross-batch dedup sinks (streaming/jobs.py) — the
-    cross-pipeline dedup joins are only correct because every producer
-    uses THIS expression, so it must not be re-spelled inline."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+    whitespace-normalized text (:func:`canonical_text`). One definition
+    shared by c01/c09 batch dedup, the corpus prep chain
+    (operators/sampling.py), and the streaming cross-batch dedup sinks
+    (streaming/jobs.py) — the cross-pipeline dedup joins are only
+    correct because every producer uses THIS expression, so it must not
+    be re-spelled inline."""
+    return F.md5(canonical_text(text_col))
 
 
 def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -571,34 +571,102 @@ def decontaminate_verdicts(
     included) by carrying each eval fingerprint's group size through the
     pair stage — bit-identical to running the pair list on the raw
     corpus and aggregating, which is exactly what the DuckDB oracle does.
-    """
-    from .dedup import canonical_fingerprint
 
-    fp = canonical_fingerprint("text")
-    t_fp = train.select(F.col("doc_id").alias("train_id"), fp.alias("_fp"), "text")
-    e_fp = eval_set.select(F.col("doc_id").alias("eval_id"), fp.alias("_fp"), "text")
-    # Uniques via hash AGG, not a row_number window: the partial
-    # (map-side) aggregate collapses same-text copies before the
+    Plan shape (r13 optimization round, measured at sf0.1/1/10):
+
+    - Each side is projected to ``(id, canonical_text, fp)`` ONCE and
+      ``localCheckpoint(eager=False)``-ed — IFF the input scan is big
+      enough that rebuilding the subtree costs more than materializing
+      it. The raw scan and the canonicalization regex — 3.9 s of the
+      11.0 s sf10 reading, paid per reference before — then run a
+      single time per side instead of once per consumer (train side has
+      two consumers: the unique-text agg and the per-doc propagation
+      probe); measured −40% at sf10 (interleaved A/B 12.09 → 7.29 s).
+      At fixture scale the SAME checkpoint is pure fixed overhead
+      (interleaved 3-arm A/B at sf0.1: old 1.185 s / canon-no-ckpt
+      1.222 s / ckpt 2.116 s — the corpus is 0.6 MB and task-launch +
+      block-store IO dwarf the ~ms of avoided recompute), so the gate
+      reads the scan's stat-able bytes
+      (:func:`~..functions.partitioning.local_scan_bytes`) against
+      ``spark.spark_graft.decon.materializeMinBytes`` (default 16 MiB);
+      unknown size (remote/object-store input — i.e. production) takes
+      the materialize branch, the scale-safe default. Same
+      materialize-once pattern as ``near_dedup_corpus`` (whose window
+      subtree is expensive enough that its checkpoint wins at EVERY
+      scale, hence stays unconditional); pinned both ways by
+      tests/test_scan_budget.py::test_decontaminate_verdicts_materialize_gate.
+    - The representative text is derived from the CANONICAL text, not a
+      min_by-chosen raw copy. Theorem: same fingerprint ⟹ same raw
+      TOKEN LIST (the canonical text encodes the words plus
+      leading/trailing-whitespace markers as edge spaces, and
+      ``tokens()`` is determined by exactly that information), and that
+      token list is recovered bit-exactly as ``split(canon, ' ')`` —
+      including the edge EMPTY tokens a text with leading/trailing
+      non-space whitespace produces, which ``tokens(canon)`` itself
+      would LOSE because ``trim`` strips the canon's edge-space markers
+      (pinned by tests/test_text.py::test_tokens_invariant...). Feeding
+      the shingler ``translate(canon, ' ', '\\t')`` makes its
+      ``tokens()`` reproduce that list verbatim (tabs are not trimmed;
+      single separators keep edge empties). Dedup therefore becomes a
+      plain hash-aggregable ``groupBy(fp, canon_text)`` — canon_text is
+      functionally determined by the fingerprint. The previous
+      ``min_by(text, id)`` forced a SortAggregate (string-valued agg
+      buffer has no hash path): two full corpus sorts, both gone
+      (plans/r13, 4 SortAggregate → 0; sf10 interleaved A/B
+      12.1 s → 7.3 s).
+    """
+    from ..functions.partitioning import local_scan_bytes, rebalance
+    from .dedup import canonical_text
+
+    spark = train.sparkSession
+    min_bytes = int(
+        spark.conf.get(
+            "spark.spark_graft.decon.materializeMinBytes",
+            str(16 * 1024 * 1024),
+        )
+    )
+    nbytes = local_scan_bytes(train)
+    materialize = nbytes is None or nbytes >= min_bytes
+
+    canon = canonical_text("text")
+
+    def _base(side: DataFrame, id_out: str) -> DataFrame:
+        # rebalance BEFORE the canon projection when materializing: the
+        # regex+md5 pass is the CPU cost on a big corpus, and a
+        # single-file scan would run it in one task (no-op on real
+        # multi-file inputs — functions/partitioning.py). When the scan
+        # is fixture-sized the repartition+checkpoint pair is skipped
+        # wholesale (see the gate rationale in the docstring).
+        src = rebalance(side) if materialize else side
+        base = src.select(F.col("doc_id").alias(id_out), canon.alias("text"))
+        base = base.withColumn("_fp", F.md5("text"))  # == fp of the RAW text
+        return base.localCheckpoint(eager=False) if materialize else base
+
+    t_base = _base(train, "train_id")
+    e_base = _base(eval_set, "eval_id")
+    # Uniques via hash AGG, not a row_number window or min_by: the
+    # partial (map-side) aggregate collapses same-text copies before the
     # exchange, so the shuffle carries one text per distinct content —
     # on a dup-heavy corpus that is the difference between shuffling the
-    # corpus and shuffling its unique set. min_by keeps the min-id row's
-    # text (any copy's text shingles identically, but min_by is the
-    # deterministic choice). The pair stage is keyed by the FINGERPRINT
-    # itself (no rep-id indirection): each unique frame is referenced
-    # exactly once, so Catalyst never re-expands the agg (the b86
-    # twice-referenced-CTE trap), and the verdict propagation is one
-    # fingerprint-keyed join of the fingerprint-sized verdict table —
-    # which broadcasts at any realistic contamination rate.
-    t_uniq = t_fp.groupBy("_fp").agg(
-        F.min_by("text", "train_id").alias("text")
+    # corpus and shuffling its unique set. The pair stage is keyed by
+    # the FINGERPRINT itself (no rep-id indirection): each unique frame
+    # is built from the checkpointed base, so Catalyst re-expansion (the
+    # b86 twice-referenced-CTE trap) re-reads checkpoint blocks, never
+    # the corpus, and the verdict propagation is one fingerprint-keyed
+    # join of the fingerprint-sized verdict table — which broadcasts (via
+    # AQE runtime stats) at any realistic contamination rate.
+    t_uniq = t_base.select("_fp", "text").distinct()
+    e_uniq = e_base.groupBy("_fp", "text").agg(
+        F.count("*").alias("_n_copies")
     )
-    e_uniq = e_fp.groupBy("_fp").agg(
-        F.count("*").alias("_n_copies"),
-        F.min_by("text", "eval_id").alias("text"),
-    )
+    # translate(canon, ' ', '\t'): tokens() of THIS string is the raw
+    # token list bit-exactly (see the theorem above) — tabs survive
+    # trim, and the canon's single-space separators become single-tab
+    # separators, so edge empty tokens are preserved.
+    shingle_form = F.translate(F.col("text"), " ", "\t").alias("text")
     pairs = decontaminate(
-        t_uniq.select(F.col("_fp").alias("doc_id"), "text"),
-        e_uniq.select(F.col("_fp").alias("doc_id"), "text"),
+        t_uniq.select(F.col("_fp").alias("doc_id"), shingle_form),
+        e_uniq.select(F.col("_fp").alias("doc_id"), shingle_form),
         k=k,
         min_shared=min_shared,
     )
@@ -615,7 +683,7 @@ def decontaminate_verdicts(
         .withColumnRenamed("train_id", "_fp")
     )
     return (
-        t_fp.select("train_id", "_fp")
+        t_base.select("train_id", "_fp")
         .join(fp_verdicts, "_fp", "left")
         .select(
             "train_id",

@@ -52,7 +52,7 @@ ALLOWED_MULTI_SCAN = {
     "c03_semdedup": "cell assignment + within-cell pair self-join (persisted index in production)",
     "c03_semdedup_exact": "all-pairs ground truth self-join",
     "c04_decontaminate": "train corpus vs eval-set shingle index are different logical relations in documents",
-    "c04_decontaminate_verdicts": "train/eval slices + the eval-unique frame feeding both the pair stage and the copy-count join (eval side is the tiny slice)",
+    "c04_decontaminate_verdicts": "fixture-sized inputs take the recompute branch of the size-gated materialize-once (cheaper than checkpoint IO below decon.materializeMinBytes; the gate test below pins both branches)",
     "c04_tfidf_terms": "1-row corpus-count scan (zero-column) besides the term scan",
     "c08_distribution_drift": "two dataset versions are two filtered slices of documents",
     "c08_quantile_bucketize": "exact-percentile bounds pass + assignment pass (bounds broadcast back; 2 scans beat a fact shuffle)",
@@ -188,3 +188,48 @@ def test_near_dedup_corpus_materializes_survivors_once(registry_scan_counts):
         f"final near-dedup plan re-scans the corpus: {counts} — the "
         "survivors checkpoint was dropped or bypassed"
     )
+
+
+def test_decontaminate_verdicts_materialize_gate(spark, sf_dir):
+    """r13 optimization-round pin, BOTH branches of the size-gated
+    materialize-once in `decontaminate_verdicts`:
+
+    - materialize branch (input scan >= decon.materializeMinBytes, or
+      un-stat-able — i.e. production): each side's (id, canonical_text,
+      fp) base frame is slim-projected and localCheckpoint-ed, so the
+      returned plan reads checkpoint RDDs everywhere and the corpus
+      parquet appears ZERO times — the scan + canonicalization regex
+      (measured 3.9 s of the 11.0 s sf10 reading per pass) runs exactly
+      once per side (interleaved sf10 A/B: 12.09 -> 7.29 s).
+    - recompute branch (fixture-sized local scans): the checkpoint pair
+      is measured pure overhead (sf0.1 3-arm A/B: 1.19 s recompute vs
+      2.12 s checkpointed on a 0.6 MB corpus), so the plan scans the
+      parquet directly, >1 times by CTE re-expansion — allowlisted
+      above.
+
+    Forcing the threshold conf to each side of the fixture's size pins
+    that the gate actually switches plans."""
+    from stock_data_pipeline_spark.operators.text import (
+        c04_decontaminate_verdicts,
+    )
+
+    fn = getattr(
+        c04_decontaminate_verdicts, "__wrapped__", c04_decontaminate_verdicts
+    )
+    conf = "spark.spark_graft.decon.materializeMinBytes"
+    try:
+        spark.conf.set(conf, "0")  # everything is >= 0 bytes: materialize
+        counts = _fact_scan_counts(fn(spark, sf_dir))
+        assert counts["documents.parquet"] == 0, (
+            f"materialize branch re-scans the corpus: {counts} — a base "
+            "checkpoint was dropped or bypassed"
+        )
+        spark.conf.set(conf, str(1 << 60))  # nothing local is that big
+        counts = _fact_scan_counts(fn(spark, sf_dir))
+        assert counts["documents.parquet"] > 1, (
+            f"recompute branch shows {counts} — either the gate is stuck "
+            "on materialize or the plan no longer re-expands (update the "
+            "allowlist entry if the latter is real)"
+        )
+    finally:
+        spark.conf.unset(conf)

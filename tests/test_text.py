@@ -107,6 +107,55 @@ def test_decontaminate_finds_planted_overlap(spark):
     assert [(r.train_id, r.eval_id) for r in rows] == [(10, 900)]
 
 
+def test_tokens_recoverable_from_canonical_text(spark):
+    """The r13 verdicts rewrite substitutes the CANONICAL text (lower +
+    trim + whitespace-collapse) for a min_by-chosen raw copy as the
+    shingling representative. The naive invariant tokens(x) ==
+    tokens(canonical_text(x)) is FALSE: Spark's trim strips only SPACES,
+    so "\\tfoo" tokenizes to ["", "foo"] (edge empty token) while its
+    canon " foo" would lose that empty through the tokenizer's own trim.
+    What IS true, and what decontaminate_verdicts relies on:
+
+    1. tokens(x) == split(canonical_text(x), ' ') — the canon encodes
+       the token list exactly (words + edge-space markers), and
+    2. tokens(translate(canon, ' ', '\\t')) reproduces that list through
+       the UNMODIFIED tokenizer — tabs survive trim, single separators
+       keep edge empties — which is the form the rewrite feeds the
+       shingler.
+
+    Pinned on the nasty cases: mixed whitespace runs (tab/newline/CR),
+    leading/trailing non-space whitespace, case, empty and
+    whitespace-only strings, and unicode content. If this breaks (e.g.
+    a TOKEN_PATTERN change), the verdicts dedup must go back to keeping
+    a raw representative."""
+    from stock_data_pipeline_spark.operators.dedup import canonical_text
+
+    samples = [
+        "  The   QUICK\tbrown\n\nfox  ",
+        "\tleading tab",
+        "trailing newline\n",
+        "\t\r\n",
+        "",
+        "one",
+        "Tabs\tand spaces mixed\r\nlines",
+        "\u718a\u732b \u5728  \u7af9\u6797\t\u91cc",
+        "a  b   c    d",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    canon = canonical_text("text")
+    out = df.select(
+        tokens("text").alias("raw_toks"),
+        F.split(canon, " ").alias("split_canon"),
+        tokens(F.translate(canon, " ", "\t")).alias("shingle_form_toks"),
+    ).collect()
+    for r in out:
+        assert r.raw_toks == r.split_canon, (r.raw_toks, r.split_canon)
+        assert r.raw_toks == r.shingle_form_toks, (
+            r.raw_toks,
+            r.shingle_form_toks,
+        )
+
+
 def test_decontaminate_verdicts_propagates_to_copies(spark):
     """r13 production shape: verdicts are computed on content
     representatives and propagated to every copy — exact copies (incl.
