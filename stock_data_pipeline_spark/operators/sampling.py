@@ -165,26 +165,60 @@ def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
     """Greedy first-fit-decreasing packing of one pack group (one pandas
     frame in, one out — the applyInPandas per-group contract).
 
-    State is the open-bin list (fill levels), O(#bins) — never the docs.
+    First fit = the LOWEST-index open bin whose residual capacity takes
+    the doc. A linear scan of the bin list is O(#bins) per doc and the
+    bin count grows with the group, so the group packs in O(n²) — the
+    r13 sf10 floor probe read 13.8x wall for 10x docs on exactly this
+    loop. The scan is replaced by a segment tree over bin residuals
+    (max residual per index range; descend left-first for the leftmost
+    leaf >= ntok), which is the SAME first-fit bin in O(log #bins) —
+    assignments are bit-identical, only the lookup is cheaper. State
+    stays O(#bins) — never the docs.
     """
     pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-    bins: list[int] = []  # fill level per bin
+    fills: list[int] = []  # fill level per bin
     assign: list[int] = []
+    cap = 1  # leaf capacity (power of two); leaves beyond #bins hold -1
+    tree = [-1, -1]  # tree[cap + i] = budget - fills[i]; internal = max
     for ntok in pdf["n_tokens"]:
         # NULL text -> NULL n_tokens -> NaN in pandas; pack as a
         # zero-token doc instead of ValueError-ing the whole task
         ntok = 0 if pd.isna(ntok) else int(ntok)
-        for i, fill in enumerate(bins):
-            if fill + ntok <= budget:
-                bins[i] = fill + ntok
-                assign.append(i)
-                break
+        if tree[1] >= ntok:
+            node = 1  # leftmost leaf with residual >= ntok: go left first
+            while node < cap:
+                node *= 2
+                if tree[node] < ntok:
+                    node += 1
+            i = node - cap
+            fills[i] += ntok
+            tree[node] = budget - fills[i]
         else:
-            bins.append(ntok)  # oversize docs get a singleton bin
-            assign.append(len(bins) - 1)
+            # no bin fits (oversize docs land in a fresh singleton bin,
+            # residual possibly negative — matches fill+ntok<=budget)
+            i = len(fills)
+            fills.append(ntok)
+            if i >= cap:  # grow: double leaves, full bottom-up rebuild
+                cap *= 2
+                tree = [-1] * (2 * cap)
+                for j, f in enumerate(fills):
+                    tree[cap + j] = budget - f
+                for j in range(cap - 1, 0, -1):
+                    lo, hi = tree[2 * j], tree[2 * j + 1]
+                    tree[j] = lo if lo >= hi else hi
+                assign.append(i)
+                continue  # tree fully consistent; skip path re-aggregate
+            node = cap + i
+            tree[node] = budget - ntok
+        assign.append(i)
+        node //= 2
+        while node:  # re-aggregate maxima up the path
+            lo, hi = tree[2 * node], tree[2 * node + 1]
+            tree[node] = lo if lo >= hi else hi
+            node //= 2
     out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
     out["bin_id"] = assign
-    out["bin_fill"] = [bins[i] for i in assign]
+    out["bin_fill"] = [fills[i] for i in assign]
     return out[["doc_id", "pack_group", "bin_id", "n_tokens", "bin_fill"]]
 
 

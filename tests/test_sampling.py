@@ -547,3 +547,68 @@ def test_dsir_select_ranks_target_like_documents_first(spark, tmp_path):
     assert got[2] > 0 > got[3], (
         "target-like scores positive, source-common filler negative"
     )
+
+
+def test_pack_group_segment_tree_matches_linear_first_fit():
+    """r13: _pack_group's first-fit lookup moved from an O(#bins) linear
+    scan to a segment tree over bin residuals (leftmost bin with
+    residual >= n_tokens in O(log #bins)) — the sf10 floor probe read
+    13.8x wall for 10x docs on the linear scan. First-fit is a
+    deterministic tie-breaking rule, so the rewrite must reproduce the
+    linear scan's assignment BIT-IDENTICALLY, including the edge cases:
+    oversize docs (singleton bins with negative residual), zero-token
+    docs (land in the first non-overfull bin), NULL n_tokens (packed as
+    zero), exact-budget fills, and the tree's grow/rebuild path."""
+    import random
+
+    from stock_data_pipeline_spark.operators.sampling import _pack_group
+
+    def linear_ref(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        bins: list[int] = []
+        assign: list[int] = []
+        for ntok in pdf["n_tokens"]:
+            ntok = 0 if pd.isna(ntok) else int(ntok)
+            for i, fill in enumerate(bins):
+                if fill + ntok <= budget:
+                    bins[i] = fill + ntok
+                    assign.append(i)
+                    break
+            else:
+                bins.append(ntok)
+                assign.append(len(bins) - 1)
+        out = pdf[["doc_id", "pack_group", "n_tokens"]].copy()
+        out["bin_id"] = assign
+        out["bin_fill"] = [bins[i] for i in assign]
+        return out[
+            ["doc_id", "pack_group", "bin_id", "n_tokens", "bin_fill"]
+        ]
+
+    rng = random.Random(20260817)
+    cases = [
+        [
+            rng.choice(
+                [0, 1, 7, 100, 255, 256, 257, 511, 512, 513, 600,
+                 rng.randint(0, 700), None]
+            )
+            for _ in range(rng.randint(0, 400))
+        ]
+        for _ in range(60)
+    ]
+    # adversarial: all oversize / all zero / exact budget / heavy ties /
+    # all NULL / empty
+    cases += [[600] * 300, [0] * 300, [512] * 300, [256] * 301,
+              [None] * 50, []]
+    for ci, toks in enumerate(cases):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(toks)),
+                "pack_group": 7,
+                "n_tokens": pd.array(toks, dtype="Int64").astype("float"),
+            }
+        )
+        a = linear_ref(pdf.copy(), 512).reset_index(drop=True)
+        b = _pack_group(pdf.copy(), 512).reset_index(drop=True)
+        assert a.equals(b), f"first-fit divergence in case {ci}"
