@@ -266,13 +266,20 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(word_shingles(tokens("text"), k)).alias("shingle")
     )
     if max_shingle_df is not None:
-        rare = (
+        # Prune as an anti-join against the HOT (stop-shingle) set, not an
+        # inner join against the rare set: df <= cap is the complement of
+        # df > cap over a null-free key, so the rows are identical, but the
+        # broadcast side is the Zipf HEAD (58 shingles at sf0.1) instead of
+        # the near-full vocabulary (27k), which grows with the corpus and is
+        # rebuilt once per index-subtree copy. Same law as
+        # text.boilerplate: join against the small offending set.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -112,6 +112,64 @@ def test_df_prune_keeps_high_jaccard_pairs(spark, doc_df):
     assert full <= pruned or len(full & pruned) / len(full) >= 0.9
 
 
+def test_df_prune_is_hot_set_anti_join(spark, doc_df):
+    """r13: the df-prune must join against the small HOT (stop-shingle)
+    set as a LeftAnti, never against the vocabulary-sized rare set as an
+    inner join — the rare set grows with the corpus and was rebuilt as a
+    broadcast once per index-subtree copy (4× in the pair plan). Pins
+    both the rows (vs the inline rare-inner-join complement, on a corpus
+    where the cap actually bites) and the plan shape."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.functions.textfns import tokens, word_shingles
+
+    cap = 2
+    pruned = ngram_jaccard_pairs(doc_df, threshold=0.05, max_shingle_df=cap)
+
+    # reference: the old rare-set inner-join formulation, spelled inline
+    sh = doc_df.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("shingle")
+    )
+    kept = sh.join(rare, "shingle")
+    # the cap must actually bite on this corpus or the test proves nothing
+    assert kept.count() < sh.count()
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ref = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")) >= 0.05
+        )
+        .select("doc_a", "doc_b")
+    )
+    got = {(r.doc_a, r.doc_b) for r in pruned.select("doc_a", "doc_b").collect()}
+    want = {(r.doc_a, r.doc_b) for r in ref.collect()}
+    assert got == want
+
+    if hasattr(pruned, "_jdf"):
+        plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftAnti" in plan, "df-prune lost its hot-set anti-join shape"
+        assert f"<= {cap})" not in plan, (
+            "a rare-set (df <= cap) join-back reappeared in the prune"
+        )
+
+
 def test_dedup_clusters_transitive_chain(spark):
     from stock_data_pipeline_spark.operators.dedup import dedup_clusters
 
