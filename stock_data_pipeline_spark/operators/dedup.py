@@ -21,7 +21,7 @@ from __future__ import annotations
 import random
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -265,6 +265,25 @@ def ngram_jaccard_pairs(
     sh = rebalance(docs).select(
         "doc_id", F.explode(word_shingles(tokens("text"), k)).alias("shingle")
     )
+    return _jaccard_pairs_from_index(
+        sh, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+
+
+def _jaccard_pairs_from_index(
+    sh: DataFrame,
+    *,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Inverted-index Jaccard join over a prebuilt (doc_id, shingle) index.
+
+    Split out of :func:`ngram_jaccard_pairs` (r13) so callers that already
+    hold the shingles — e.g. :func:`near_dedup_corpus`, whose survivor
+    checkpoint carries the shingle ARRAY — can skip re-tokenizing: Spark
+    does not share a subplan referenced from several join inputs, so the
+    index subtree here is planned four times (hot set, sizes, both
+    self-join sides) and any per-row work in it is paid four times."""
     if max_shingle_df is not None:
         # Prune as an anti-join against the HOT (stop-shingle) set, not an
         # inner join against the rare set: df <= cap is the complement of
@@ -1021,7 +1040,13 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     ``localCheckpoint`` truncates the lineage each round: without it the
     plan doubles per iteration and Catalyst analysis, not the data, becomes
     the bottleneck (the standard iterative-algorithm discipline on Spark).
-    Convergence is checked with a cheap count of changed labels.
+    Convergence is checked by counting changed labels with an
+    ``Observation`` attached to the round's eager checkpoint (r13,
+    session 5): the checkpoint materialization is already a full pass
+    over the round's labels, so the observed ``sum(_changed)`` rides
+    that job for free — previously a separate ``count()`` job per round
+    (cheap per round, but it is pure fixed cost that repeats every
+    iteration and at every scale).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1075,8 +1100,15 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                 < F.col("prev")
             ).alias("_changed"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
+        # The eager checkpoint is the round's one job; the convergence
+        # metric rides it (CollectMetrics is evaluated during the
+        # checkpoint materialization), so no second count() job runs.
+        changed_obs = Observation()
+        updated = updated.observe(
+            changed_obs,
+            F.sum(F.col("_changed").cast("long")).alias("n_changed"),
+        ).localCheckpoint(eager=True)
+        n_changed = changed_obs.get["n_changed"] or 0
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
@@ -1240,25 +1272,59 @@ def near_dedup_corpus(
     anti-join probe — and the cluster stage in between is eager
     (``dedup_clusters`` checkpoints per round), so without materialization
     the scan+fingerprint+window subtree executes once per consumer. The
-    slim projection (only the output columns plus ``text``) followed by a
-    lazy ``localCheckpoint`` computes survivors once at minimal width:
-    at corpus scale the second consumer re-reads survivor-sized blocks
-    instead of re-scanning the raw corpus, and locally it is the faster
-    plan (r13 min-of-4 at sf0.1: 3.87 s vs 4.24 s recompute; a FULL-width
-    checkpoint loses — 4.75 s — which is why the projection precedes it).
+    slim projection (only the output columns plus the derived shingle
+    array) followed by a lazy ``localCheckpoint`` computes survivors once
+    at minimal width: at corpus scale the second consumer re-reads
+    survivor-sized blocks instead of re-scanning the raw corpus, and
+    locally it is the faster plan (r13 min-of-4 at sf0.1: 3.87 s vs
+    4.24 s recompute; a FULL-width checkpoint loses — 4.75 s — which is
+    why the projection precedes it).
+
+    The survivor checkpoint carries ``word_shingles(tokens(text))``
+    INSTEAD of ``text`` (r13, session 5): nothing downstream needs the
+    raw text — the pair stage needs only the shingles and the final
+    probe only the ids — and the pair stage's index subtree is planned
+    FOUR times (hot set, sizes, both self-join sides), so shingling from
+    text paid the regex tokenize + slide + distinct four times per
+    composition. Deriving the array once makes each index build a cheap
+    explode over stored arrays (measured at sf0.1: one index build
+    0.465 s from text vs 0.165 s from the array). The rows are identical
+    by construction: the expression moved, not changed.
+
+    The shingle projection must run WIDE: AQE right-sizes the fingerprint
+    window's exchange by BYTES, and at fixture scale that coalesces to
+    one partition — which would serialize the per-row shingling (the one
+    expensive expression) onto a single core inside the checkpoint job
+    (measured: 6.98 s single-partition vs 0.80 s wide at sf0.1). So the
+    window output is checkpointed first (eager — this composition is
+    already an eager builder via the cluster stage), ``rebalance``-d
+    (widens iff under-parallelized: locally yes, a no-op on a
+    production-width shuffle), and only then shingled into the lazy
+    survivor checkpoint that the index and the probe consume.
     """
     fp = canonical_fingerprint("text")
     w = Window.partitionBy("_fp").orderBy("doc_id")
-    survivors = (
+    base = (
         docs.select("doc_id", "source", "n_chars", "text")
         .withColumn("_fp", fp)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
+        .localCheckpoint(eager=True)
+    )
+    survivors = (
+        rebalance(base)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            word_shingles(tokens("text"), _SHINGLE_K).alias("_shingles"),
+        )
         .localCheckpoint(eager=False)
     )
-    pairs = ngram_jaccard_pairs(
-        survivors, threshold=threshold, max_shingle_df=max_shingle_df
+    sh = survivors.select("doc_id", F.explode("_shingles").alias("shingle"))
+    pairs = _jaccard_pairs_from_index(
+        sh, threshold=threshold, max_shingle_df=max_shingle_df
     )
     clusters = dedup_clusters(pairs)
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(

@@ -197,6 +197,38 @@ def test_dedup_clusters_star_and_reversed_edges(spark):
     assert set(out) == {2, 5, 7, 8, 9}
 
 
+def test_dedup_clusters_empty_edges_terminates(spark):
+    """Zero pairs → zero labels → the convergence metric (an Observation
+    riding the round's eager checkpoint, r13 session 5) must read as 0 —
+    an aggregate over no rows is NULL, and a job with no rows must still
+    post its metrics — so the loop exits on round 1 with an empty result
+    instead of hanging on Observation.get or iterating to max_iters."""
+    from stock_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_clusters(pairs).collect() == []
+
+
+def test_near_dedup_corpus_no_duplicates_passthrough(spark):
+    """A corpus with no exact or near duplicates must come back whole:
+    exercises the composition's empty-pair path end-to-end (survivor
+    checkpoint → empty index join → empty clusters → anti-join drops
+    nothing) with the r13 session-5 internals (pre-shingled survivor
+    checkpoint, Observation-fused convergence)."""
+    from stock_data_pipeline_spark.operators.dedup import near_dedup_corpus
+
+    rows = [
+        (1, "a", 30, "alpha bravo charlie delta echo"),
+        (2, "a", 28, "foxtrot golf hotel india juliet"),
+        (3, "b", 26, "kilo lima mike november oscar"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, text string"
+    )
+    out = near_dedup_corpus(docs, threshold=0.3, max_shingle_df=5)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
 def test_dedup_clusters_raises_on_non_convergence(spark):
     """A 5-node chain has diameter 4; max_iters=1 cannot converge and must
     fail loudly instead of returning split clusters."""
