@@ -1058,11 +1058,17 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Initial labels (node = its own label) are a cheap distinct over the
+    # ALREADY-CHECKPOINTED edges, so they are left lazy and fold into
+    # round 1's plan instead of paying their own eager-checkpoint job
+    # (r13 session 5): round 1 references labels twice (the neighbor join
+    # and the propagate join) and recomputes the distinct both times,
+    # which is cheaper than one more fixed job per composition — from
+    # round 2 on, labels IS the prior round's checkpoint, as before.
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
