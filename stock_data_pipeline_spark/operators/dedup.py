@@ -1336,6 +1336,27 @@ def near_dedup_corpus(
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
+    # The final anti-join probes the corpus-sized survivor checkpoint
+    # against the drop set. Checkpoint leaves carry NO size statistics
+    # (ExistingRDD defaults to "huge"), so the planner picks a
+    # SortMergeJoin and the SURVIVORS pay a full doc_id shuffle + sort —
+    # even though the drop set is tiny at any realistic near-dup rate
+    # among exact-dedup survivors. `clusters` is eager (checkpointed),
+    # so the drop count is already materialized and one cheap scalar
+    # job reads it; broadcast iff it fits comfortably (guide §3.1:
+    # broadcast replaces the shuffle of the large side). The cap is a
+    # conf (~80 MB of ids at the default), NOT unconditional: a
+    # pathological corpus where most survivors are near-dups of each
+    # other falls back to the sort-merge plan instead of an
+    # over-the-cap broadcast (same size-gated adaptivity as the
+    # decontamination materialize gate).
+    max_bcast = int(
+        survivors.sparkSession.conf.get(
+            "spark.spark_graft.neardedup.broadcastMaxDrops", "10000000"
+        )
+    )
+    if drops.count() <= max_bcast:
+        drops = F.broadcast(drops)
     return survivors.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )

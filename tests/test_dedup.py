@@ -229,6 +229,50 @@ def test_near_dedup_corpus_no_duplicates_passthrough(spark):
     assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
 
 
+def test_near_dedup_corpus_drop_probe_is_size_gated_broadcast(spark):
+    """r13 session-5 pin, BOTH branches of the gated final anti-join:
+    checkpoint leaves carry no size stats, so without the hint the
+    planner sort-merges the corpus-sized survivor side against a tiny
+    drop set (full doc_id shuffle + sort of the survivors). The drop
+    count is already materialized by the eager cluster stage, so the
+    composition broadcasts the drop set iff it is under
+    spark.spark_graft.neardedup.broadcastMaxDrops, and falls back to
+    the sort-merge plan (bounded memory) on a pathological corpus
+    where it is not. Rows must be identical on both branches."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import near_dedup_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, "s", len(base), base + f" tail{i // 3}") for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, text string"
+    )
+    conf = "spark.spark_graft.neardedup.broadcastMaxDrops"
+
+    def plan_str(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    spark.conf.set(conf, "10000000")
+    try:
+        bcast = near_dedup_corpus(docs, threshold=0.3, max_shingle_df=None)
+        s = plan_str(bcast)
+        assert "BroadcastHashJoin LeftAnti" in s and "SortMergeJoin" not in s
+        spark.conf.set(conf, "0")
+        smj = near_dedup_corpus(docs, threshold=0.3, max_shingle_df=None)
+        s0 = plan_str(smj)
+        assert "BroadcastHashJoin LeftAnti" not in s0
+        pa = bcast.toPandas().sort_values("doc_id").reset_index(drop=True)
+        pb = smj.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert pa.equals(pb)
+    finally:
+        spark.conf.unset(conf)
+
+
 def test_dedup_clusters_raises_on_non_convergence(spark):
     """A 5-node chain has diameter 4; max_iters=1 cannot converge and must
     fail loudly instead of returning split clusters."""
