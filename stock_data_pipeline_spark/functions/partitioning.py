@@ -57,34 +57,54 @@ def _rdd_partitions_or(df: DataFrame, default: int) -> int:
         return default
 
 
+def _open_cost_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    raw = raw.lower().removesuffix("b")
+    return int(raw) if raw.isdigit() else 4 * 1024 * 1024
+
+
 def _estimated_scan_partitions(df: DataFrame, target: int) -> int:
     """Estimate the scan's partition count from file count + sizes.
 
-    Mirrors Spark's file-split math (ceil(bytes / maxPartitionBytes) per
-    file, ignoring openCostInBytes packing — an under-estimate, which only
-    errs toward a harmless extra repartition). Falls back to the exact
-    (but planning-heavy) RDD partition count when the files aren't
-    locally stat-able or the frame has no file source.
+    Mirrors Spark's real file-split math (``FilePartition.maxSplitBytes``):
+    the split size is ``min(maxPartitionBytes, max(openCostInBytes,
+    (Σ size + n·openCost) / minPartitionNum))`` — NOT a flat
+    bytes/maxPartitionBytes, which the r13 version used and which
+    under-estimated a 110 MB single-file scan as 1 partition when Spark
+    actually splits it ~27 ways (the divisor term: Spark targets
+    ``minPartitionNum`` ≈ default parallelism splits whenever files allow).
+    The under-estimate made ``rebalance`` fire a full-data round-robin
+    shuffle on scans that were already wide. Falls back to the exact (but
+    planning-heavy) RDD partition count when the files aren't locally
+    stat-able or the frame has no file source.
     """
     files = df.inputFiles()
     if len(files) >= target:
         return len(files)
-    mpb = _max_partition_bytes(df.sparkSession)
-    est = 0
+    if not files:
+        return _rdd_partitions_or(df, target)
+    spark = df.sparkSession
+    mpb = _max_partition_bytes(spark)
+    open_cost = _open_cost_bytes(spark)
+    try:
+        # no default arg: conf.get validates defaults against the conf
+        # spec, and minPartitionNum rejects the "unset" sentinel
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        min_pn = 0
+    if min_pn <= 0:
+        min_pn = max(target, 1)
+    total_padded = 0
     for f in files:
         parsed = urlparse(f)
         if parsed.scheme not in ("file", ""):
             return _rdd_partitions_or(df, target)
         try:
-            size = os.path.getsize(parsed.path)
+            total_padded += os.path.getsize(parsed.path) + open_cost
         except OSError:
             return _rdd_partitions_or(df, target)
-        est += max(1, -(-size // mpb))
-        if est >= target:
-            return est
-    if not files:
-        return _rdd_partitions_or(df, target)
-    return est
+    max_split = min(mpb, max(open_cost, total_padded // min_pn))
+    return max(1, -(-total_padded // max_split))
 
 
 def local_scan_bytes(df: DataFrame) -> int | None:

@@ -34,7 +34,7 @@ from ..registry import query
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: line status → columns. ``pivot`` with an explicit value list
@@ -69,7 +69,7 @@ def b20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey % 100 = 0
     )
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide measures → (name, value) rows — one pass,
@@ -100,7 +100,7 @@ def b21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
-    driver=False,  # demoted in the r11 rotation (driver-green r10)
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / ntile — dashboard distribution stats.
@@ -134,7 +134,7 @@ def b22_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
     )
     """,
-    driver=False,  # demoted in the r11 rotation (driver-green r10)
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def b23_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth value over the full-partition frame (constant per
@@ -259,7 +259,7 @@ def b27_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey % 50 = 0
     GROUP BY c_nationkey
     """,
-    driver=False,  # demoted in the r11 rotation (driver-green r10)
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def b25_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG WITHIN GROUP) — deterministic
@@ -477,9 +477,12 @@ def b33_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     then fixed-point-accumulated. Scale: one hash aggregate with map-side
     partials; the exchange carries #flag×#status ≈ 6 rows per task no
     matter the corpus size, and the shipdate filter reaches the parquet
-    scan (PushedFilters).
+    scan (PushedFilters). No ``rebalance`` (removed r14): widening the
+    raw fact rows through a round-robin exchange was the plan's only
+    corpus-sized shuffle, paid locally for trivially cheap per-row math
+    and a no-op at production scan width (guide §2.3).
     """
-    li = rebalance(load(spark, sf_dir, "lineitem"))
+    li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -725,7 +728,7 @@ _PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
 
 @query(
     "b44_table_profile",
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
     oracle=f"""
     {" UNION ALL ".join(
         f'''SELECT '{c}' AS column_name, COUNT(*) AS n,
@@ -839,7 +842,7 @@ def b47_numeric_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 40 = 0
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def b48_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B48: ratio-to-report — each order's share of its priority class's

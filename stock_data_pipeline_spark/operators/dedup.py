@@ -300,19 +300,56 @@ def _jaccard_pairs_from_index(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_shingle_df is not None:
+        # Pruned path (r14): candidate pairs from POSTING LISTS instead of
+        # the index self-join. The df cap bounds every post-prune posting
+        # list at ``max_shingle_df`` ids, so collect_list is safe (state
+        # per key <= cap) and the intra-list combinations are <= C(cap, 2)
+        # structs per shingle — the same Σ min(df, cap)² work the
+        # self-join did, but with ONE shingle-keyed exchange instead of
+        # the SortMergeJoin's two sorted exchanges of the exploded index
+        # (guide §2.4: remove shuffles outright; the sorts go with them).
+        # sort_array makes doc_a < doc_b by construction, exactly the
+        # a.doc_id < b.doc_id join condition over unique (doc, shingle)
+        # rows. ONLY valid under a df cap: an unpruned stop-shingle would
+        # make collect_list buffer an unbounded posting list, which is
+        # why the uncapped path below keeps the join.
+        posting = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("docs")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        cand = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, max_shingle_df),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
+        inter = (
+            posting.filter(F.size("docs") >= 2)
+            .select(F.explode(cand).alias("p"))
+            .groupBy(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_inter").cast("double") / (
@@ -827,7 +864,7 @@ def minhash_portable_buckets(docs: DataFrame) -> DataFrame:
     "c02_minhash_portable",
     # demoted in the round-9 rotation: ledger-closed one-shot (driver-green r8); c02 stays in-window via c02_simhash_portable;
     # stays on the full bench/oracle-parity surface
-    driver=False,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
     oracle=_minhash_portable_oracle(),
 )
 def c02_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +1085,19 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     (cheap per round, but it is pure fixed cost that repeats every
     iteration and at every scale).
     """
+    labels, _ = _cluster_labels_with_drop_count(pairs, max_iters=max_iters)
+    return labels
+
+
+def _cluster_labels_with_drop_count(
+    pairs: DataFrame, *, max_iters: int = 20
+) -> "tuple[DataFrame, int]":
+    """Implementation of :func:`dedup_clusters` that also returns the
+    number of non-keeper nodes (``label != node`` in the final labels) —
+    observed on the final round's checkpoint job, so callers that need
+    the drop-set size for a broadcast decision (``near_dedup_corpus``)
+    do not pay a separate ``count()`` job over the result."""
+    edge_obs = Observation()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1056,35 +1106,64 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             )
         )
         .distinct()
+        .observe(edge_obs, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint(eager=True)
     )
-    # Initial labels (node = its own label) are a cheap distinct over the
-    # ALREADY-CHECKPOINTED edges, so they are left lazy and fold into
-    # round 1's plan instead of paying their own eager-checkpoint job
-    # (r13 session 5): round 1 references labels twice (the neighbor join
-    # and the propagate join) and recomputes the distinct both times,
-    # which is cheaper than one more fixed job per composition — from
-    # round 2 on, labels IS the prior round's checkpoint, as before.
-    labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    # Checkpoint leaves carry no size statistics, so every per-round join
+    # (edges ⋈ labels, propagated ⋈ parent) plans as an exchange-backed
+    # join even when the edge set is a few hundred candidate pairs —
+    # pure fixed cost repeated every round. The edge count rides the
+    # checkpoint job above for free; when the graph is small enough that
+    # a node-table broadcast is safely bounded (rows ≤ 2·n_edges ≤ 2·cap
+    # of (long, long) pairs — the 1M-edge default is ≤ ~32 MB raw per
+    # side), hint the per-round build sides broadcast and the rounds run
+    # exchange-free. Above the cap the rounds keep the bounded-memory
+    # shuffled plan (same size-gated adaptivity as the drop-set
+    # broadcast below). Conf is a ROW COUNT of directed edges, not
+    # bytes.
+    n_edges = edge_obs.get["n_edges"] or 0
+    max_bcast_edges = int(
+        pairs.sparkSession.conf.get(
+            "spark.spark_graft.dedupclusters.broadcastMaxEdges", "1000000"
+        )
     )
+    _b = F.broadcast if n_edges <= max_bcast_edges else (lambda df: df)
+    labels = None
+    n_changed = n_drops = 0
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                "label"
-            ),
-            F.col("label").alias("prev"),
-        )
+        if labels is None:
+            # Round 1 specialized (r14): the initial labels are the
+            # identity (node = own id), so the neighbor join degenerates
+            # to ONE aggregate over the checkpointed edges — min neighbor
+            # per node, label = least(own, neighbor-min). The symmetric
+            # edge set guarantees every node appears as ``src``, so no
+            # separate distinct-node frame is needed (the r13 lazy-init
+            # version planned that distinct twice per round-1 reference;
+            # this removes it and the join outright).
+            propagated = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("nlabel"))
+                .select(
+                    F.col("src").alias("node"),
+                    F.least(F.col("src"), F.col("nlabel")).alias("label"),
+                    F.col("src").alias("prev"),
+                )
+            )
+        else:
+            neighbor_min = (
+                edges.join(_b(labels), edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            propagated = labels.join(
+                _b(neighbor_min), labels.node == neighbor_min.src, "left"
+            ).select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+                F.col("label").alias("prev"),
+            )
         # Pointer jumping (path compression): label[u] ← label[label[u]].
         # Neighbor propagation alone moves a label ONE hop per round
         # (O(diameter) rounds on a chain); chasing the label's own label
@@ -1095,7 +1174,7 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         updated = propagated.join(
-            parent, propagated.label == parent.p_node, "left"
+            _b(parent), propagated.label == parent.p_node, "left"
         ).select(
             "node",
             F.least(F.col("label"), F.coalesce("p_label", "label")).alias(
@@ -1109,12 +1188,20 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
         # The eager checkpoint is the round's one job; the convergence
         # metric rides it (CollectMetrics is evaluated during the
         # checkpoint materialization), so no second count() job runs.
+        # The non-keeper count rides the same job: when the loop breaks
+        # (n_changed == 0) the labels are final and the last round's
+        # n_drops is exactly count(label != node) over the result.
         changed_obs = Observation()
         updated = updated.observe(
             changed_obs,
             F.sum(F.col("_changed").cast("long")).alias("n_changed"),
+            F.sum(
+                (F.col("node") != F.col("label")).cast("long")
+            ).alias("n_drops"),
         ).localCheckpoint(eager=True)
-        n_changed = changed_obs.get["n_changed"] or 0
+        metrics = changed_obs.get
+        n_changed = metrics["n_changed"] or 0
+        n_drops = metrics["n_drops"] or 0
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
@@ -1127,8 +1214,11 @@ def dedup_clusters(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
             f"({n_changed} labels still changing); raise max_iters or use "
             "star-contraction for deep-chain graphs"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        ),
+        n_drops,
     )
 
 
@@ -1279,12 +1369,19 @@ def near_dedup_corpus(
     (``dedup_clusters`` checkpoints per round), so without materialization
     the scan+fingerprint+window subtree executes once per consumer. The
     slim projection (only the output columns plus the derived shingle
-    array) followed by a lazy ``localCheckpoint`` computes survivors once
-    at minimal width: at corpus scale the second consumer re-reads
-    survivor-sized blocks instead of re-scanning the raw corpus, and
-    locally it is the faster plan (r13 min-of-4 at sf0.1: 3.87 s vs
-    4.24 s recompute; a FULL-width checkpoint loses — 4.75 s — which is
-    why the projection precedes it).
+    array) followed by a lazy ``localCheckpoint`` computes survivors
+    once: at corpus scale the second consumer re-reads survivor-sized
+    blocks instead of re-scanning the raw corpus, and locally it is the
+    faster plan (r13 min-of-4 at sf0.1: 3.87 s vs 4.24 s recompute; a
+    FULL-width checkpoint loses — 4.75 s — which is why the projection
+    precedes it). Storage trade, stated plainly: the composition pins
+    TWO local checkpoints in executor storage — the eager full-width
+    base (including text) and this lazy survivor frame whose
+    ``_shingles`` array is roughly 3× the survivor TEXT bytes (k-word
+    shingles overlap) — non-fault-tolerant storage that is still
+    survivor-sized and df-bounded, measured a win at sf10, unlike the
+    ~10×-corpus exploded-index checkpoint that was measured and
+    rejected in r13.
 
     The survivor checkpoint carries ``word_shingles(tokens(text))``
     INSTEAD of ``text`` (r13, session 5): nothing downstream needs the
@@ -1332,7 +1429,7 @@ def near_dedup_corpus(
     pairs = _jaccard_pairs_from_index(
         sh, threshold=threshold, max_shingle_df=max_shingle_df
     )
-    clusters = dedup_clusters(pairs)
+    clusters, n_drops = _cluster_labels_with_drop_count(pairs)
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
@@ -1341,21 +1438,24 @@ def near_dedup_corpus(
     # (ExistingRDD defaults to "huge"), so the planner picks a
     # SortMergeJoin and the SURVIVORS pay a full doc_id shuffle + sort —
     # even though the drop set is tiny at any realistic near-dup rate
-    # among exact-dedup survivors. `clusters` is eager (checkpointed),
-    # so the drop count is already materialized and one cheap scalar
-    # job reads it; broadcast iff it fits comfortably (guide §3.1:
-    # broadcast replaces the shuffle of the large side). The cap is a
-    # conf (~80 MB of ids at the default), NOT unconditional: a
-    # pathological corpus where most survivors are near-dups of each
-    # other falls back to the sort-merge plan instead of an
-    # over-the-cap broadcast (same size-gated adaptivity as the
-    # decontamination materialize gate).
+    # among exact-dedup survivors. The drop-set size was observed on the
+    # cluster stage's final checkpoint job (r14 — previously a separate
+    # scalar count() job per composition); broadcast iff it fits
+    # comfortably (guide §3.1: broadcast replaces the shuffle of the
+    # large side). The cap is a ROW COUNT conf, not bytes (the hashed
+    # relation costs roughly 3-5x the ~8 B/id raw payload per executor
+    # — the 2M default is ~16 MB of ids, well under broadcast-hazard
+    # territory), and NOT unconditional: a pathological corpus where
+    # most survivors are near-dups of each other falls back to the
+    # bounded-memory sort-merge plan instead of an over-the-cap
+    # broadcast (same size-gated adaptivity as the decontamination
+    # materialize gate).
     max_bcast = int(
         survivors.sparkSession.conf.get(
-            "spark.spark_graft.neardedup.broadcastMaxDrops", "10000000"
+            "spark.spark_graft.neardedup.broadcastMaxDrops", "2000000"
         )
     )
-    if drops.count() <= max_bcast:
+    if n_drops <= max_bcast:
         drops = F.broadcast(drops)
     return survivors.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"

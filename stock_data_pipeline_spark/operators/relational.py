@@ -79,11 +79,14 @@ def b02_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial (map-side) aggregation means the shuffle carries only
     #groups × #partitions rows, not the fact table; with 6 groups this is
     O(partitions). Decimal accumulation keeps the result identical under any
-    partitioning (see functions/exact.py).
+    partitioning (see functions/exact.py). No ``rebalance`` here (removed
+    r14): the per-row work after the scan is a handful of long ops, so a
+    widening round-robin of the RAW fact rows — the plan's only
+    corpus-sized exchange — cost more locally than the single-digit-
+    partition scan it parallelized, and at production width it was a
+    no-op anyway (guide §2.3: aggregate before you shuffle).
     """
-    from ..functions.partitioning import rebalance
-
-    li = rebalance(load(spark, sf_dir, "lineitem"))
+    li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1140,7 +1143,7 @@ _Q18_MIN_QTY = 150
     )
     GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
-    driver=True,  # promoted in the r10 rotation (VERDICT r9 task 3): last driver-green r1
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: the TPC-H Q18 large-volume-customer shape — orders whose total
@@ -1185,7 +1188,7 @@ def b38_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b41_promo_revenue",
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
     oracle=f"""
     SELECT
       p.p_brand,
@@ -1248,7 +1251,7 @@ def b41_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "b45_try_arithmetic",
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
     oracle="""
     SELECT
       event_id,

@@ -203,7 +203,7 @@ def c04_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def c04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4c: per-document quality score (length / stopword-density /
@@ -340,31 +340,80 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4f: top-5 characteristic terms per source by TF-IDF — the standard
     corpus-profiling / domain-tagging primitive.
 
-    Scale: two word-count-shaped aggregates (both map-side combined) joined
-    on token — a token-keyed shuffle join whose inputs are vocabulary-sized,
-    not corpus-sized; the 1-row corpus count is a broadcast nested-loop.
-    idf uses integer counts only, so the double math is engine-identical.
+    Scale: per-doc token counts are computed in-row (sorted-array run
+    lengths), so NO corpus-sized rows ever cross an exchange — the one
+    (token, source) aggregate map-side-combines to vocabulary grain
+    before its shuffle, df is a window over that vocabulary-sized frame,
+    and the 1-row corpus count is a broadcast nested-loop. idf uses
+    integer counts only, so the double math is engine-identical.
     """
     from ..functions.partitioning import rebalance
 
     docs = load(spark, sf_dir, "documents")
-    toks = (
+    # Per-doc (token, in-doc count) pairs computed IN-ROW (r14): the old
+    # groupBy(doc_id, source, token) existed only to collapse a doc's
+    # repeated tokens — but a doc's tokens live in one cell, so the
+    # collapse needs no shuffle at all. sort_array + run-length encoding
+    # over the token array (boundary positions where the sorted value
+    # changes; run length = gap to the next boundary) yields the same
+    # (token, tf_doc) pairs with O(n log n) per-row work in codegen, and
+    # the explode emits DISTINCT-token grain (fewer rows than the old
+    # per-occurrence explode). That removes the plan's only CORPUS-SIZED
+    # exchange — the remaining shuffles all carry vocabulary-grain rows
+    # after map-side partial aggregation (guide §2.3/§2.4).
+    # The sorted array and the boundary-position array are materialized as
+    # PROJECTED COLUMNS, not inlined expressions: a lambda that indexes an
+    # inline array expression re-evaluates that whole expression per
+    # element (O(n²) per doc — measured 25 s vs 0.9 s at sf0.1 on the
+    # first cut of this change), while indexing an attribute is O(1).
+    # CollapseProject will not merge these projects because each array is
+    # referenced more than once and is non-cheap.
+    st = F.col("_st")
+    n = F.size(st)
+    # sequence(1, n) counts DOWN when n < 1 — empty/whitespace-only docs
+    # must yield no runs, not a [1, 0] index array.
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bp = F.col("_bp")
+    runs = F.transform(
+        bp,
+        lambda p, j: F.struct(
+            F.get(st, p - 1).alias("token"),
+            (F.coalesce(F.get(bp, j + 1), n + 1) - p).alias("tf_doc"),
+        ),
+    )
+    runs_df = (
         rebalance(docs)
-        .select("doc_id", "source", F.explode(tokens("text")).alias("token"))
-        .filter(F.col("token") != "")
+        .select(
+            "source",
+            F.sort_array(
+                F.filter(tokens("text"), lambda t: t != F.lit(""))
+            ).alias("_st"),
+        )
+        .select(
+            "source",
+            "_st",
+            F.filter(
+                seq,
+                lambda i: (i == F.lit(1))
+                | (F.get(st, i - 1) != F.get(st, i - 2)),
+            ).alias("_bp"),
+        )
+        .select("source", F.explode(runs).alias("r"))
+        .select(
+            "source",
+            F.col("r.token").alias("token"),
+            F.col("r.tf_doc").alias("tf_doc"),
+        )
     )
-    # ONE tokenize+explode pass over the corpus. Spark does not share a
-    # subplan referenced from both sides of a join, so the previous
-    # doc_freq⋈term_freq formulation re-scanned and re-tokenized the whole
-    # corpus once per branch. Instead: collapse to per-(doc, token) counts
-    # (the only corpus-sized shuffle), aggregate once to the (token,
-    # source) grain, then derive the token-level document frequency as a
-    # window SUM over that vocabulary-sized frame — each doc has exactly
-    # one source, so per-(token, source) distinct-doc counts sum to df.
-    tok_doc = toks.groupBy("doc_id", "source", "token").agg(
-        F.count("*").alias("tf_doc")
-    )
-    ts = tok_doc.groupBy("token", "source").agg(
+    # Each (doc, token) contributes exactly one run, so COUNT(*) rows per
+    # (token, source) is the per-source distinct-doc count (df_part) and
+    # SUM(tf_doc) is the occurrence count (tf) — identical to the old
+    # two-level aggregate; the token-level document frequency is still a
+    # window SUM over this vocabulary-sized frame (each doc has exactly
+    # one source, so per-(token, source) distinct-doc counts sum to df).
+    ts = runs_df.groupBy("token", "source").agg(
         F.count("*").alias("df_part"),
         F.sum("tf_doc").alias("tf"),
     )
@@ -391,7 +440,7 @@ def c04_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c04_fingerprint",
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
     oracle="""
     SELECT
       doc_id,
@@ -457,7 +506,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         '{PHONE_RE}')) AS INT) AS n_phones
     FROM documents
     """,
-    driver=False,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def c04_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4g: PII redaction — emails/phones scrubbed to placeholders with
