@@ -115,7 +115,8 @@ _B50_SQL = f"""
 """
 
 
-@query("b50_drawdown", oracle=_B50_SQL, driver=False)
+# promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
+@query("b50_drawdown", oracle=_B50_SQL, driver=True)
 def b50_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B50: maximum drawdown per instrument, with the trough row.
 

@@ -436,7 +436,8 @@ def c10_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(click_edges(load(spark, sf_dir, "events")))
 
 
-@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS), driver=False)
+# promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
+@query("c10_link_pagerank", oracle=_pagerank_oracle(PR_ITERATIONS), driver=True)
 def c10_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: damped PageRank over the user-navigation graph mined from
     ``events`` — the link-graph quality prior of web-corpus curation,

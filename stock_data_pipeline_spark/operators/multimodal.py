@@ -148,7 +148,9 @@ def sample_frames(docs: DataFrame) -> DataFrame:
            sha256(substring(text, CAST(idx * 16 + 1 AS BIGINT), 16))
              AS frame_sha256
     FROM f WHERE idx % 4 = 0
-    """, driver=False)
+    """,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
+)
 def c05_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling over opaque media payloads — every 4th 16-byte
     frame's offset and sha256, the keyframe-extraction plumbing shape.

@@ -1133,7 +1133,9 @@ _WS_K = 100
     ORDER BY CAST(floor((-ln(u) / n_chars) * 1000000000000.0) AS BIGINT) ASC,
              doc_id ASC
     LIMIT {_WS_K}
-    """, driver=False)
+    """,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
+)
 def c08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8f: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     2006: take the k items with the largest u^(1/w), equivalently the

@@ -120,7 +120,7 @@ def c06_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    driver=False,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def c06_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6b: the Spark 4 VariantType path — ``parse_json`` shreds the

@@ -1028,7 +1028,7 @@ def c03_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < {_N_QUERIES}
     ) WHERE sim_rank <= {_TOP_K}
     """,
-    driver=True,  # promoted r12: stale representative (last driver row r<=9)
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def c03_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3f: filtered vector search — top-k cosine neighbors restricted by

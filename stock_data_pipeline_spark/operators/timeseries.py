@@ -528,7 +528,7 @@ def gap_fill_hourly(
     FROM lineitem
     GROUP BY l_returnflag, date_trunc('month', l_shipdate)
     """,
-    driver=False,  # demoted in the r10 rotation (driver-green r1-r9); B3-adjacent rollup, family rep stays b03
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def b31_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B31: VWAP — quantity-weighted average price per entity per time
@@ -938,7 +938,8 @@ FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i
 """
 
 
-@query("b29_ema_rsi", oracle=_B29_SQL, driver=True)  # promoted r12: stale representative (last driver row r<=9)
+# rotated out r14 (r13-green; still registered+oracle-backed)
+@query("b29_ema_rsi", oracle=_B29_SQL, driver=False)
 def b29_ema_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: per-user EMA(α=0.2) and RSI(14) over the event stream — the
     custom technical indicators the reference's dashboard roadmap implies
@@ -1140,7 +1141,7 @@ _HOUR_US = 3_600_000_000
       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
     )
     """,
-    driver=True,
+    driver=False,  # rotated out r14 (r13-green; still registered+oracle-backed)
 )
 def b40_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B40: per-event trailing-hour rollup — a TIME-based RANGE frame

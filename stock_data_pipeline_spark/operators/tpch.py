@@ -254,7 +254,7 @@ def b66_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scoped l2
     )
     """,
-    driver=False,
+    driver=True,  # promoted r14: fresh oracle-backed rotation (VERDICT r13 task 8)
 )
 def b67_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value within a nation scope
