@@ -72,6 +72,13 @@ HEADLINE_QUERIES = [
     # which the verdicts entry is the remedy for.
     "c04_decontaminate",
     "c04_decontaminate_verdicts",
+    # r14 ADDS the banded-LSH near-dedup composition (VERDICT r13 task 4):
+    # the exact composition's pair stage costs Σ min(df, cap)² which grows
+    # with vocabulary; banding's candidate mass follows the true near-dup
+    # rate instead. Recall < 1 vs the exact pair set, so it is a NEW named
+    # query with its own full-composition DuckDB oracle —
+    # c02_near_dedup_corpus keeps the declared headline slot unchanged.
+    "c02_near_dedup_banded",
     "c05_multimodal_features",
     "c06_json_extract",
     "c08_hash_split",
@@ -87,6 +94,7 @@ HEADLINE_QUERIES = [
 # reported number covers the full composition, not the prepared tail.
 EAGER_BUILDER_QUERIES = {
     "c02_near_dedup_corpus",
+    "c02_near_dedup_banded",
     "c02_near_dedup_exactpairs",
     # r13 optimization round: decontaminate_verdicts lazily checkpoints
     # its per-side (id, canon_text, fp) base frames when the input scan

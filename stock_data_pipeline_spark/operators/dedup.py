@@ -1405,6 +1405,19 @@ def near_dedup_corpus(
     production-width shuffle), and only then shingled into the lazy
     survivor checkpoint that the index and the probe consume.
     """
+    survivors = _exact_dedup_survivors(docs)
+    sh = survivors.select("doc_id", F.explode("_shingles").alias("shingle"))
+    pairs = _jaccard_pairs_from_index(
+        sh, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    return _drop_non_keepers(survivors, pairs)
+
+
+def _exact_dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Exact-dedup keeper per content fingerprint, checkpointed, with the
+    derived ``_shingles`` array (see :func:`near_dedup_corpus` docstring
+    for the width/ordering rationale). Shared by the exact df-pruned and
+    the banded-LSH near-dedup compositions."""
     fp = canonical_fingerprint("text")
     w = Window.partitionBy("_fp").orderBy("doc_id")
     base = (
@@ -1415,7 +1428,7 @@ def near_dedup_corpus(
         .drop("_fp", "_rn")
         .localCheckpoint(eager=True)
     )
-    survivors = (
+    return (
         rebalance(base)
         .select(
             "doc_id",
@@ -1425,31 +1438,33 @@ def near_dedup_corpus(
         )
         .localCheckpoint(eager=False)
     )
-    sh = survivors.select("doc_id", F.explode("_shingles").alias("shingle"))
-    pairs = _jaccard_pairs_from_index(
-        sh, threshold=threshold, max_shingle_df=max_shingle_df
-    )
+
+
+def _drop_non_keepers(survivors: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster the near-dup pairs and anti-join the non-keepers away.
+
+    The final anti-join probes the corpus-sized survivor checkpoint
+    against the drop set. Checkpoint leaves carry NO size statistics
+    (ExistingRDD defaults to "huge"), so the planner picks a
+    SortMergeJoin and the SURVIVORS pay a full doc_id shuffle + sort —
+    even though the drop set is tiny at any realistic near-dup rate
+    among exact-dedup survivors. The drop-set size was observed on the
+    cluster stage's final checkpoint job (r14 — previously a separate
+    scalar count() job per composition); broadcast iff it fits
+    comfortably (guide §3.1: broadcast replaces the shuffle of the
+    large side). The cap is a ROW COUNT conf, not bytes (the hashed
+    relation costs roughly 3-5x the ~8 B/id raw payload per executor
+    — the 2M default is ~16 MB of ids, well under broadcast-hazard
+    territory), and NOT unconditional: a pathological corpus where
+    most survivors are near-dups of each other falls back to the
+    bounded-memory sort-merge plan instead of an over-the-cap
+    broadcast (same size-gated adaptivity as the decontamination
+    materialize gate).
+    """
     clusters, n_drops = _cluster_labels_with_drop_count(pairs)
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    # The final anti-join probes the corpus-sized survivor checkpoint
-    # against the drop set. Checkpoint leaves carry NO size statistics
-    # (ExistingRDD defaults to "huge"), so the planner picks a
-    # SortMergeJoin and the SURVIVORS pay a full doc_id shuffle + sort —
-    # even though the drop set is tiny at any realistic near-dup rate
-    # among exact-dedup survivors. The drop-set size was observed on the
-    # cluster stage's final checkpoint job (r14 — previously a separate
-    # scalar count() job per composition); broadcast iff it fits
-    # comfortably (guide §3.1: broadcast replaces the shuffle of the
-    # large side). The cap is a ROW COUNT conf, not bytes (the hashed
-    # relation costs roughly 3-5x the ~8 B/id raw payload per executor
-    # — the 2M default is ~16 MB of ids, well under broadcast-hazard
-    # territory), and NOT unconditional: a pathological corpus where
-    # most survivors are near-dups of each other falls back to the
-    # bounded-memory sort-merge plan instead of an over-the-cap
-    # broadcast (same size-gated adaptivity as the decontamination
-    # materialize gate).
     max_bcast = int(
         survivors.sparkSession.conf.get(
             "spark.spark_graft.neardedup.broadcastMaxDrops", "2000000"
@@ -1521,6 +1536,191 @@ def c02_near_dedup_exactpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+def _banded_closure_oracle() -> str:
+    """DuckDB oracle for c02_near_dedup_banded: the FULL banded
+    composition replayed in SQL — exact-dedup-first (same surv block as
+    the pruned-closure oracle), salted-md5 MinHash signatures and band
+    buckets over the SURVIVORS (the portable hash family of
+    c02_minhash_portable: lexicographic MIN of fixed-length hex IS the
+    numeric 128-bit min), bucket-collision candidates, exact-Jaccard
+    verify over the survivors' shingle sets, transitive closure, keeper
+    anti-join."""
+    mh_aggs = ",\n      ".join(
+        f"MIN(md5('mh{i}:' || shingle)) AS mh{i}" for i in range(_MP_K)
+    )
+    bucket_select = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5(concat_ws('|', "
+        + ",".join(f"mh{band * _MP_ROWS + r}" for r in range(_MP_ROWS))
+        + ")) AS bucket FROM sig"
+        for band in range(_MP_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE surv AS (
+      SELECT doc_id, source, n_chars, text FROM (
+        SELECT doc_id, source, n_chars, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    shn AS (
+      SELECT doc_id,
+             {sql_word_shingles(sql_tokens('text'), _SHINGLE_K)} AS shingles
+      FROM surv
+    ),
+    sh AS (
+      SELECT doc_id, s.shingle FROM shn, UNNEST(shingles) AS s(shingle)
+    ),
+    sig AS (
+      SELECT doc_id,
+      {mh_aggs}
+      FROM sh GROUP BY doc_id
+    ),
+    buckets AS ({bucket_select}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    jc AS (
+      SELECT cand.doc_a, cand.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
+             len(sa.shingles) AS na,
+             len(sb.shingles) AS nb
+      FROM cand
+      JOIN shn sa ON sa.doc_id = cand.doc_a
+      JOIN shn sb ON sb.doc_id = cand.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM jc
+      WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter)
+            >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM surv d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """
+
+
+def near_dedup_corpus_banded(
+    docs: DataFrame, *, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """Banded-LSH near-dedup composition (r14, VERDICT r13 task 4): the
+    same exact-dedup-first / cluster / anti-join frame as
+    :func:`near_dedup_corpus`, with the PAIR STAGE swapped from the exact
+    df-pruned inverted-index join to MinHash banding (32 salted-md5
+    string-min hashes, 8 bands × 4 rows) + exact-Jaccard verify over the
+    candidates.
+
+    Scale rationale: the exact pair stage's cost is Σ_shingle min(df,
+    cap)², which grows with vocabulary; banding's candidate mass is
+    Σ_bucket C(|bucket|, 2), which after exact-dedup-first is driven by
+    the TRUE near-dup rate, not the vocabulary — the composition the
+    uncapped c02_minhash_lsh diagnostic proves quadratic on RAW
+    dup-heavy corpora becomes bounded once exact copies are collapsed
+    first (the r11 law, tests/test_scalegen_recipe.py). Recall < 1 by
+    construction (a missed band is a missed pair): this is a DIFFERENT
+    declared contract, shipped as its own named query beside the exact
+    composition — never a silent replacement. Precision IS 1: every
+    emitted pair is exact-verified on the survivors' stored shingle
+    arrays (``array_intersect`` on the checkpointed ``_shingles`` —
+    per-pair in-row work, no re-tokenize), so the output pairs are a
+    subset of the exact composition's unpruned pair set (pinned in
+    tests/test_dedup.py).
+    """
+    survivors = _exact_dedup_survivors(docs)
+    sh = survivors.select("doc_id", F.explode("_shingles").alias("shingle"))
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(_MP_K)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[f"mh{band * _MP_ROWS + r}" for r in range(_MP_ROWS)],
+                )
+            )
+            for band in range(_MP_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = survivors.select(
+        F.col("doc_id").alias("doc_a"), F.col("_shingles").alias("_sa")
+    )
+    sb = survivors.select(
+        F.col("doc_id").alias("doc_b"), F.col("_shingles").alias("_sb")
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = n_inter.cast("double") / (
+        F.size("_sa") + F.size("_sb") - n_inter
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return _drop_non_keepers(survivors, pairs)
+
+
+@query(
+    "c02_near_dedup_banded",
+    oracle=_banded_closure_oracle(),
+    driver=False,  # new in r14; its own contract (recall < 1 vs the exact
+    # composition) — bench headline + oracle-parity surface, not a window
+    # replacement for the declared c02_near_dedup_corpus
+)
+def c02_near_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2g-banded: the near-dedup corpus with a banded-LSH candidate
+    stage and exact verify (see :func:`near_dedup_corpus_banded`). The
+    pair stage this replaces is the exact composition's scale tail
+    (VERDICT r13 task 4); recall < 1 makes it a NEW named contract, and
+    its DuckDB oracle replays the full composition — dedup-first,
+    portable MinHash banding, candidate join, exact verify, closure —
+    so the driver-style hash pins every stage."""
+    docs = load(spark, sf_dir, "documents")
+    return near_dedup_corpus_banded(docs)
 
 
 # --------------------------------------------------------------------------

