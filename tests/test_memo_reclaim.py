@@ -54,7 +54,10 @@ def test_evicted_plan_is_collected_when_eviction_returns(spark, tiny_memo):
 
 
 def test_memo_capacity_is_still_enforced(spark, tiny_memo):
-    qs = registry.all_queries()
+    # full_queries, not all_queries: the memo is window-agnostic and the
+    # driver-window rotation must not be able to break this test by
+    # rotating a hardcoded name out (it did in r14: b38_large_orders).
+    qs = registry.full_queries()
     for name in ("b01_filter_time_range", "b16_null_handling", "b38_large_orders"):
         qs[name](spark, _SF)
     per_session = registry._PLAN_MEMO.get(spark)
